@@ -1,0 +1,178 @@
+"""Deterministic hashing kernels.
+
+- SipHash-2-4 (64-bit) — the canonicalization shuffle key demanded by the
+  north rule; conceptual ancestor in the reference is the deterministic
+  MD5 hash-path key of ``HashPathIdMapper.java:145-160``.
+- Karp-Rabin rolling fingerprint over token streams.
+- MinHash signatures / SimHash for near-dup detection.
+
+All hashes are seeded with fixed constants — runs are reproducible across
+processes and nodes (Python's builtin ``hash`` is salted per-process and
+must never be used for shuffle keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# Fixed SipHash key (the 16-byte sequence 00..0f — the key used by the
+# SipHash reference test vectors, so known-answer tests apply directly).
+SIP_KEY = bytes(range(16))
+
+
+def _rotl(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & MASK64
+
+
+def siphash24(data: bytes, key: bytes = SIP_KEY) -> int:
+    """SipHash-2-4 of ``data`` → unsigned 64-bit int. Pure-Python reference
+    implementation of the public algorithm (Aumasson & Bernstein, 2012)."""
+    k0 = int.from_bytes(key[:8], "little")
+    k1 = int.from_bytes(key[8:], "little")
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+
+    def sipround(v0, v1, v2, v3):
+        v0 = (v0 + v1) & MASK64
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & MASK64
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & MASK64
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & MASK64
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    b = len(data) & 0xFF
+    w = len(data) // 8
+    for i in range(w):
+        m = int.from_bytes(data[8 * i : 8 * i + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0 ^= m
+    tail = data[8 * w :]
+    m = (b << 56) | int.from_bytes(tail + b"\x00" * (8 - len(tail)), "little")
+    v3 ^= m
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0 ^= m
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    return (v0 ^ v1 ^ v2 ^ v3) & MASK64
+
+
+def siphash64_str(s: str) -> int:
+    return siphash24(s.encode("utf-8"))
+
+
+def siphash64_batch(strings, memo: dict | None = None) -> np.ndarray:
+    """SipHash-2-4 over a sequence of strings → uint64 array.
+
+    Hashes each *unique* string once (pandas factorize) — in KG batches the
+    same entity surface repeats many times, so this amortizes the
+    per-string Python cost; callers holding state (actor stages) can pass a
+    cross-batch ``memo`` dict for further reuse.
+    """
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(strings, dtype=object))
+    if memo is None:
+        uh = np.fromiter(
+            (siphash64_str(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+        )
+    else:
+        out = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            h = memo.get(u)
+            if h is None:
+                h = siphash64_str(u)
+                memo[u] = h
+            out[i] = h
+        uh = out
+    if len(uh) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return uh[codes]
+
+
+# ---------------------------------------------------------------------------
+# Rolling (Karp-Rabin) document fingerprint
+
+_KR_BASE = 1_000_003
+_KR_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(tokens) -> int:
+    """Polynomial rolling hash of a token stream mod 2^61-1 (order-sensitive
+    document fingerprint)."""
+    h = 0
+    for t in tokens:
+        th = siphash64_str(t) % _KR_MOD
+        h = (h * _KR_BASE + th) % _KR_MOD
+    return h
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    mersenne = (1 << 61) - 1
+    a = rng.randint(1, mersenne, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, mersenne, size=num_perm, dtype=np.uint64)
+    return a, b, np.uint64(mersenne)
+
+
+_PERM_CACHE: dict[int, tuple] = {}
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """MinHash signature from base shingle hashes (uint64) via the standard
+    (a*h + b) mod p permutation family; vectorized: shingles × perms."""
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b, p = _PERM_CACHE[num_perm]
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = shingle_hashes.astype(np.uint64) % p
+    # (n_shingles, num_perm) — fine for docs with <= a few thousand shingles
+    vals = (h[:, None] * a[None, :] + b[None, :]) % p
+    return vals.min(axis=0)
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """uint64 hashes of word k-shingles (contiguous k-grams)."""
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    return np.fromiter(
+        (siphash64_str(s) for s in set(joined)), dtype=np.uint64, count=len(set(joined))
+    )
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    hs = np.fromiter((siphash64_str(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & MASK64).count("1")

@@ -1,0 +1,40 @@
+"""Surface-form normalization for entity canonicalization.
+
+The analog of the reference's deterministic key encoding
+(``ObjectProcessor.getBlobId``, ObjectProcessor.java:293-341: idempotent,
+reversible, percent-encoded ids). Here: NFKC → casefold (lang-fold) →
+strip non-alphanumerics. Idempotent by construction (tested).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_NON_ALNUM = re.compile(r"[^0-9a-zÀ-ɏ一-鿿]+")
+
+
+def norm_surface(s: str) -> str:
+    """Normalize one entity surface form. Idempotent."""
+    s = unicodedata.normalize("NFKC", s).casefold()
+    return _NON_ALNUM.sub("", s)
+
+
+def norm_surface_batch(strings) -> list[str]:
+    """Normalize a batch; uniques-only via factorize to amortize cost."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(strings, dtype=object)
+    codes, uniques = pd.factorize(arr)
+    normed = np.array([norm_surface(u) for u in uniques], dtype=object)
+    if len(normed) == 0:
+        return []
+    return list(normed[codes])
+
+
+def skolem_iri(norm: str) -> str:
+    """Skolem IRI for an entity surface with no alias-dictionary entry.
+    Derived from the normalized surface (reversible, like the reference's
+    percent-encoded external ids, HashPathIdMapper.java:162-195)."""
+    return f"ent:sk:{norm}"

@@ -1,0 +1,191 @@
+"""Flagship pipeline: pages → deduplicated canonical quads.
+
+The Ray-Data re-expression of the reference's whole job
+(``Extract.run`` → per-object ``ObjectProcessor.accept`` → decorator
+sink chain → per-thread N-Quads shards; Extract.java:237-256) plus the
+wide stages the north rule adds (entity canonicalization, exact dedup,
+sorted materialization):
+
+    read_parquet(pages, columns pruned — never the golden `text` column)
+      → map_batches(ExtractQuadsStage, actor pool)      # parse once/page
+      → [checkpoint boundary: raw quads]                # html long gone
+      → build_entity_map (salted sip64 groupby + broadcast alias dict)
+      → resolve (broadcast map, or hash join at scale)
+      → dedup_quads (combiner + salted two-phase groupby)
+      → sort(subj,pred,obj) → parquet + N-Quads shards
+
+Between extraction and canonicalization the raw quads are either
+materialized in the object store (in-memory checkpoint; default — raw
+quads are a small fraction of the html-bearing input) or written to a
+Parquet checkpoint with lineage manifests (``checkpoint_dir=``, the
+resumable at-scale path; see state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..sources.pages import build_alias_table, read_pages, synthesize_pages
+from ..stages.canonicalize import build_entity_map, resolve_quads, resolve_quads_join
+from ..stages.dedup import dedup_quads
+from ..stages.extract import ExtractQuadsStage
+
+PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]  # `text` (golden) pruned
+
+
+def pages_for_sf(sf_dir: str):
+    """Synthesize (cached) + read the pages corpus for a testdata sf dir."""
+    pages_dir = synthesize_pages(sf_dir)
+    return read_pages(pages_dir, columns=PAGE_COLUMNS)
+
+
+def extract_raw_quads(pages_ds, concurrency: int | tuple | None = None,
+                      batch_size: int = 1024, skip_empty_literals: bool = True):
+    """Stage 1: one parse per page → constant + meta + raw-fact quads.
+
+    ``batch_size`` is kept moderate because the html column dominates row
+    width (SURVEY.md §7.4 wide-rows note); the html column never leaves
+    this stage."""
+    if concurrency is None:
+        from ..runtime import pool
+
+        concurrency = pool(0.75)
+    return pages_ds.map_batches(
+        ExtractQuadsStage,
+        fn_constructor_kwargs={"skip_empty_literals": skip_empty_literals},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def run_kg(sf_dir: str, use_join_resolve: bool = False,
+           concurrency: int | tuple | None = None,
+           checkpoint_dir: str | None = None, n_salts: int = 4):
+    """pages(sf_dir) → deduplicated canonical quads Dataset."""
+    pages = pages_for_sf(sf_dir)
+    raw = extract_raw_quads(pages, concurrency=concurrency)
+    if checkpoint_dir is not None:
+        from ..state.lineage import checkpoint_quads, read_checkpoint
+
+        checkpoint_quads(raw, checkpoint_dir, stage="extract")
+        raw = read_checkpoint(checkpoint_dir, stage="extract")
+    else:
+        # in-memory checkpoint: raw quads are consumed twice (entity-map
+        # build + resolve) — materialize so pages are parsed exactly once
+        raw = raw.materialize()
+    alias = build_alias_table()
+    mapping = build_entity_map(raw, alias, n_salts=n_salts)
+    resolved = (resolve_quads_join(raw, mapping) if use_join_resolve
+                else resolve_quads(raw, mapping))
+    return dedup_quads(resolved, n_salts=n_salts)
+
+
+def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
+                     wave_size: int = 4,
+                     concurrency: int | tuple | None = None,
+                     max_waves: int | None = None, n_salts: int = 4):
+    """Resumable flagship run: the pages shards are processed in waves of
+    ``wave_size`` files; each wave is one streaming extraction job that
+    commits an atomic per-group checkpoint with lineage. A crashed run
+    re-executes only uncommitted waves (``max_waves`` exists so tests can
+    simulate the crash). After extraction, canonicalize/dedup run over
+    the union of committed groups. Returns the final quads Dataset, or
+    None if extraction is still incomplete (crashed mid-run)."""
+    import os
+
+    from ..state.lineage import (checkpoint_exists, checkpoint_quads,
+                                 new_collector, read_all_groups,
+                                 write_lineage)
+    from ..sources.pages import synthesize_pages
+
+    # driver-owned lineage collector; its handle is passed into the stage
+    # actors (driver ownership keeps it alive across pool shutdowns)
+    collector = new_collector()
+    pages_dir = synthesize_pages(sf_dir)
+    shard_files = sorted(os.path.join(pages_dir, f)
+                         for f in os.listdir(pages_dir)
+                         if f.endswith(".parquet"))
+    waves = [shard_files[i:i + wave_size]
+             for i in range(0, len(shard_files), wave_size)]
+    done = 0
+    for k, files in enumerate(waves):
+        group = f"{k:04d}"
+        if checkpoint_exists(checkpoint_dir, "extract", group):
+            done += 1
+            continue
+        if max_waves is not None and done >= max_waves:
+            return None  # simulated crash: remaining waves not run
+        import ray.data as rd
+
+        pages = rd.read_parquet(files, columns=PAGE_COLUMNS)
+        if concurrency is None:
+            from ..runtime import pool
+
+            concurrency = pool(0.75)
+        raw = pages.map_batches(
+            ExtractQuadsStage,
+            fn_constructor_kwargs={"collector": collector,
+                                   "shard_label": group},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=concurrency,
+        )
+        checkpoint_quads(raw, checkpoint_dir, stage="extract", group=group,
+                         extra_manifest={"input_files": files})
+        done += 1
+    write_lineage(collector, checkpoint_dir, stage="extract")
+    raw = read_all_groups(checkpoint_dir, "extract")
+    alias = build_alias_table()
+    mapping = build_entity_map(raw, alias, n_salts=n_salts)
+    resolved = resolve_quads(raw, mapping)
+    return dedup_quads(resolved, n_salts=n_salts)
+
+
+def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True):
+    """Final materialization (K1 analog): sort by (subj, pred, obj), write
+    Parquet shards + mirrored sorted N-Quads text shards (one file per
+    block — the `quads{i}.nq` sharding, Extract.java:217-219)."""
+    ds = quads_ds.sort(["subj", "pred", "obj"])
+    ds.write_parquet(out_dir)
+    if write_nquads:
+        def to_lines(t: pa.Table) -> pa.Table:
+            lines = []
+            for r in t.to_pylist():
+                if r["obj_is_literal"]:
+                    lex = (r["obj"].replace("\\", "\\\\").replace('"', '\\"')
+                           .replace("\n", "\\n"))
+                    obj = f'"{lex}"'
+                    if r["obj_datatype"]:
+                        obj += f"^^<{r['obj_datatype']}>"
+                else:
+                    obj = f"<{r['obj']}>"
+                lines.append(
+                    f"<{r['subj']}> <{r['pred']}> {obj} <{r['graph']}> ."
+                )
+            return pa.table({"line": pa.array(lines, pa.string())})
+
+        import os
+
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class NQuadsDatasink(BlockBasedFileDatasink):
+            """Plain-text N-Quads sink, one `.nq` file per block (the
+            reference's quads{i}.nq per-worker sharding,
+            Extract.java:217-219, TripleDump.java:63-69)."""
+
+            def __init__(self, path: str):
+                super().__init__(path, file_format="nq")
+
+            def write_block_to_file(self, block, file) -> None:
+                tbl = block.to_arrow()
+                text = "\n".join(tbl["line"].to_pylist())
+                if text:
+                    text += "\n"
+                file.write(text.encode("utf-8"))
+
+        nq_dir = os.path.join(out_dir, "nquads")
+        ds.map_batches(to_lines, batch_format="pyarrow").write_datasink(
+            NQuadsDatasink(nq_dir)
+        )
+    return out_dir

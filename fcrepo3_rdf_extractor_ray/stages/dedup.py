@@ -1,0 +1,384 @@
+"""Deduplication operators.
+
+- ``dedup_quads`` — exact quad dedup (set semantics; the reference's
+  correctness is duplicate-insensitive, SidoraExamplesIT.java:105, so
+  dedup is the explicit operator the north rule adds). Per-batch Arrow
+  ``Table.group_by`` combiner → salted two-phase global groupby (min /
+  sum are associative → partial/final is exact).
+- ``dedup_exact_docs`` — exact document dedup by content hash.
+- ``minhash_clusters`` — MinHash + LSH banding near-dup detection.
+- ``simhash_pairs`` — SimHash hamming-distance near-dups via band-chunk
+  bucketing.
+- ``embedding_neardup_pairs`` — cosine near-dups over an embedding
+  column via random-hyperplane LSH buckets + exact verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    hamming64,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from ..runtime import pool as _pool
+from ..schema import QUAD_KEY_COLS
+
+_N_COL = "n_src"
+_SRC_COL = "src_url"
+
+
+def _combine_batch(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate quads before the shuffle."""
+    t = t.append_column(_N_COL, pa.array(np.ones(t.num_rows, dtype=np.int64)))
+    g = t.group_by(QUAD_KEY_COLS).aggregate([(_SRC_COL, "min"), (_N_COL, "sum")])
+    g = g.rename_columns(QUAD_KEY_COLS + [_SRC_COL, _N_COL])
+    return g
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_quads(quads_ds, n_salts: int = 4):
+    """Exact dedup of a quads Dataset → one row per distinct quad with
+    ``src_url`` = min source url and ``n_src`` = occurrence count.
+
+    Head triples (a fact asserted on millions of pages) are the skew
+    case: the salt column splits each key across ``n_salts`` reducers in
+    phase 1; phase 2 runs over the already-deduplicated (tiny × n_salts)
+    stream."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = quads_ds.map_batches(_combine_batch, batch_format="pyarrow")
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+        return t.append_column("salt", pa.array(salt.astype(np.int32)))
+
+    ds = ds.map_batches(add_salt, batch_format="pyarrow")
+    p1 = ds.groupby(QUAD_KEY_COLS + ["salt"]).aggregate(Min(_SRC_COL), Sum(_N_COL))
+    p1 = _rename(p1, {f"min({_SRC_COL})": _SRC_COL, f"sum({_N_COL})": _N_COL})
+    p1 = p1.drop_columns(["salt"])
+    p2 = p1.groupby(QUAD_KEY_COLS).aggregate(Min(_SRC_COL), Sum(_N_COL))
+    p2 = _rename(p2, {f"min({_SRC_COL})": _SRC_COL, f"sum({_N_COL})": _N_COL})
+    return p2
+
+
+def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact document dedup: group by content, keep the min id (the min-ID
+    rule), count duplicates. Pre-aggregates per batch before the shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.select([text_col, id_col])
+        t = t.append_column("n_dups", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        g = t.group_by([text_col]).aggregate([(id_col, "min"), ("n_dups", "sum")])
+        return g.rename_columns([text_col, "keep_id", "n_dups"])
+
+    ds = docs_ds.map_batches(combine, batch_format="pyarrow")
+    g = ds.groupby(text_col).aggregate(Min("keep_id"), Sum("n_dups"))
+    return _rename(g, {"min(keep_id)": "keep_id", "sum(n_dups)": "n_dups"})
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+class MinHashStage:
+    """docs batch → (doc_id, band, band_hash, sig) rows: one row per LSH
+    band per doc. Permutation parameters are built once per actor."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_pylist()
+        texts = t[self.text_col].to_pylist()
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for i, txt in zip(ids, texts):
+            toks = txt.split()
+            sig = minhash_signature(shingle_hashes(toks), self.num_perm)
+            for b in range(self.bands):
+                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bh = int(np.bitwise_xor.reduce(band * np.uint64(0x9E3779B97F4A7C15)))
+                out_id.append(i)
+                out_band.append(b)
+                out_hash.append(bh & 0x7FFFFFFFFFFFFFFF)
+                out_sig.append(sig.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
+                            num_perm=64, bands=16, max_bucket=64):
+    """LSH banding: groupby (band, band_hash) buckets → candidate pairs
+    with estimated Jaccard (signature agreement). Buckets larger than
+    ``max_bucket`` are truncated (logged via the `truncated` column) —
+    no silent caps."""
+
+    sig_ds = docs_ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+
+    # Shuffle key = (band, band_hash % n_parts): bounded-size groups, few
+    # map_groups invocations (16 × n_parts), and each invocation handles
+    # its many buckets with a vectorized pandas groupby — never one Python
+    # call per bucket.
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["band_hash"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    sig_ds = sig_ds.map_batches(add_part, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        # only hashes occurring ≥2× can form pairs — vectorized pre-filter
+        dupmask = df.duplicated(subset=["band_hash", "doc_id"], keep="first")
+        df = df[~dupmask]
+        counts = df["band_hash"].value_counts()
+        hot = counts[counts >= 2].index
+        df = df[df["band_hash"].isin(hot)]
+        for bh, sub in df.groupby("band_hash"):
+            sub = sub.sort_values("doc_id")
+            n = len(sub)
+            truncated = n > max_bucket
+            if truncated:
+                sub = sub.head(max_bucket)
+                n = max_bucket
+            ids = sub["doc_id"].to_numpy()
+            sigs = np.array(sub["sig"].tolist(), dtype=np.int64)
+            ia, ja = np.triu_indices(n, k=1)
+            est = (sigs[ia] == sigs[ja]).mean(axis=1)
+            for k in range(len(ia)):
+                out.append((int(ids[ia[k]]), int(ids[ja[k]]), float(est[k]),
+                            truncated))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard",
+                                          "truncated"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64",
+             "truncated": "bool"})
+
+    pairs = sig_ds.groupby(["band", "part"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs
+
+
+def minhash_clusters(docs_ds, threshold=0.7, **kw):
+    """Near-dup clusters: candidate pairs ≥ threshold (estimated Jaccard)
+    → connected components (min-ID representative). Pair set is near-dup
+    scale (small); components resolved driver-side, as with entity
+    canonicalization (SURVEY.md §7.4)."""
+    pairs = minhash_candidate_pairs(docs_ds, **kw)
+    rows = pairs.take_all()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    seen_pairs = set()
+    members = set()
+    for r in rows:
+        if r["est_jaccard"] < threshold:
+            continue
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        if (a, b) in seen_pairs:
+            continue
+        seen_pairs.add((a, b))
+        members.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return pd.DataFrame(
+        sorted((m, find(m)) for m in members), columns=["doc_id", "cluster_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+class SimHashStage:
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_pylist()
+        sigs = [simhash64(txt.split()) for txt in t[self.text_col].to_pylist()]
+        out_id, out_chunk, out_key, out_sig = [], [], [], []
+        for i, s in zip(ids, sigs):
+            for c in range(4):  # 4×16-bit chunks: hamming≤3 ⇒ ≥1 chunk equal
+                out_id.append(i)
+                out_chunk.append(c)
+                out_key.append((s >> (16 * c)) & 0xFFFF)
+                out_sig.append(s - (1 << 64) if s >= (1 << 63) else s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "chunk_key": pa.array(out_key, pa.int64()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
+                  max_bucket=256):
+    """SimHash near-dup pairs: bucket by 16-bit signature chunks (pigeonhole:
+    hamming ≤ 3 over 64 bits ⇒ at least one of 4 chunks identical), verify
+    hamming distance exactly within buckets, global pair dedup."""
+    sig_ds = docs_ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+
+    n_parts = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["chunk_key"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    sig_ds = sig_ds.map_batches(add_part, batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        df = df.drop_duplicates(subset=["chunk_key", "doc_id"])
+        counts = df["chunk_key"].value_counts()
+        df = df[df["chunk_key"].isin(counts[counts >= 2].index)]
+        for _, sub in df.groupby("chunk_key"):
+            sub = sub.sort_values("doc_id").head(max_bucket)
+            ids = sub["doc_id"].to_numpy()
+            sigs = sub["sig"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(int(sigs[i]) & 0xFFFFFFFFFFFFFFFF,
+                                  int(sigs[j]) & 0xFFFFFFFFFFFFFFFF)
+                    if d <= max_hamming:
+                        rows.append((int(ids[i]), int(ids[j]), d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+
+    pairs = sig_ds.groupby(["chunk", "part"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+    # a pair can match in several chunks → dedup
+    from ray.data.aggregate import Min
+
+    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    return _rename(g, {"min(hamming)": "hamming"})
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine) via random-hyperplane LSH
+
+class HyperplaneBucketStage:
+    """embeddings batch → (vec_id, bucket, vec) rows; bucket = sign bits of
+    ``n_planes`` fixed random hyperplanes (seeded — identical across
+    actors/nodes)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 4,
+                 id_col="vec_id", vec_col="embedding"):
+        rng = np.random.RandomState(123)
+        self.planes = [rng.randn(dim, n_planes) for _ in range(n_tables)]
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
+        vecs = np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64)
+        if vecs.ndim == 1:
+            vecs = vecs.reshape(0, self.planes[0].shape[0])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        out_id, out_table, out_bucket, out_vec = [], [], [], []
+        for ti, P in enumerate(self.planes):
+            bits = (unit @ P) > 0
+            codes = (bits * (1 << np.arange(P.shape[1]))).sum(axis=1)
+            out_id.extend(ids.tolist())
+            out_table.extend([ti] * len(ids))
+            out_bucket.extend(codes.astype(np.int64).tolist())
+            out_vec.extend(unit.tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "lsh_table": pa.array(out_table, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "unit_vec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+
+def embedding_neardup_pairs(emb_ds, dim: int, threshold: float = 0.99,
+                            n_planes=8, n_tables=4, max_bucket=512,
+                            id_col="vec_id", vec_col="embedding"):
+    """Cosine near-dup pairs ≥ threshold via hyperplane-LSH buckets + exact
+    verification inside each bucket; global pair dedup. Approximate by
+    construction (recall < 1 is possible; n_tables trades recall for
+    shuffle volume) — the brute-force exact path lives in
+    stages/similarity.py."""
+
+    sig = emb_ds.map_batches(
+        HyperplaneBucketStage,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "n_tables": n_tables, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        df = df.drop_duplicates(subset=["bucket", "vec_id"])
+        counts = df["bucket"].value_counts()
+        df = df[df["bucket"].isin(counts[counts >= 2].index)]
+        for _, sub in df.groupby("bucket"):
+            sub = sub.sort_values("vec_id").head(max_bucket)
+            ids = sub["vec_id"].to_numpy()
+            V = np.array(sub["unit_vec"].tolist(), dtype=np.float64)
+            sims = V @ V.T
+            ia, ja = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ja] >= threshold
+            frames.append(pd.DataFrame(
+                {
+                    "vec_a": ids[ia[keep]].astype("int64"),
+                    "vec_b": ids[ja[keep]].astype("int64"),
+                    "cos_micro": np.floor(sims[ia, ja][keep] * 1e6).astype("int64"),
+                }
+            ))
+        if not frames:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cos_micro": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = sig.groupby(["lsh_table"]).map_groups(bucket, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    g = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_micro"))
+    return _rename(g, {"max(cos_micro)": "cos_micro"})

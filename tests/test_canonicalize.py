@@ -1,0 +1,78 @@
+"""Canonicalization shuffle: union-find min-ID semantics, broadcast vs
+join resolution equivalence, salt-split associativity (FIXTURES.md
+'salt-split min-ID associativity')."""
+
+import pyarrow as pa
+
+from fcrepo3_rdf_extractor_ray.schema import quads_table
+from fcrepo3_rdf_extractor_ray.sources.pages import build_alias_table
+from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+    build_entity_map,
+    resolve_quads,
+    resolve_quads_join,
+    union_find_min_id,
+)
+
+
+def test_union_find_min_id_merges_shared_candidates():
+    pairs = [
+        ("entity7", "ent:e7"),
+        ("theentity7", "ent:e7"),     # distinct norm, same candidate → merge
+        ("widget3", "ent:sk:widget3"),
+        ("acme", "ent:e2"),
+        ("acmecorp", "ent:e2"),
+        ("acmecorp", "ent:e1"),       # ambiguous alias → min-ID wins for cluster
+    ]
+    out = union_find_min_id(pairs)
+    assert out["entity7"] == "ent:e7"
+    assert out["theentity7"] == "ent:e7"
+    assert out["widget3"] == "ent:sk:widget3"
+    # acme ~ acmecorp share ent:e2; acmecorp also linked to ent:e1 →
+    # whole cluster resolves to the min id ent:e1
+    assert out["acme"] == "ent:e1"
+    assert out["acmecorp"] == "ent:e1"
+
+
+def _raw_quads():
+    rows = [
+        ("g", "surf:entity7", "kg:worksWith", "surf:theentity7", False, "", "u1"),
+        ("g", "surf:widget3", "kg:acquired", "surf:entity7", False, "", "u2"),
+        ("g", "iri:s", "kg:basedIn", "lit", True, "", "u3"),  # untouched
+    ] * 5  # duplicates across batches exercise the distinct path
+    return quads_table(*zip(*rows))
+
+
+def test_build_map_and_resolve_broadcast_vs_join():
+    import ray.data as rd
+
+    ds = rd.from_arrow(_raw_quads()).repartition(3)
+    mapping = build_entity_map(ds, build_alias_table(), n_salts=2)
+    assert mapping["entity7"] == "ent:e7"
+    assert mapping["theentity7"] == "ent:e7"  # cross-key union-find merge
+    assert mapping["widget3"] == "ent:sk:widget3"
+
+    a = resolve_quads(ds, mapping).take_all()
+    b = resolve_quads_join(ds, mapping, num_partitions=2).take_all()
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    subs = {r["subj"] for r in a}
+    assert subs == {"ent:e7", "ent:sk:widget3", "iri:s"}
+    # untouched rows pass through unchanged
+    assert any(r["obj"] == "lit" and r["obj_is_literal"] for r in a)
+
+
+def test_salt_split_invariance():
+    """Result must not depend on n_salts (min/distinct are associative)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import dedup_quads
+
+    ds = rd.from_arrow(_raw_quads()).repartition(4)
+    outs = []
+    for n_salts in (1, 4):
+        rows = dedup_quads(ds, n_salts=n_salts).take_all()
+        outs.append(sorted(tuple(sorted(r.items())) for r in rows))
+    assert outs[0] == outs[1]
+    # 3 distinct quads, each repeated 5× → n_src == 5
+    assert len(outs[0]) == 3
+    assert all(dict(r)["n_src"] == 5 for r in outs[0])

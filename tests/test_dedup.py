@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact set semantics + planted near-duplicates
+for MinHash/SimHash/embedding paths (FIXTURES.md duplicate-assertion
+fixture; set semantics per SidoraExamplesIT.java:105)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fcrepo3_rdf_extractor_ray.stages.dedup import (
+    dedup_exact_docs,
+    embedding_neardup_pairs,
+    minhash_clusters,
+    simhash_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun " * 3)
+
+
+def _docs_table():
+    texts = {
+        0: BASE,
+        1: BASE,                       # exact dup of 0
+        2: BASE.replace("lazy", "sleepy"),  # near dup of 0
+        3: "completely different content about databases and sharding",
+        4: "another unrelated document mentioning ray data pipelines",
+        5: BASE.replace("afternoon", "morning"),  # near dup of 0
+    }
+    return pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    })
+
+
+def test_dedup_exact_docs():
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(3)
+    out = dedup_exact_docs(ds).to_pandas()
+    dup_group = out[out["n_dups"] == 2]
+    assert len(dup_group) == 1
+    assert dup_group.iloc[0]["keep_id"] == 0  # min-ID kept
+    assert len(out) == 5  # 6 docs, one exact pair collapsed
+
+
+def test_minhash_clusters_find_near_dups():
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(2)
+    clusters = minhash_clusters(ds, threshold=0.5)
+    got = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # 0,1 identical; 2 and 5 near — all should cluster to min-ID 0
+    assert got.get(0) == 0 and got.get(1) == 0
+    assert got.get(2) == 0 and got.get(5) == 0
+    assert 3 not in got and 4 not in got
+
+
+def test_simhash_pairs():
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(2)
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    pairset = {tuple(p) for p in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 1) in pairset  # identical docs: hamming 0
+    assert all(a < b for a, b in pairset)
+    assert not any({3, 4} & {a, b} for a, b in pairset)
+
+
+def test_embedding_neardup_pairs():
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(5, 32)
+    vecs = np.vstack([base, base[0] + 0.001 * rng.randn(32)])  # 5 ~ dup of 0
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    pairs = embedding_neardup_pairs(ds, dim=32, threshold=0.999).to_pandas()
+    pairset = {tuple(p) for p in pairs[["vec_a", "vec_b"]].itertuples(index=False)}
+    assert (0, 5) in pairset
+    assert len(pairset) == 1

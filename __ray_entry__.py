@@ -152,13 +152,207 @@ def _q_kg_extracted_text(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity / relational / multimodal
+
+def _docs(sf_dir: str, columns=None):
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _q_ta_token_count(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import token_counts
+
+    return token_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_quality(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import quality_scores
+
+    return quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_lang_id(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import lang_id
+
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_fingerprint(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import fingerprints
+
+    ds = fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+def _q_ta_fingerprint_rolling(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "fp_rolling"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.dedup import dedup_exact_docs
+
+    return dedup_exact_docs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.dedup import minhash_clusters
+
+    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, dim=64, threshold=0.95)
+
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    import duckdb
+
+    import os
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}') "
+        f"WHERE vec_id < {n} ORDER BY vec_id").df()
+    import numpy as np
+
+    return {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in df.itertuples()}
+
+
+def _q_sim_knn_brute(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import knn_bruteforce
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, _query_vectors(sf_dir), k=5)
+
+
+def _q_sim_knn_ivf(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_ivf(ds, _query_vectors(sf_dir), k=5)
+
+
+def _q_rel_pricing(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_rel_top_customers(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import top_customers
+
+    return top_customers(sf_dir)
+
+
+def _q_rel_revenue_by_nation(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _q_rel_orders_topk(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import orders_topk
+
+    return orders_topk(sf_dir)
+
+
+def _q_rel_events_hourly(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_rel_distinct_users(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        distinct_users_by_type)
+
+    return distinct_users_by_type(sf_dir)
+
+
+def _q_mm_image_features(sf_dir: str):
+    """Multimodal plumbing demo: documents' text bytes stand in for image
+    payloads (binary column), decoded by the deterministic fake codec."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import image_features
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": t["doc_id"],
+            "payload": pa.array([s.encode("utf-8") for s in
+                                 t["text"].to_pylist()], pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow")
+    return image_features(items)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # KG construction (flagship)
         "kg_page_quads": _q_kg_page_quads,
         "kg_meta_quads": _q_kg_meta_quads,
         "kg_fact_quads": _q_kg_fact_quads,
         "kg_quads_all": _q_kg_quads_all,
         "kg_extracted_text": _q_kg_extracted_text,
+        # text analysis
+        "ta_token_count": _q_ta_token_count,
+        "ta_quality": _q_ta_quality,
+        "ta_lang_id": _q_ta_lang_id,
+        "ta_fingerprint": _q_ta_fingerprint,
+        "ta_fingerprint_rolling": _q_ta_fingerprint_rolling,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "sim_knn_brute": _q_sim_knn_brute,
+        "sim_knn_ivf": _q_sim_knn_ivf,
+        # relational operators
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_top_customers": _q_rel_top_customers,
+        "rel_revenue_by_nation": _q_rel_revenue_by_nation,
+        "rel_orders_topk": _q_rel_orders_topk,
+        "rel_events_hourly": _q_rel_events_hourly,
+        "rel_distinct_users": _q_rel_distinct_users,
+        # multimodal plumbing (stubbed codec)
+        "mm_image_features": _q_mm_image_features,
     }
 
 
@@ -179,4 +373,110 @@ def oracle_sql() -> dict[str, str]:
             + ") q GROUP BY 1, 2, 3, 4, 5, 6"
         ),
         "kg_extracted_text": _U_CTE + "SELECT url, text FROM u WHERE NOT malformed",
+        # --- text analysis ---
+        "ta_token_count": (
+            "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "ta_quality": """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_m,
+       len(str_split(text, ' '))::BIGINT AS n_tokens,
+       floor(1000000.0 * len(list_distinct(str_split(text, ' ')))
+             / greatest(len(str_split(text, ' ')), 1))::BIGINT AS ttr_micro,
+       floor(1000000.0 * len(list_filter(str_split(text, ' '),
+                 x -> x IN ('the', 'a', 'and', 'of')))
+             / greatest(len(str_split(text, ' ')), 1))::BIGINT AS stopword_micro
+FROM documents
+""",
+        "ta_lang_id": """
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(str_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
+    len(list_filter(str_split(text,' '), x -> x IN ('der','und','das'))) AS s_de,
+    len(list_filter(str_split(text,' '), x -> x IN ('le','et','les')))  AS s_fr,
+    len(list_filter(str_split(text,' '), x -> x IN ('el','y','los')))   AS s_es
+  FROM documents),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'unk'
+       WHEN (s_en = best)::INT + (s_de = best)::INT
+          + (s_fr = best)::INT + (s_es = best)::INT > 1 THEN 'unk'
+       WHEN s_de = best THEN 'de'
+       WHEN s_en = best THEN 'en'
+       WHEN s_es = best THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM b
+""",
+        "ta_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # ta_fingerprint_rolling: order-sensitive Karp-Rabin — not
+        # SQL-expressible; driver records rows-only.
+        # --- dedup ---
+        "dedup_exact": (
+            "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        # dedup_minhash / dedup_simhash / dedup_embedding: LSH-approximate
+        # (recall < 1 by construction) — verified against planted
+        # near-dups and brute force in pytest; driver records rows-only.
+        # --- similarity ---
+        "sim_knn_brute": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qe, q.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+         AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, nid, floor(cos * 1000000)::BIGINT AS cos_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(cos * 1000000) DESC, nid) AS rn
+  FROM pairs)
+SELECT qid AS query_id, nid AS neighbor_id, cos_micro
+FROM ranked WHERE rn <= 5
+""",
+        # sim_knn_ivf: approximate (n_probe buckets) — recall asserted in
+        # pytest vs brute force; rows-only here.
+        # --- relational ---
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(round(l_quantity * 100)::BIGINT) AS sum_qty_c,
+       sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_c,
+       sum(round(l_extendedprice * 100)::BIGINT *
+           (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_rev,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+SELECT o.o_custkey AS c_custkey, c.c_name,
+       sum(round(o.o_totalprice * 100)::BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey LIMIT 10
+""",
+        "rel_revenue_by_nation": """
+SELECT n.n_name,
+       sum(round(c.c_acctbal * 100)::BIGINT) AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "rel_orders_topk": """
+SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS total_cents,
+       o_orderdate
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
+""",
+        "rel_events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       sum(round(value * 100)::BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        "rel_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        # mm_image_features: stubbed codec, no SQL equivalent — rows-only.
     }

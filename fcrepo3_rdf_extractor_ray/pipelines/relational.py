@@ -1,0 +1,191 @@
+"""Generic relational operators over the TPC-H-ish testdata tables.
+
+These demonstrate the engine's general data-processing surface
+(groupby/aggregate with per-batch combiners, broadcast hash join, Ray
+hash join, sort+limit, tumbling-window aggregation, distinct). Money /
+value sums are emitted in integer cents/micro units so the DuckDB
+oracles compare exactly (no float-sum hash drift).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
+    """TPC-H Q1-shaped aggregate: per (returnflag, linestatus) totals.
+    Per-batch Arrow combiner → small global groupby (the partial/final
+    pattern — the shuffle moves one row per group per block)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    import datetime as _dt
+
+    cutoff = _dt.datetime.fromisoformat(ship_before)
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(cutoff)))
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100)), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        # revenue in cent·percent units: price_cents × (100 - disc_pct_cents/1)
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                               disc_c))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_c": qty_c,
+            "sum_base_c": price_c,
+            "sum_disc_rev": rev,
+            "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c", "sum"), ("sum_base_c", "sum"),
+             ("sum_disc_rev", "sum"), ("n_rows", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty_c",
+                                 "sum_base_c", "sum_disc_rev", "n_rows"])
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+    g = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c"), Sum("sum_base_c"), Sum("sum_disc_rev"), Sum("n_rows"))
+    return _rename(g, {"sum(sum_qty_c)": "sum_qty_c",
+                       "sum(sum_base_c)": "sum_base_c",
+                       "sum(sum_disc_rev)": "sum_disc_rev",
+                       "sum(n_rows)": "n_rows"})
+
+
+def top_customers(sf_dir: str, limit: int = 10):
+    """Broadcast hash join (orders ⋈ customer) + groupby + sort + limit.
+    The customer table is the small side: ``ray.put`` once, dict lookup
+    inside map_batches — no shuffle join for a dimension table."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class JoinName:
+        def __init__(self):
+            self.names = ray.get(cust_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            names = [self.names.get(k) for k in keys]
+            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                            pa.int64())
+            return pa.table({
+                "c_custkey": t["o_custkey"],
+                "c_name": pa.array(names, pa.string()),
+                "total_cents": cents,
+            })
+
+    from ..runtime import pool
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinName, batch_format="pyarrow",
+                                concurrency=pool(0.5))
+    g = joined.groupby(["c_custkey", "c_name"]).aggregate(Sum("total_cents"))
+    g = _rename(g, {"sum(total_cents)": "total_cents"})
+    return g.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(limit)
+
+
+def revenue_by_nation(sf_dir: str):
+    """Ray-native hash join path (customer ⋈ nation — both distributed)
+    + aggregate: demonstrates Dataset.join for when neither side fits a
+    broadcast."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "acctbal_cents": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                                     pa.int64()),
+        })
+
+    cust = cust.map_batches(cents, batch_format="pyarrow")
+    joined = cust.join(nation, join_type="inner", num_partitions=4,
+                       on=("c_nationkey",), right_on=("n_nationkey",))
+    g = joined.groupby("n_name").aggregate(Sum("acctbal_cents"))
+    return _rename(g, {"sum(acctbal_cents)": "acctbal_cents"})
+
+
+def orders_topk(sf_dir: str, k: int = 10):
+    """Global sort + limit (ties broken by orderkey for determinism)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                                   pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+        })
+
+    return (ds.map_batches(cents, batch_format="pyarrow")
+            .sort(["total_cents", "o_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events bucketed to the hour, per
+    (event_type, hour): count + sum(value) in cents. Window assignment is
+    a vectorized projection; the shuffle is an ordinary groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(hour, pa.timestamp("us")),
+            "value_cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                                   pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow")
+    g = ds.groupby(["event_type", "hour"]).aggregate(Sum("value_cents"), Sum("n"))
+    return _rename(g, {"sum(value_cents)": "value_cents", "sum(n)": "n_events"})
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Distinct aggregation: unique users per event type (two-phase:
+    distinct pairs, then count — both shuffles carry pre-deduped rows)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count())
+    pairs = pairs.select_columns(["event_type", "user_id"])
+    g = pairs.groupby("event_type").aggregate(Count())
+    return _rename(g, {"count()": "n_users"})

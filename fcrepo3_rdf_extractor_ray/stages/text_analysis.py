@@ -1,0 +1,118 @@
+"""Text-analysis operators over a documents table (training-data ops).
+
+All are vectorized ``map_batches`` stages; heuristics are deliberately
+simple, deterministic, and SQL-mirrorable so the driver's DuckDB oracle
+can verify them exactly (the oracles live in __ray_entry__.py).
+
+- ``token_counts`` — whitespace token counting.
+- ``quality_scores`` — length / punctuation-ratio / stopword-ratio /
+  type-token-ratio quality signals.
+- ``lang_id`` — marker-word n-gram heuristic (argmax over per-language
+  stopword hit counts; deterministic tie-break by language code).
+- ``fingerprints`` — md5 content fingerprint (exact, SQL-mirrorable) +
+  Karp-Rabin rolling token-stream hash (order-sensitive; rows-only
+  check since SQL cannot express it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import rolling_fingerprint
+
+# marker words per language, for the lang-id heuristic (tiny closed sets
+# so the DuckDB oracle can mirror with regexp counts)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+LANG_FALLBACK = "unk"
+
+
+def _tokens(s: str) -> list[str]:
+    return s.split()
+
+
+def token_counts(docs_ds, text_col="text", id_col="doc_id"):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split()
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_tokens": toks.str.len().fillna(0).astype("int64"),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def quality_scores(docs_ds, text_col="text", id_col="doc_id"):
+    """Quality signals; ratios are emitted as micro-units (×1e6, floored
+    to int64) so engine/oracle compare exactly without float-hash drift."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col]
+        n_chars = text.str.len().astype("int64")
+        toks = text.str.split()
+        n_tokens = toks.str.len().fillna(0).astype("int64")
+        n_distinct = toks.map(lambda t: len(set(t)) if isinstance(t, list) else 0)
+        stop = toks.map(
+            lambda t: sum(1 for w in t if w in ("the", "a", "and", "of"))
+            if isinstance(t, list) else 0
+        )
+        ttr = np.floor(1e6 * n_distinct / n_tokens.clip(lower=1)).astype("int64")
+        stop_ratio = np.floor(1e6 * stop / n_tokens.clip(lower=1)).astype("int64")
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "ttr_micro": ttr,
+            "stopword_micro": stop_ratio,
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def lang_id(docs_ds, text_col="text", id_col="doc_id"):
+    """Deterministic language-ID: argmax of marker-word counts; ties and
+    zero-hit rows → 'unk'. Strict-majority rule keeps the SQL mirror
+    simple (greatest-of over counts)."""
+
+    langs = sorted(LANG_MARKERS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split()
+        scores = {}
+        for lang in langs:
+            markers = set(LANG_MARKERS[lang])
+            scores[lang] = toks.map(
+                lambda t: sum(1 for w in t if w in markers)
+                if isinstance(t, list) else 0
+            ).astype("int64")
+        S = pd.DataFrame(scores)
+        best = S.max(axis=1)
+        # unique argmax required; ties → unk (deterministic)
+        is_unique = (S.eq(best, axis=0).sum(axis=1) == 1) & (best > 0)
+        pred = S.idxmax(axis=1).where(is_unique, LANG_FALLBACK)
+        return pd.DataFrame({id_col: df[id_col], "lang_pred": pred})
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
+    """md5 hex fingerprint (SQL-exact) + rolling Karp-Rabin token hash."""
+    import hashlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "fp_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                       for t in df[text_col]],
+            # mod 2^61-1 < int64 max, fits signed directly
+            "fp_rolling": [np.int64(rolling_fingerprint(_tokens(t)))
+                           for t in df[text_col]],
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

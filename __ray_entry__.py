@@ -142,6 +142,15 @@ def _q_kg_quads_all(sf_dir: str):
     return run_kg(sf_dir)
 
 
+def _q_kg_quads_join_resolve(sf_dir: str):
+    """Same flagship result via the Ray-native hash-join resolution path
+    (the at-scale alternative to the broadcast map) — oracle-identical to
+    kg_quads_all."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
+
+    return run_kg(sf_dir, use_join_resolve=True)
+
+
 def _q_kg_extracted_text(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
     from fcrepo3_rdf_extractor_ray.stages.extract import ExtractTextStage
@@ -155,13 +164,22 @@ def _q_kg_extracted_text(sf_dir: str):
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity / relational / multimodal
 
+def _blocks() -> int:
+    from fcrepo3_rdf_extractor_ray.runtime import cluster_cpus
+
+    return min(64, max(8, cluster_cpus()))
+
+
 def _docs(sf_dir: str, columns=None):
+    """documents table with enough input blocks to feed every worker —
+    a single-file read is one block, which would serialize actor-pool
+    stages downstream."""
     import os
 
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=columns)
+                           columns=columns, override_num_blocks=_blocks())
 
 
 def _q_ta_token_count(sf_dir: str):
@@ -222,7 +240,8 @@ def _q_dedup_embedding(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=_blocks())
     return embedding_neardup_pairs(ds, dim=64, threshold=0.95)
 
 
@@ -250,7 +269,8 @@ def _q_sim_knn_brute(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.similarity import knn_bruteforce
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=_blocks())
     return knn_bruteforce(ds, _query_vectors(sf_dir), k=5)
 
 
@@ -262,7 +282,8 @@ def _q_sim_knn_ivf(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.similarity import knn_ivf
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=_blocks())
     return knn_ivf(ds, _query_vectors(sf_dir), k=5)
 
 
@@ -329,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_meta_quads": _q_kg_meta_quads,
         "kg_fact_quads": _q_kg_fact_quads,
         "kg_quads_all": _q_kg_quads_all,
+        "kg_quads_join_resolve": _q_kg_quads_join_resolve,
         "kg_extracted_text": _q_kg_extracted_text,
         # text analysis
         "ta_token_count": _q_ta_token_count,
@@ -362,6 +384,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_meta_quads": _U_CTE + _META_QUADS_SQL,
         "kg_fact_quads": _U_CTE + _FACT_QUADS_SQL,
         "kg_quads_all": (
+            _U_CTE
+            + "SELECT graph, subj, pred, obj, obj_is_literal, obj_datatype,\n"
+            + "       min(src_url) AS src_url, count(*) AS n_src FROM (\n"
+            + _PAGE_QUADS_SQL
+            + " UNION ALL "
+            + _META_QUADS_SQL
+            + " UNION ALL "
+            + _FACT_QUADS_SQL
+            + ") q GROUP BY 1, 2, 3, 4, 5, 6"
+        ),
+        "kg_quads_join_resolve": (
             _U_CTE
             + "SELECT graph, subj, pred, obj, obj_is_literal, obj_datatype,\n"
             + "       min(src_url) AS src_url, count(*) AS n_src FROM (\n"

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "kg_pipeline_wall", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "triples": ..., "triples_per_sec": ...}
+
+``--scaling``: run the flagship KG pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 over the same input and report both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N node clusters).
+
+``--child --cpus N``: internal mode used by --scaling (fresh Ray
+session, one flagship run, one JSON line).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+SCALE_REPEAT = int(os.environ.get("GRAFT_SCALE_REPEAT", "100"))
+
+
+def _flagship(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
+    """One flagship KG run (extract → canonicalize → dedup → count).
+    Pages synthesis is fixture generation, pre-warmed outside the timer."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
+    from fcrepo3_rdf_extractor_ray.sources.pages import synthesize_pages
+
+    synthesize_pages(sf_dir, repeat=repeat)  # warm the cached corpus (untimed)
+    t0 = time.perf_counter()
+    n = run_kg(sf_dir, repeat=repeat).count()
+    return time.perf_counter() - t0, n
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    timings: dict[str, float] = {}
+
+    kg_sec, n_triples = _flagship(sf_dir)
+    timings["kg_quads_all"] = round(kg_sec, 3)
+
+    for name in ("kg_extracted_text", "ta_quality", "ta_lang_id",
+                 "dedup_exact", "dedup_minhash", "dedup_simhash",
+                 "sim_knn_brute", "sim_knn_ivf", "rel_pricing_summary",
+                 "rel_top_customers", "rel_events_hourly",
+                 "mm_image_features"):
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume fully (Datasets are lazy; pandas results already eager)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "kg_pipeline_wall",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+
+
+def run_child(sf_dir: str, num_cpus: int, iters: int = 1):
+    _init_ray(num_cpus)
+    # steady-state measurement: the first (untimed) run pays one-time
+    # worker spawn + interpreter imports (amortized to nothing on a
+    # long-lived cluster); then min-of-N timed runs damps scheduler noise
+    _flagship(sf_dir, repeat=SCALE_REPEAT)
+    best, n = None, 0
+    for _ in range(iters):
+        sec, n = _flagship(sf_dir, repeat=SCALE_REPEAT)
+        best = sec if best is None else min(best, sec)
+    print(json.dumps({"sec": best, "triples": n, "num_cpus": num_cpus}))
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    # warm the pages cache once so neither child pays synthesis cost
+    # scaling runs over an amplified corpus (repeat=SCALE_REPEAT): the
+    # base sf0.1 corpus is so small that fixed session overhead would
+    # dominate both runs and measure Ray startup, not the pipeline
+    _init_ray(8)
+    from fcrepo3_rdf_extractor_ray.sources.pages import synthesize_pages
+
+    synthesize_pages(sf_dir, repeat=SCALE_REPEAT)
+    import ray
+
+    ray.shutdown()
+
+    # interleaved A/B rounds with per-level minima: this VM shows
+    # multi-core scheduling drift over minutes, so alternating the two
+    # levels keeps any slow window from biasing one side
+    results: dict[int, dict] = {}
+    for _round in range(3):
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--cpus", str(cpus)],
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
+
+    thr = {c: results[c]["triples"] / results[c]["sec"] for c in results}
+    efficiency = thr[hi] / (thr[lo] * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            f"kg_quads_all@{lo}cpus": round(results[lo]["sec"], 3),
+            f"kg_quads_all@{hi}cpus": round(results[hi]["sec"], 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "scale_repeat": SCALE_REPEAT,
+        "throughput_triples_per_sec": {str(c): round(thr[c], 1) for c in thr},
+        "speedup": round(results[lo]["sec"] / results[hi]["sec"], 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args.sf_dir, args.cpus)
+    elif args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+    else:
+        print(json.dumps(run_bench(args.sf_dir, args.cpus)))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,9 @@ wide stages the north rule adds (entity canonicalization, exact dedup,
 sorted materialization):
 
     read_parquet(pages, columns pruned — never the golden `text` column)
-      → map_batches(ExtractQuadsStage, actor pool)      # parse once/page
+      → map_batches(extract_quads_batch)                # parse once/page
+        (task form by default; ExtractQuadsStage actor pool when a
+        stage holds real state — lineage reporting, loaded models)
       → [checkpoint boundary: raw quads]                # html long gone
       → build_entity_map (salted sip64 groupby + broadcast alias dict)
       → resolve (broadcast map, or hash join at scale)
@@ -33,37 +35,49 @@ from ..stages.extract import ExtractQuadsStage
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]  # `text` (golden) pruned
 
 
-def pages_for_sf(sf_dir: str):
+def pages_for_sf(sf_dir: str, repeat: int = 1):
     """Synthesize (cached) + read the pages corpus for a testdata sf dir."""
-    pages_dir = synthesize_pages(sf_dir)
+    pages_dir = synthesize_pages(sf_dir, repeat=repeat)
     return read_pages(pages_dir, columns=PAGE_COLUMNS)
 
 
 def extract_raw_quads(pages_ds, concurrency: int | tuple | None = None,
-                      batch_size: int = 1024, skip_empty_literals: bool = True):
+                      batch_size: int = 4096, skip_empty_literals: bool = True):
     """Stage 1: one parse per page → constant + meta + raw-fact quads.
 
-    ``batch_size`` is kept moderate because the html column dominates row
-    width (SURVEY.md §7.4 wide-rows note); the html column never leaves
-    this stage."""
-    if concurrency is None:
-        from ..runtime import pool
+    ``batch_size`` trades per-batch overhead against batch memory: the
+    html column dominates row width (SURVEY.md §7.4 wide-rows note), so
+    size it to payload — 4096 suits ~KB pages; drop to ~256 for MB-scale
+    pages. The html column never leaves this stage, and each batch is one
+    output block (too-small batches flood the driver with block
+    metadata)."""
+    from ..stages.extract import extract_quads_batch
 
-        concurrency = pool(0.75)
+    if concurrency is not None:
+        # explicit actor-pool request (e.g. model-backed extraction)
+        return pages_ds.map_batches(
+            ExtractQuadsStage,
+            fn_constructor_kwargs={"skip_empty_literals": skip_empty_literals},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    # default: stateless task form — reuses warm worker processes, scales
+    # with the task scheduler instead of actor-pool ramp-up
     return pages_ds.map_batches(
-        ExtractQuadsStage,
-        fn_constructor_kwargs={"skip_empty_literals": skip_empty_literals},
+        extract_quads_batch,
+        fn_kwargs={"skip_empty_literals": skip_empty_literals},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
 def run_kg(sf_dir: str, use_join_resolve: bool = False,
            concurrency: int | tuple | None = None,
-           checkpoint_dir: str | None = None, n_salts: int = 4):
+           checkpoint_dir: str | None = None, n_salts: int = 4,
+           repeat: int = 1):
     """pages(sf_dir) → deduplicated canonical quads Dataset."""
-    pages = pages_for_sf(sf_dir)
+    pages = pages_for_sf(sf_dir, repeat=repeat)
     raw = extract_raw_quads(pages, concurrency=concurrency)
     if checkpoint_dir is not None:
         from ..state.lineage import checkpoint_quads, read_checkpoint
@@ -128,7 +142,7 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
             fn_constructor_kwargs={"collector": collector,
                                    "shard_label": group},
             batch_format="pyarrow",
-            batch_size=1024,
+            batch_size=4096,
             concurrency=concurrency,
         )
         checkpoint_quads(raw, checkpoint_dir, stage="extract", group=group,

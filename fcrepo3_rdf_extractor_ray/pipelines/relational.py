@@ -85,26 +85,21 @@ def top_customers(sf_dir: str, limit: int = 10):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
-    class JoinName:
-        def __init__(self):
-            self.names = ray.get(cust_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            names = [self.names.get(k) for k in keys]
-            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
-                            pa.int64())
-            return pa.table({
-                "c_custkey": t["o_custkey"],
-                "c_name": pa.array(names, pa.string()),
-                "total_cents": cents,
-            })
-
-    from ..runtime import pool
+    def join_name(t: pa.Table) -> pa.Table:
+        # stateless task reading the broadcast dict zero-copy per task —
+        # a dict lookup has no per-worker setup worth an actor pool
+        names = ray.get(cust_ref)
+        joined = [names.get(k) for k in t["o_custkey"].to_pylist()]
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": pa.array(joined, pa.string()),
+            "total_cents": cents,
+        })
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(JoinName, batch_format="pyarrow",
-                                concurrency=pool(0.5))
+    joined = orders.map_batches(join_name, batch_format="pyarrow")
     g = joined.groupby(["c_custkey", "c_name"]).aggregate(Sum("total_cents"))
     g = _rename(g, {"sum(total_cents)": "total_cents"})
     return g.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(limit)

@@ -87,27 +87,38 @@ def _page_html(doc_id: int, text: str) -> bytes:
     return data
 
 
-def _synthesize_batch(df: pd.DataFrame) -> pd.DataFrame:
-    doc_id = df["doc_id"].to_numpy()
-    out = pd.DataFrame(
-        {
-            "url": [
-                f"https://ex{d % 20}.org/p/{d}" for d in doc_id
-            ],
-            "warc_ts": pd.to_datetime(
-                PAGES_EPOCH_US + doc_id.astype("int64") * DAY_US, unit="us"
-            ),
-            "html": [
-                _page_html(int(d), t) for d, t in zip(doc_id, df["text"])
-            ],
-            "text": df["text"].to_numpy(),
-            "lang": df["lang"].to_numpy(),
-        }
-    )
-    return out
+def _synthesize_batch(df: pd.DataFrame, repeat: int = 1) -> pd.DataFrame:
+    """One output page per (document, copy). ``repeat`` > 1 amplifies the
+    corpus for scaling benchmarks: copy k shifts doc_id by 1e6·k, keeping
+    every derived value a pure function of the effective id (urls unique,
+    entity residues re-skewed — head entities get hotter, which is the
+    point for the dedup/canonicalization shuffles)."""
+    frames = []
+    for k in range(repeat):
+        base_id = df["doc_id"].to_numpy().astype("int64")
+        doc_id = base_id + 1_000_000 * k
+        frames.append(pd.DataFrame(
+            {
+                "url": [
+                    f"https://ex{d % 20}.org/p/{d}" for d in doc_id
+                ],
+                # timestamp stays bounded: base id in days + copy in seconds
+                "warc_ts": pd.to_datetime(
+                    PAGES_EPOCH_US + base_id * DAY_US + k * 1_000_000,
+                    unit="us"
+                ),
+                "html": [
+                    _page_html(int(d), t) for d, t in zip(doc_id, df["text"])
+                ],
+                "text": df["text"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+            }
+        ))
+    return pd.concat(frames, ignore_index=True)
 
 
-def synthesize_pages(sf_dir: str, out_dir: str | None = None, num_shards: int = 8) -> str:
+def synthesize_pages(sf_dir: str, out_dir: str | None = None,
+                     num_shards: int = 8, repeat: int = 1) -> str:
     """Generate (or reuse a cached) pages parquet directory for ``sf_dir``.
 
     Runs as a Ray Data pipeline (read documents → map_batches → sharded
@@ -117,21 +128,29 @@ def synthesize_pages(sf_dir: str, out_dir: str | None = None, num_shards: int = 
     import ray.data as rd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
+    if repeat > 1:
+        # fewer, larger files (driver metadata cost is per file) with
+        # small row groups (Ray splits read tasks at row-group bounds, so
+        # in-file parallelism survives)
+        tag = f"{tag}_x{repeat}"
+        num_shards = 16
     out_dir = out_dir or f"/tmp/kg_pages/{tag}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text", "lang"])
-    ds = ds.map_batches(_synthesize_batch, batch_format="pandas")
+                         columns=["doc_id", "text", "lang"],
+                         override_num_blocks=8)
+    ds = ds.map_batches(_synthesize_batch, batch_format="pandas",
+                        fn_kwargs={"repeat": repeat})
     tmp_dir = out_dir + ".tmp"
     import shutil
 
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     ds = ds.repartition(num_shards)
-    ds.write_parquet(tmp_dir)
+    ds.write_parquet(tmp_dir, row_group_size=8192)
     os.replace(tmp_dir, out_dir)
     with open(marker, "w") as f:
         f.write("ok")

@@ -55,26 +55,41 @@ def _batch_unique_norms(t: pa.Table) -> pa.Table:
     })
 
 
-def unique_norms(quads_ds, n_salts: int = 4):
-    """Distinct (norm, sip64) via salted two-phase groupby.
+def unique_norms(quads_ds, n_salts: int = 4, n_parts: int = 16):
+    """Distinct (norm, sip64) via salted partition-grouped distinct.
 
-    Phase 1 groups on (sip64, salt, norm) — a head key's duplicate rows
-    split across ``n_salts`` reducers; phase 2 collapses the salts.
-    Distinct is idempotent so the two-phase result is exact. Both phases
-    use the builtin Count aggregate (vectorized block accumulation — no
-    per-group Python call)."""
-    from ray.data.aggregate import Count
-
+    Shuffle key = ``sip64 mod n_parts`` (same key must co-locate); the
+    per-partition distinct is a vectorized Arrow group_by — one Python
+    call per partition, never per key. With ``n_salts > 1`` a first
+    exchange on (part, salt) splits a head key's duplicate rows across
+    salts (distinct is idempotent, so two-phase is exact); the combiner
+    in ``_batch_unique_norms`` already bounds duplicates to ≤ #blocks."""
     ds = quads_ds.map_batches(_batch_unique_norms, batch_format="pyarrow")
 
-    def add_salt(t: pa.Table) -> pa.Table:
+    def add_part_salt(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["sip64"], n_parts - 1), pa.int32())
+        t = t.append_column("part", part)
         salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
         return t.append_column("salt", pa.array(salt.astype(np.int32)))
 
-    ds = ds.map_batches(add_salt, batch_format="pyarrow")
-    p1 = ds.groupby(["sip64", "salt", "norm"]).aggregate(Count())
-    p2 = p1.groupby(["sip64", "norm"]).aggregate(Count())
-    return p2.select_columns(["norm", "sip64"])
+    def distinct(keys):
+        def fn(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys + ["sip64", "norm"]).aggregate([])
+            return g.rename_columns(keys + ["sip64", "norm"])
+
+        return fn
+
+    ds = ds.map_batches(add_part_salt, batch_format="pyarrow")
+    ds = ds.repartition(n_parts)
+    if n_salts > 1:
+        ds = ds.groupby(["part", "salt"]).map_groups(
+            distinct(["part", "salt"]), batch_format="pyarrow"
+        ).drop_columns(["salt"])
+    else:
+        ds = ds.drop_columns(["salt"])
+    ds = ds.groupby(["part"]).map_groups(distinct(["part"]),
+                                         batch_format="pyarrow")
+    return ds.select_columns(["norm", "sip64"])
 
 
 class AliasLinkStage:
@@ -164,49 +179,74 @@ def union_find_min_id(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def build_entity_map(quads_ds, alias_table: pa.Table, n_salts: int = 4) -> dict[str, str]:
-    """norm → canonical IRI for every unresolved surface in ``quads_ds``."""
-    norms = unique_norms(quads_ds, n_salts=n_salts)
+def build_entity_map(quads_ds, alias_table: pa.Table, n_salts: int = 4,
+                     driver_link_threshold: int = 100_000) -> dict[str, str]:
+    """norm → canonical IRI for every unresolved surface in ``quads_ds``.
+
+    The distinct-norms set is #unique-entities scale. Below
+    ``driver_link_threshold`` norms, alias linking runs on the driver
+    (no actor pool spin-up for a dictionary lookup); above it, the same
+    ``AliasLinkStage`` runs as a distributed actor-pool stage."""
+    norms_ds = unique_norms(quads_ds, n_salts=n_salts)
     alias_ref = ray.put(alias_table)
-    linked = norms.map_batches(
-        AliasLinkStage,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_format="pyarrow",
-        concurrency=_pool(0.5),
-    )
-    # The edge list is #unique-entities scale — a small result; collecting
-    # it on the driver is the documented design (SURVEY.md §7.4).
-    rows = linked.take_all()
-    pairs = [(r["norm"], r["candidate_id"]) for r in rows]
+    norm_rows = norms_ds.take_all()
+    if len(norm_rows) <= driver_link_threshold:
+        stage = AliasLinkStage(alias_ref)
+        tbl = pa.table({"norm": pa.array([r["norm"] for r in norm_rows],
+                                         pa.string())})
+        linked_tbl = stage(tbl)
+        pairs = list(zip(linked_tbl["norm"].to_pylist(),
+                         linked_tbl["candidate_id"].to_pylist()))
+    else:  # pragma: no cover - exercised only at scale
+        linked = norms_ds.map_batches(
+            AliasLinkStage,
+            fn_constructor_kwargs={"alias_ref": alias_ref},
+            batch_format="pyarrow",
+            concurrency=_pool(0.5),
+        )
+        rows = linked.take_all()
+        pairs = [(r["norm"], r["candidate_id"]) for r in rows]
+    # The edge list is small; driver-side union-find is the documented
+    # design (SURVEY.md §7.4).
     return union_find_min_id(pairs)
 
 
 def _resolve_col(col: pa.ChunkedArray, mapping: dict[str, str]) -> pa.Array:
-    vals = col.to_pylist()
+    """Rewrite surf:-prefixed values through the canonical map. Works on
+    the factorized uniques (entity surfaces repeat heavily per batch) —
+    the per-row path is a vectorized take."""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(col.to_pandas())
     plen = len(SURF_PREFIX)
-    out = [mapping.get(v[plen:], skolem_iri(v[plen:])) if v.startswith(SURF_PREFIX) else v
-           for v in vals]
-    return pa.array(out, pa.string())
+    resolved = np.array(
+        [mapping.get(u[plen:], skolem_iri(u[plen:]))
+         if u.startswith(SURF_PREFIX) else u
+         for u in uniques],
+        dtype=object,
+    )
+    if len(resolved) == 0:
+        return pa.array([], pa.string())
+    return pa.array(resolved[codes], pa.string())
 
 
 def resolve_quads(quads_ds, mapping: dict[str, str]):
-    """Broadcast-apply the canonical map (ray.put once; each actor reads it
-    from the object store in __init__ — never re-shipped per batch)."""
+    """Broadcast-apply the canonical map: ``ray.put`` once, each task
+    reads the object-store ref zero-copy (never re-shipped per batch).
+    A stateless task closure, not an actor pool — a dict lookup has no
+    per-worker setup worth paying actor spin-up for, and tasks reuse the
+    already-warm worker processes."""
     map_ref = ray.put(mapping)
 
-    class Resolver:
-        def __init__(self):
-            self.mapping = ray.get(map_ref)
+    def resolver(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        t = t.set_column(t.schema.get_field_index("subj"), "subj",
+                         _resolve_col(t["subj"], m))
+        t = t.set_column(t.schema.get_field_index("obj"), "obj",
+                         _resolve_col(t["obj"], m))
+        return t
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.set_column(t.schema.get_field_index("subj"), "subj",
-                             _resolve_col(t["subj"], self.mapping))
-            t = t.set_column(t.schema.get_field_index("obj"), "obj",
-                             _resolve_col(t["obj"], self.mapping))
-            return t
-
-    return quads_ds.map_batches(Resolver, batch_format="pyarrow",
-                                concurrency=_pool(0.75))
+    return quads_ds.map_batches(resolver, batch_format="pyarrow")
 
 
 def resolve_quads_join(quads_ds, mapping: dict[str, str], num_partitions: int = 8):

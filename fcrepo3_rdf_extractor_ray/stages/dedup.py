@@ -33,12 +33,50 @@ _N_COL = "n_src"
 _SRC_COL = "src_url"
 
 
-def _combine_batch(t: pa.Table) -> pa.Table:
-    """Per-batch combiner: collapse duplicate quads before the shuffle."""
+def _quad_hash_cols(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """128-bit content hash of the quad key → two int64 columns.
+
+    The global shuffle groups on (qh1, qh2) — two int64 keys sort an
+    order of magnitude faster than a six-string composite key, and 128
+    bits keeps the collision expectation ≪ 1 even at 10^12 quads (64
+    bits would not: birthday ≈ 3·10^4 collisions there)."""
+    import hashlib
+
+    import pandas as pd
+
+    lit = pc.if_else(t["obj_is_literal"], pa.scalar("L"), pa.scalar("R"))
+    key = pc.binary_join_element_wise(
+        t["graph"], t["subj"], t["pred"], t["obj"], lit, t["obj_datatype"],
+        "\x1f")
+    codes, uniques = pd.factorize(key.to_pandas())
+    h1 = np.empty(len(uniques), dtype=np.int64)
+    h2 = np.empty(len(uniques), dtype=np.int64)
+    for i, u in enumerate(uniques):
+        d = hashlib.md5(u.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little", signed=True)
+        h2[i] = int.from_bytes(d[8:], "little", signed=True)
+    return pa.array(h1[codes]), pa.array(h2[codes])
+
+
+def _dedup_table(t: pa.Table, extra_keys: list[str] | None = None) -> pa.Table:
+    """Vectorized exact dedup of one Arrow table on the (qh1, qh2) content
+    hash: min payload columns (identical within a group) + summed count."""
+    keys = ["qh1", "qh2"] + (extra_keys or [])
+    aggs = [(c, "min") for c in QUAD_KEY_COLS] + [(_SRC_COL, "min"),
+                                                  (_N_COL, "sum")]
+    g = t.group_by(keys).aggregate(aggs)
+    return g.rename_columns(keys + QUAD_KEY_COLS + [_SRC_COL, _N_COL])
+
+
+def _combine_batch(t: pa.Table, n_parts: int) -> pa.Table:
+    """Per-batch combiner: collapse duplicate quads before the shuffle,
+    attach the 128-bit content hash + the shuffle partition id."""
+    qh1, qh2 = _quad_hash_cols(t)
+    t = t.append_column("qh1", qh1).append_column("qh2", qh2)
     t = t.append_column(_N_COL, pa.array(np.ones(t.num_rows, dtype=np.int64)))
-    g = t.group_by(QUAD_KEY_COLS).aggregate([(_SRC_COL, "min"), (_N_COL, "sum")])
-    g = g.rename_columns(QUAD_KEY_COLS + [_SRC_COL, _N_COL])
-    return g
+    g = _dedup_table(t)
+    part = pc.cast(pc.bit_wise_and(g["qh1"], n_parts - 1), pa.int32())
+    return g.append_column("part", part)
 
 
 def _rename(ds, mapping: dict[str, str]):
@@ -48,45 +86,84 @@ def _rename(ds, mapping: dict[str, str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_quads(quads_ds, n_salts: int = 4):
+def dedup_quads(quads_ds, n_salts: int = 4, n_parts: int = 64):
     """Exact dedup of a quads Dataset → one row per distinct quad with
     ``src_url`` = min source url and ``n_src`` = occurrence count.
 
-    Head triples (a fact asserted on millions of pages) are the skew
-    case: the salt column splits each key across ``n_salts`` reducers in
-    phase 1; phase 2 runs over the already-deduplicated (tiny × n_salts)
-    stream."""
-    from ray.data.aggregate import Min, Sum
+    Shape: per-batch Arrow combiner (collapses duplicates before any
+    exchange) → shuffle on ``part = qh1 mod n_parts`` → *vectorized*
+    Arrow ``group_by`` inside each partition. One Python invocation per
+    partition, never per key — Ray's builtin per-group aggregation costs
+    ~µs-per-group-per-agg in Python, which dominates at millions of
+    distinct quads.
 
-    ds = quads_ds.map_batches(_combine_batch, batch_format="pyarrow")
+    Head triples (one fact asserted on millions of pages) are the skew
+    case: with ``n_salts > 1`` phase 1 additionally splits every
+    partition's rows across salts (two exchanges, exact because min/sum
+    are associative); the combiner already bounds any key to ≤ #blocks
+    rows, so salting matters when block counts are huge."""
+    ds = quads_ds.map_batches(_combine_batch, batch_format="pyarrow",
+                              fn_kwargs={"n_parts": n_parts})
+    # coalesce the (already batch-deduped, much smaller) stream before the
+    # exchange: sort-shuffle cost grows with input block count, and the
+    # extraction stage emits a block per batch
+    ds = ds.repartition(n_parts)
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
-        return t.append_column("salt", pa.array(salt.astype(np.int32)))
+    def dedup_part(t: pa.Table) -> pa.Table:
+        return _dedup_table(t, extra_keys=["part"])
 
-    ds = ds.map_batches(add_salt, batch_format="pyarrow")
-    p1 = ds.groupby(QUAD_KEY_COLS + ["salt"]).aggregate(Min(_SRC_COL), Sum(_N_COL))
-    p1 = _rename(p1, {f"min({_SRC_COL})": _SRC_COL, f"sum({_N_COL})": _N_COL})
-    p1 = p1.drop_columns(["salt"])
-    p2 = p1.groupby(QUAD_KEY_COLS).aggregate(Min(_SRC_COL), Sum(_N_COL))
-    p2 = _rename(p2, {f"min({_SRC_COL})": _SRC_COL, f"sum({_N_COL})": _N_COL})
-    return p2
+    if n_salts > 1:
+        def add_salt(t: pa.Table) -> pa.Table:
+            salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+            return t.append_column("salt", pa.array(salt.astype(np.int32)))
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        ds = ds.groupby(["part", "salt"]).map_groups(
+            lambda t: _dedup_table(t, extra_keys=["part", "salt"]),
+            batch_format="pyarrow",
+        ).drop_columns(["salt"])
+    out = ds.groupby(["part"]).map_groups(dedup_part, batch_format="pyarrow")
+    return out.drop_columns(["part", "qh1", "qh2"])
 
 
-def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact document dedup: group by content, keep the min id (the min-ID
-    rule), count duplicates. Pre-aggregates per batch before the shuffle."""
-    from ray.data.aggregate import Min, Sum
+def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                     n_parts: int = 64):
+    """Exact document dedup: group by content hash, keep the min id (the
+    min-ID rule), count duplicates. Same shape as ``dedup_quads``:
+    per-batch combiner → hash-partition shuffle → vectorized Arrow
+    group_by per partition (shuffling a 16-byte hash + part id instead
+    of sorting multi-KB text keys)."""
+    import hashlib
+
+    def _hash_cols(col: pa.ChunkedArray):
+        texts = col.to_pylist()
+        h1 = np.empty(len(texts), dtype=np.int64)
+        part = np.empty(len(texts), dtype=np.int32)
+        for i, s in enumerate(texts):
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            part[i] = h1[i] & (n_parts - 1)
+        return pa.array(h1), pa.array(part)
 
     def combine(t: pa.Table) -> pa.Table:
         t = t.select([text_col, id_col])
-        t = t.append_column("n_dups", pa.array(np.ones(t.num_rows, dtype=np.int64)))
-        g = t.group_by([text_col]).aggregate([(id_col, "min"), ("n_dups", "sum")])
-        return g.rename_columns([text_col, "keep_id", "n_dups"])
+        th, part = _hash_cols(t[text_col])
+        t = (t.append_column("th", th).append_column("part", part)
+             .append_column("n_dups",
+                            pa.array(np.ones(t.num_rows, dtype=np.int64))))
+        g = t.group_by(["th", "part"]).aggregate(
+            [(text_col, "min"), (id_col, "min"), ("n_dups", "sum")])
+        return g.rename_columns(["th", "part", text_col, "keep_id", "n_dups"])
 
     ds = docs_ds.map_batches(combine, batch_format="pyarrow")
-    g = ds.groupby(text_col).aggregate(Min("keep_id"), Sum("n_dups"))
-    return _rename(g, {"min(keep_id)": "keep_id", "sum(n_dups)": "n_dups"})
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["th", "part"]).aggregate(
+            [(text_col, "min"), ("keep_id", "min"), ("n_dups", "sum")])
+        return g.rename_columns(["th", "part", text_col, "keep_id", "n_dups"])
+
+    out = ds.groupby(["part"]).map_groups(dedup_part, batch_format="pyarrow")
+    return out.drop_columns(["th", "part"])
 
 
 # ---------------------------------------------------------------------------

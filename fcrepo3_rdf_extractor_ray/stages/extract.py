@@ -147,6 +147,31 @@ def _rows_to_quads(rows: list[tuple]) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Fused stage
 
+def extract_quads_batch(batch: pa.Table,
+                        skip_empty_literals: bool = True) -> pa.Table:
+    """Stateless fused extraction (task form): the only per-worker state
+    is module-level compiled regexes, so the default pipeline runs this
+    as ordinary tasks on the long-lived warm workers — no actor-pool
+    spawn/ramp cost per run. ``ExtractQuadsStage`` (below) is the
+    actor-pool form for stages that genuinely hold state (lineage
+    reporting, and the slot where model-backed NER/OpenIE would load)."""
+    const_quads = page_quads_batch(batch)
+    rows: list[tuple] = []
+    for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        try:
+            page = parse_page(html)
+        except PageParseError:
+            continue  # contained: constant quads already emitted
+        rows.extend(meta_quad_rows(url, page))
+        rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+    out = pa.concat_tables([const_quads, _rows_to_quads(rows)])
+    if skip_empty_literals:
+        from .filters import skip_empty_literals_table
+
+        out = skip_empty_literals_table(out)
+    return out
+
+
 class ExtractQuadsStage:
     """pages batch → quads batch (constant + meta + raw-fact), one parse
     per page, errors contained per row. Use via::

@@ -151,6 +151,13 @@ def _q_kg_quads_join_resolve(sf_dir: str):
     return run_kg(sf_dir, use_join_resolve=True)
 
 
+def _q_kg_mentions(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
+
+    return detect_mentions(pages_for_sf(sf_dir))
+
+
 def _q_kg_extracted_text(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
     from fcrepo3_rdf_extractor_ray.stages.extract import ExtractTextStage
@@ -351,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_quads": _q_kg_fact_quads,
         "kg_quads_all": _q_kg_quads_all,
         "kg_quads_join_resolve": _q_kg_quads_join_resolve,
+        "kg_mentions": _q_kg_mentions,
         "kg_extracted_text": _q_kg_extracted_text,
         # text analysis
         "ta_token_count": _q_ta_token_count,
@@ -405,6 +413,24 @@ def oracle_sql() -> dict[str, str]:
             + _FACT_QUADS_SQL
             + ") q GROUP BY 1, 2, 3, 4, 5, 6"
         ),
+        "kg_mentions": _U_CTE + """
+SELECT url AS src_url,
+  CASE doc_id % 3 WHEN 0 THEN 'Entity' || (doc_id % 41)::VARCHAR
+                  WHEN 1 THEN 'Entity ' || (doc_id % 41)::VARCHAR
+                  ELSE 'ENTITY-' || (doc_id % 41)::VARCHAR END AS surface,
+  'entity' || (doc_id % 41)::VARCHAR AS norm
+FROM u WHERE NOT malformed
+UNION ALL
+SELECT url,
+  CASE WHEN doc_id % 17 = 0 THEN 'Widget-' || (doc_id % 29)::VARCHAR
+       ELSE CASE (doc_id // 3) % 3
+            WHEN 0 THEN 'Entity' || ((7 * doc_id + 3) % 41)::VARCHAR
+            WHEN 1 THEN 'Entity ' || ((7 * doc_id + 3) % 41)::VARCHAR
+            ELSE 'ENTITY-' || ((7 * doc_id + 3) % 41)::VARCHAR END END,
+  CASE WHEN doc_id % 17 = 0 THEN 'widget' || (doc_id % 29)::VARCHAR
+       ELSE 'entity' || ((7 * doc_id + 3) % 41)::VARCHAR END
+FROM u WHERE NOT malformed
+""",
         "kg_extracted_text": _U_CTE + "SELECT url, text FROM u WHERE NOT malformed",
         # --- text analysis ---
         "ta_token_count": (

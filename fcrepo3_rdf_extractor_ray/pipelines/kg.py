@@ -156,12 +156,28 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     return dedup_quads(resolved, n_salts=n_salts)
 
 
-def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True):
+def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
+                       partition_by_subject_hash: bool = False):
     """Final materialization (K1 analog): sort by (subj, pred, obj), write
     Parquet shards + mirrored sorted N-Quads text shards (one file per
-    block — the `quads{i}.nq` sharding, Extract.java:217-219)."""
+    block — the `quads{i}.nq` sharding, Extract.java:217-219).
+
+    ``partition_by_subject_hash`` writes Hive-partitioned output keyed by
+    an MD5 subject-hash prefix (the HashPathIdMapper layout analog,
+    HashPathIdMapper.java:145-160) — one directory per key range, so a
+    failed downstream consumer can skip finished partitions."""
     ds = quads_ds.sort(["subj", "pred", "obj"])
-    ds.write_parquet(out_dir)
+    if partition_by_subject_hash:
+        from ..functions.iri import hash_prefix
+
+        def add_part(t: pa.Table) -> pa.Table:
+            parts = [hash_prefix(s, depth=1) for s in t["subj"].to_pylist()]
+            return t.append_column("subj_part", pa.array(parts, pa.string()))
+
+        ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["subj_part"])
+    else:
+        ds.write_parquet(out_dir)
     if write_nquads:
         def to_lines(t: pa.Table) -> pa.Table:
             lines = []

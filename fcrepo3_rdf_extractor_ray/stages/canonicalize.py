@@ -179,6 +179,82 @@ def union_find_min_id(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
+def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
+                              num_partitions: int = 1) -> dict[str, str]:
+    """Distributed min-ID cluster resolution: iterate-to-fixpoint min-label
+    propagation over the bipartite (norm, candidate) edge Dataset — the
+    at-scale path promised in SURVEY.md §7.4 for when the edge list
+    outgrows the driver. Each round is two Ray hash joins + two
+    vectorized per-partition min-reductions; rounds needed = O(log
+    cluster-diameter). Convergence is checked via a tiny per-round
+    checksum aggregate, never by collecting the edges.
+
+    Returns the final norm→canonical dict (callers still broadcast it;
+    at extreme scale keep it as a Dataset and use resolve_quads_join).
+
+    ``num_partitions`` defaults to 1: Ray 2.49's hash join materializes
+    empty partitions as schema-less blocks and pyarrow's join then fails
+    ("No match for key field on right side"); with key cardinality ≫
+    partitions (the at-scale regime) higher values are safe."""
+    import ray.data as rd
+
+    def _min_by(ds, key: str, val: str, out: str):
+        def part_min(t: pa.Table) -> pa.Table:
+            g = t.group_by([key]).aggregate([(val, "min")])
+            return g.rename_columns([key, out])
+
+        # bounded-partition vectorized min (same pattern as dedup)
+        def add_part(t: pa.Table) -> pa.Table:
+            h = siphash64_batch(t[key].to_pylist())
+            part = pa.array((h % 16).astype(np.int32))
+            return t.append_column("uf_part", part)
+
+        ds = ds.map_batches(add_part, batch_format="pyarrow")
+        out_ds = ds.groupby("uf_part").map_groups(
+            lambda t: part_min(t), batch_format="pyarrow"
+        )
+        return out_ds
+
+    edges = edges_ds.materialize()
+
+    def checksum(label_ds) -> int:
+        def h(t: pa.Table) -> pa.Table:
+            a = siphash64_batch(
+                [f"{x}\x00{y}" for x, y in zip(t.column(0).to_pylist(),
+                                               t.column(1).to_pylist())])
+            return pa.table({"h": pa.array(a.astype(np.int64))})
+
+        from ray.data.aggregate import Sum
+
+        row = label_ds.map_batches(h, batch_format="pyarrow").aggregate(Sum("h"))
+        return row["sum(h)"]
+
+    # labels start as each norm's min direct candidate. Intermediates are
+    # materialized before each join: per-round label tables are
+    # #entities-scale, and a concrete schema sidesteps empty-partition
+    # schema loss inside the hash-join aggregator.
+    norm_lab = _min_by(edges, "norm", "candidate_id", "label").materialize()
+    prev = None
+    for _ in range(max_iters):
+        # candidate's label = min over its norms' labels
+        cand_side = edges.join(norm_lab, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("norm",))
+        cand_lab = _min_by(cand_side, "candidate_id", "label",
+                           "clabel").materialize()
+        # norm's label = min over its candidates' labels
+        norm_side = edges.join(cand_lab, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("candidate_id",))
+        norm_lab = _min_by(norm_side, "norm", "clabel", "label").materialize()
+        cs = checksum(norm_lab.select_columns(["norm", "label"]))
+        if cs == prev:
+            break
+        prev = cs
+    rows = norm_lab.take_all()
+    return {r["norm"]: r["label"] for r in rows}
+
+
 def build_entity_map(quads_ds, alias_table: pa.Table, n_salts: int = 4,
                      driver_link_threshold: int = 100_000) -> dict[str, str]:
     """norm → canonical IRI for every unresolved surface in ``quads_ds``.

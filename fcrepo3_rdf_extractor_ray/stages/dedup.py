@@ -171,21 +171,27 @@ def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
 class MinHashStage:
     """docs batch → (doc_id, band, band_hash, sig) rows: one row per LSH
-    band per doc. Permutation parameters are built once per actor."""
+    band per doc. Permutation parameters and the token-hash memo (the
+    vocabulary repeats across documents) are per-actor state, built once
+    in ``__init__`` — the W1 actor-pool pattern."""
 
     def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
+        self.memo: dict[str, int] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import shingle_hashes_fast
+
         ids = t[self.id_col].to_pylist()
         texts = t[self.text_col].to_pylist()
         out_id, out_band, out_hash, out_sig = [], [], [], []
         for i, txt in zip(ids, texts):
             toks = txt.split()
-            sig = minhash_signature(shingle_hashes(toks), self.num_perm)
+            sig = minhash_signature(
+                shingle_hashes_fast(toks, memo=self.memo), self.num_perm)
             for b in range(self.bands):
                 band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
                 bh = int(np.bitwise_xor.reduce(band * np.uint64(0x9E3779B97F4A7C15)))
@@ -302,10 +308,12 @@ def minhash_clusters(docs_ds, threshold=0.7, **kw):
 class SimHashStage:
     def __init__(self, text_col="text", id_col="doc_id"):
         self.text_col, self.id_col = text_col, id_col
+        self.memo: dict[str, int] = {}  # token-hash memo, per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_pylist()
-        sigs = [simhash64(txt.split()) for txt in t[self.text_col].to_pylist()]
+        sigs = [simhash64(txt.split(), memo=self.memo)
+                for txt in t[self.text_col].to_pylist()]
         out_id, out_chunk, out_key, out_sig = [], [], [], []
         for i, s in zip(ids, sigs):
             for c in range(4):  # 4×16-bit chunks: hamming≤3 ⇒ ≥1 chunk equal

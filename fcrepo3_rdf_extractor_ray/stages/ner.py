@@ -1,0 +1,63 @@
+"""NER mention detection (actor-pool stage).
+
+The analog of the reference's arbitrary body-triple extraction feeding
+entity-bearing nodes into the sink (M5, ObjectProcessor.java:167-169) —
+here a standalone stage so linking/canonicalization can run over
+mentions independently of fact assembly. Deterministic pattern-based
+recognizer; the class is the actor-pool slot where a model-backed NER
+would load its weights in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.normalize import norm_surface
+from ..functions.textextract import PageParseError, parse_page
+
+# closed surface patterns of the synthetic corpus (alias variants +
+# unlinked widgets) — a model checkpoint would replace this table
+_MENTION_RE = re.compile(r"\b(?:ENTITY-\d+|Entity ?\d+|Widget-\d+)\b")
+
+
+class NerStage:
+    """pages batch → (src_url, surface, norm) mention rows, one row per
+    mention occurrence in the page's candidate sentences. Regex (or
+    model) bound once per actor; per-row error containment as in the
+    extraction stage."""
+
+    def __init__(self):
+        self.pattern = _MENTION_RE
+        self.errors = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls, surfaces, norms = [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            try:
+                page = parse_page(html)
+            except PageParseError:
+                self.errors += 1
+                continue
+            for sent in page.fact_sentences:
+                for m in self.pattern.findall(sent):
+                    urls.append(url)
+                    surfaces.append(m)
+                    norms.append(norm_surface(m))
+        return pa.table({
+            "src_url": pa.array(urls, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "norm": pa.array(norms, pa.string()),
+        })
+
+
+def detect_mentions(pages_ds, concurrency=None, batch_size: int = 4096):
+    from ..runtime import pool
+
+    return pages_ds.map_batches(
+        NerStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or pool(0.5),
+    )

@@ -61,6 +61,32 @@ def test_build_map_and_resolve_broadcast_vs_join():
     assert any(r["obj"] == "lit" and r["obj_is_literal"] for r in a)
 
 
+def test_union_find_dataset_matches_driver():
+    """The distributed iterate-to-fixpoint min-label propagation must
+    agree with the driver-side union-find on multi-hop clusters."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+        union_find_min_id_dataset)
+
+    pairs = [
+        ("entity7", "ent:e7"),
+        ("theentity7", "ent:e7"),
+        ("widget3", "ent:sk:widget3"),
+        ("acme", "ent:e2"),
+        ("acmecorp", "ent:e2"),
+        ("acmecorp", "ent:e1"),
+        # 3-hop chain: x~c9, y~c9, y~c8, z~c8 → all resolve to ent:c8
+        ("x", "ent:c9"), ("y", "ent:c9"), ("y", "ent:c8"), ("z", "ent:c8"),
+    ]
+    want = union_find_min_id(pairs)
+    edges = rd.from_items(
+        [{"norm": n, "candidate_id": c} for n, c in pairs]).repartition(3)
+    got = union_find_min_id_dataset(edges)
+    assert got == want
+    assert got["x"] == "ent:c8" and got["z"] == "ent:c8"
+
+
 def test_salt_split_invariance():
     """Result must not depend on n_salts (min/distinct are associative)."""
     import ray.data as rd

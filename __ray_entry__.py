@@ -331,6 +331,44 @@ def _q_rel_distinct_users(sf_dir: str):
     return distinct_users_by_type(sf_dir)
 
 
+def _q_rel_sessions(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import sessionize_events
+
+    return sessionize_events(sf_dir)
+
+
+def _q_rel_semi_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import semi_join_orders
+
+    return semi_join_orders(sf_dir)
+
+
+def _q_rel_props_sum(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import props_value_sum
+
+    return props_value_sum(sf_dir)
+
+
+def _q_ta_sample(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        deterministic_sample)
+
+    return deterministic_sample(sf_dir)
+
+
+def _q_ta_quantiles(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import chars_quantiles
+
+    return chars_quantiles(sf_dir)
+
+
+def _q_kg_adjacency_stats(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import adjacency_table, run_kg
+
+    adj = adjacency_table(run_kg(sf_dir))
+    return adj.select_columns(["subj", "n_edges"])
+
+
 def _q_mm_image_features(sf_dir: str):
     """Multimodal plumbing demo: documents' text bytes stand in for image
     payloads (binary column), decoded by the deterministic fake codec."""
@@ -381,6 +419,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_topk": _q_rel_orders_topk,
         "rel_events_hourly": _q_rel_events_hourly,
         "rel_distinct_users": _q_rel_distinct_users,
+        "rel_sessions": _q_rel_sessions,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_props_sum": _q_rel_props_sum,
+        "ta_sample": _q_ta_sample,
+        "ta_quantiles": _q_ta_quantiles,
+        "kg_adjacency_stats": _q_kg_adjacency_stats,
         # multimodal plumbing (stubbed codec)
         "mm_image_features": _q_mm_image_features,
     }
@@ -431,6 +475,14 @@ SELECT url,
        ELSE 'entity' || ((7 * doc_id + 3) % 41)::VARCHAR END
 FROM u WHERE NOT malformed
 """,
+        "kg_adjacency_stats": (
+            _U_CTE
+            + "SELECT subj, count(*) AS n_edges FROM (\n"
+            + "SELECT DISTINCT graph, subj, pred, obj, obj_is_literal, obj_datatype FROM (\n"
+            + _PAGE_QUADS_SQL + " UNION ALL " + _META_QUADS_SQL
+            + " UNION ALL " + _FACT_QUADS_SQL
+            + ") q ) d GROUP BY subj"
+        ),
         "kg_extracted_text": _U_CTE + "SELECT url, text FROM u WHERE NOT malformed",
         # --- text analysis ---
         "ta_token_count": (
@@ -536,6 +588,39 @@ FROM events GROUP BY 1, 2
         "rel_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "rel_sessions": """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(sum(value) * 100)::BIGINT AS value_cents
+FROM s GROUP BY user_id, session_id
+""",
+        "rel_semi_join": """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice * 100)::BIGINT AS total_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+""",
+        "rel_props_sum": """
+SELECT event_type,
+       sum(regexp_extract(props, '"k": (-?[0-9]+)', 1)::BIGINT) AS k_sum
+FROM events GROUP BY event_type
+""",
+        "ta_sample": (
+            "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) < '20'"
+        ),
+        "ta_quantiles": """
+SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25,
+       quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+       quantile_disc(n_chars, 0.75)::BIGINT AS p75
+FROM documents
 """,
         # mm_image_features: stubbed codec, no SQL equivalent — rows-only.
     }

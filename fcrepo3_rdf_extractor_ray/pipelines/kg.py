@@ -156,6 +156,39 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     return dedup_quads(resolved, n_salts=n_salts)
 
 
+def adjacency_table(quads_ds, n_parts: int = 64):
+    """Graph adjacency-list layout (north-star materialization): one row
+    per subject with its (pred, obj) edges as a list sorted by
+    (pred, obj), plus edge count. Partition by subject hash → vectorized
+    per-partition assembly (same bounded-partition pattern as dedup)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import siphash64_batch
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = siphash64_batch(t["subj"].to_pylist())
+        part = pa.array((h % n_parts).astype(np.int32))
+        return t.select(["subj", "pred", "obj"]).append_column("part", part)
+
+    ds = quads_ds.map_batches(add_part, batch_format="pyarrow")
+    ds = ds.repartition(n_parts)
+
+    def assemble(df):
+        import pandas as pd
+
+        df = df.sort_values(["subj", "pred", "obj"])
+        g = df.groupby("subj", as_index=False).agg(
+            n_edges=("pred", "size"),
+            preds=("pred", list),
+            objs=("obj", list),
+        )
+        g["edges"] = [list(zip(p, o)) for p, o in zip(g["preds"], g["objs"])]
+        return g[["subj", "n_edges", "edges"]]
+
+    return ds.groupby("part").map_groups(assemble, batch_format="pandas")
+
+
 def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
                        partition_by_subject_hash: bool = False):
     """Final materialization (K1 analog): sort by (subj, pred, obj), write

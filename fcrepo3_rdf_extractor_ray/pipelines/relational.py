@@ -168,6 +168,132 @@ def events_hourly(sf_dir: str):
     return _rename(g, {"sum(value_cents)": "value_cents", "sum(n)": "n_events"})
 
 
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Stateful windowed operator: per-user sessionization (a new session
+    starts when the gap to the previous event exceeds ``gap_minutes``).
+
+    Partition by user hash (bounded partition count), then a vectorized
+    pandas pass inside each partition: sort by (user, ts), flag gaps,
+    cumulative-sum session ids, aggregate per session. The per-user
+    ordering requirement only ever needs user-locality — one exchange."""
+    n_parts = 32
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = df["ts"].diff() > gap
+        df["session_seq"] = (new_user | gap_break).cumsum()
+        g = df.groupby(["user_id", "session_seq"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            value_cents=("value", lambda v: int(round(v.sum() * 100))),
+        )
+        # session_id = rank of session within user (1-based, by start time)
+        g["session_id"] = g.groupby("user_id")["start_ts"].rank(
+            method="first").astype("int64")
+        return g[["user_id", "session_id", "n_events", "start_ts", "end_ts",
+                  "value_cents"]]
+
+    return ds.groupby("part").map_groups(sessions, batch_format="pandas")
+
+
+def semi_join_orders(sf_dir: str, min_acctbal: float = 5000.0):
+    """Semi-join: orders whose customer has acctbal > threshold. The
+    filter set is broadcast (ray.put once) — an IN-subquery without a
+    shuffle."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    keep = set(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
+    keep_ref = ray.put(keep)
+
+    def fil(t: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
+        t = t.filter(mask)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "total_cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                                   pa.int64()),
+        })
+
+    return _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        fil, batch_format="pyarrow")
+
+
+def props_value_sum(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column, sum
+    the ``k`` field per event type (vectorized json parse per batch)."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k", 0) for p in t["props"].to_pylist()]
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    g = ds.map_batches(extract, batch_format="pyarrow")
+    g = g.groupby("event_type").aggregate(Sum("k"))
+    return _rename(g, {"sum(k)": "k_sum"})
+
+
+def deterministic_sample(sf_dir: str, pct_bucket: int = 32):
+    """Deterministic content-hash sampling over documents: keep rows whose
+    md5(text) first byte < ``pct_bucket`` (≈ pct_bucket/256 of the data,
+    stable across runs/cluster sizes — the reproducible-training-subset
+    op). SQL mirror: substring(md5(text),1,2) comparison."""
+    import hashlib
+
+    import ray.data as rd
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(s.encode("utf-8")).digest()[0] < pct_bucket
+                for s in t["text"].to_pylist()]
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def chars_quantiles(sf_dir: str):
+    """Exact discrete quantiles of a bounded-cardinality int column via a
+    distributed value histogram (groupby count) + tiny driver cumsum —
+    no global sort."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    hist = ds.groupby("n_chars").aggregate(Count()).to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    total = hist["count()"].sum()
+    cum = hist["count()"].cumsum()
+    out = {}
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        # DuckDB quantile_disc semantics: element at floor(q·(n-1)), 0-based
+        import math
+
+        idx = math.floor(q * (total - 1))
+        out[name] = int(hist.loc[cum >= idx + 1, "n_chars"].iloc[0])
+    return pd.DataFrame([out])
+
+
 def distinct_users_by_type(sf_dir: str):
     """Distinct aggregation: unique users per event type (two-phase:
     distinct pairs, then count — both shuffles carry pre-deduped rows)."""

@@ -74,9 +74,15 @@ def extract_raw_quads(pages_ds, concurrency: int | tuple | None = None,
 
 def run_kg(sf_dir: str, use_join_resolve: bool = False,
            concurrency: int | tuple | None = None,
-           checkpoint_dir: str | None = None, n_salts: int = 4,
+           checkpoint_dir: str | None = None, n_salts: int = 1,
            repeat: int = 1):
-    """pages(sf_dir) → deduplicated canonical quads Dataset."""
+    """pages(sf_dir) → deduplicated canonical quads Dataset.
+
+    ``n_salts``: >1 adds the salt-split exchange for head-key skew
+    (exact — min/sum/distinct are associative; invariance is tested).
+    The per-batch combiner already bounds any key to ≤ #blocks rows, so
+    salting pays off when the block count is far larger than the
+    reducer count (the 10^12-document regime), not at test scale."""
     pages = pages_for_sf(sf_dir, repeat=repeat)
     raw = extract_raw_quads(pages, concurrency=concurrency)
     if checkpoint_dir is not None:
@@ -98,7 +104,7 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
 def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
                      wave_size: int = 4,
                      concurrency: int | tuple | None = None,
-                     max_waves: int | None = None, n_salts: int = 4):
+                     max_waves: int | None = None, n_salts: int = 1):
     """Resumable flagship run: the pages shards are processed in waves of
     ``wave_size`` files; each wave is one streaming extraction job that
     commits an atomic per-group checkpoint with lineage. A crashed run

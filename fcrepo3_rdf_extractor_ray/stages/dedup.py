@@ -23,7 +23,6 @@ import pyarrow.compute as pc
 from ..functions.hashing import (
     hamming64,
     minhash_signature,
-    shingle_hashes,
     simhash64,
 )
 from ..runtime import pool as _pool

@@ -70,10 +70,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     kg_sec, n_triples = _flagship(sf_dir)
     timings["kg_quads_all"] = round(kg_sec, 3)
 
-    for name in ("kg_extracted_text", "ta_quality", "ta_lang_id",
-                 "dedup_exact", "dedup_minhash", "dedup_simhash",
-                 "sim_knn_brute", "sim_knn_ivf", "rel_pricing_summary",
-                 "rel_top_customers", "rel_events_hourly",
+    for name in ("kg_extracted_text", "kg_mentions", "ta_quality",
+                 "ta_lang_id", "dedup_exact", "dedup_minhash",
+                 "dedup_simhash", "sim_knn_brute", "sim_knn_ivf",
+                 "rel_pricing_summary", "rel_top_customers",
+                 "rel_events_hourly", "rel_sessions",
                  "mm_image_features"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)

@@ -29,6 +29,8 @@ _RE_TITLE = re.compile(r"<title>(.*?)</title>", re.S)
 _RE_META = re.compile(r'<meta\s+name="([^"]*)"\s+content="([^"]*)"\s*/?>', re.S)
 _RE_BARE_P = re.compile(r"<p>(.*?)</p>", re.S)  # only attribute-free <p>
 _RE_CLASSED_P = re.compile(r'<p class="([^"]*)">(.*?)</p>', re.S)
+_RE_BR = re.compile(r"<br\s*/?>", re.I)
+_RE_TAG = re.compile(r"<[^>]+>")
 
 
 class PageParseError(ValueError):
@@ -60,9 +62,14 @@ def parse_page(html_bytes: bytes) -> ParsedPage:
         page.title = _html.unescape(m.group(1))
     for name, content in _RE_META.findall(doc):
         page.metas.append((name, _html.unescape(content)))
-    # Main text = concatenation of attribute-free <p> blocks, entity-
-    # unescaped, newline-joined. Classed <p> (fact/boilerplate) excluded.
-    paras = [_html.unescape(p) for p in _RE_BARE_P.findall(doc)]
+    # Main text = concatenation of attribute-free <p> blocks: <br> folded
+    # to newlines, residual inline tags stripped, entities unescaped,
+    # blocks newline-joined. Classed <p> (fact/boilerplate) excluded.
+    paras = []
+    for p in _RE_BARE_P.findall(doc):
+        p = _RE_BR.sub("\n", p)
+        p = _RE_TAG.sub("", p)
+        paras.append(_html.unescape(p))
     page.text = "\n".join(paras)
     for cls, body in _RE_CLASSED_P.findall(doc):
         if cls == "fact":

@@ -328,8 +328,14 @@ def resolve_quads(quads_ds, mapping: dict[str, str]):
 def resolve_quads_join(quads_ds, mapping: dict[str, str], num_partitions: int = 8):
     """At-scale path: resolve via Ray-native hash joins on the surface key
     instead of a broadcast dict (for when the mapping outgrows worker
-    heaps). Semantically identical to ``resolve_quads`` (tested)."""
+    heaps). Semantically identical to ``resolve_quads`` (tested).
+
+    Partition count is capped so every hash partition of the (small)
+    mapping side stays non-empty — Ray 2.49's hash join crashes on
+    schema-less empty partitions."""
     import ray.data as rd
+
+    num_partitions = max(1, min(num_partitions, len(mapping) // 16 or 1))
 
     map_ds_s = rd.from_items(
         [{"subj": SURF_PREFIX + k, "subj_canon": v} for k, v in mapping.items()]

@@ -61,6 +61,29 @@ def test_build_map_and_resolve_broadcast_vs_join():
     assert any(r["obj"] == "lit" and r["obj_is_literal"] for r in a)
 
 
+def test_alias_link_embedding_fallback():
+    """Unlisted surfaces fall back to embedding-cosine match when within
+    threshold, else skolemize (the alias-dict + embedding entity-linking
+    contract)."""
+    import ray
+
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import AliasLinkStage
+
+    alias_ref = ray.put(build_alias_table())
+    # threshold -1: nearest alias always wins → deterministic non-skolem
+    stage = AliasLinkStage(alias_ref, emb_threshold=-1.0)
+    t = pa.table({"norm": pa.array(["zzzunknownsurface"], pa.string())})
+    out = stage(t)["candidate_id"].to_pylist()
+    assert out[0].startswith("ent:e")  # linked via embedding, not skolem
+    # threshold 2.0 (unreachable): always skolemize
+    stage2 = AliasLinkStage(alias_ref, emb_threshold=2.0)
+    out2 = stage2(t)["candidate_id"].to_pylist()
+    assert out2[0] == "ent:sk:zzzunknownsurface"
+    # exact dictionary hit beats both
+    t3 = pa.table({"norm": pa.array(["entity7"], pa.string())})
+    assert stage2(t3)["candidate_id"].to_pylist() == ["ent:e7"]
+
+
 def test_union_find_dataset_matches_driver():
     """The distributed iterate-to-fixpoint min-label propagation must
     agree with the driver-side union-find on multi-hop clusters."""

@@ -331,6 +331,13 @@ def _q_rel_distinct_users(sf_dir: str):
     return distinct_users_by_type(sf_dir)
 
 
+def _q_rel_union(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        urgent_or_large_orders)
+
+    return urgent_or_large_orders(sf_dir)
+
+
 def _q_rel_sessions(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import sessionize_events
 
@@ -419,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_topk": _q_rel_orders_topk,
         "rel_events_hourly": _q_rel_events_hourly,
         "rel_distinct_users": _q_rel_distinct_users,
+        "rel_union": _q_rel_union,
         "rel_sessions": _q_rel_sessions,
         "rel_semi_join": _q_rel_semi_join,
         "rel_props_sum": _q_rel_props_sum,
@@ -588,6 +596,15 @@ FROM events GROUP BY 1, 2
         "rel_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "rel_union": """
+SELECT o_orderkey, min(o_orderpriority) AS o_orderpriority,
+       min(round(o_totalprice * 100)::BIGINT) AS total_cents
+FROM (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM orders WHERE round(o_totalprice * 100)::BIGINT > 3000000
+) u GROUP BY o_orderkey
 """,
         "rel_sessions": """
 WITH e AS (

@@ -294,6 +294,37 @@ def chars_quantiles(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def urgent_or_large_orders(sf_dir: str, min_cents: int = 30_000_00):
+    """Set operation: (urgent orders) ∪ (large orders), distinct — two
+    filtered streams united with ``Dataset.union`` and deduplicated by
+    key (an order can satisfy both predicates)."""
+    from ray.data.aggregate import Min
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "total_cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                                   pa.int64()),
+        })
+
+    base = base.map_batches(to_cents, batch_format="pyarrow")
+    urgent = base.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    large = base.map_batches(
+        lambda t: t.filter(pc.greater(t["total_cents"], min_cents)),
+        batch_format="pyarrow")
+    u = urgent.union(large)
+    g = u.groupby("o_orderkey").aggregate(Min("o_orderpriority"),
+                                          Min("total_cents"))
+    return _rename(g, {"min(o_orderpriority)": "o_orderpriority",
+                       "min(total_cents)": "total_cents"})
+
+
 def distinct_users_by_type(sf_dir: str):
     """Distinct aggregation: unique users per event type (two-phase:
     distinct pairs, then count — both shuffles carry pre-deduped rows)."""

@@ -494,27 +494,27 @@ FROM u WHERE NOT malformed
         "kg_extracted_text": _U_CTE + "SELECT url, text FROM u WHERE NOT malformed",
         # --- text analysis ---
         "ta_token_count": (
-            "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "
+            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens "
             "FROM documents"
         ),
         "ta_quality": """
 SELECT doc_id,
        length(text)::BIGINT AS n_chars_m,
-       len(str_split(text, ' '))::BIGINT AS n_tokens,
-       floor(1000000.0 * len(list_distinct(str_split(text, ' ')))
-             / greatest(len(str_split(text, ' ')), 1))::BIGINT AS ttr_micro,
-       floor(1000000.0 * len(list_filter(str_split(text, ' '),
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+       floor(1000000.0 * len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+             / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1))::BIGINT AS ttr_micro,
+       floor(1000000.0 * len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
                  x -> x IN ('the', 'a', 'and', 'of')))
-             / greatest(len(str_split(text, ' ')), 1))::BIGINT AS stopword_micro
+             / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1))::BIGINT AS stopword_micro
 FROM documents
 """,
         "ta_lang_id": """
 WITH s AS (
   SELECT doc_id,
-    len(list_filter(str_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
-    len(list_filter(str_split(text,' '), x -> x IN ('der','und','das'))) AS s_de,
-    len(list_filter(str_split(text,' '), x -> x IN ('le','et','les')))  AS s_fr,
-    len(list_filter(str_split(text,' '), x -> x IN ('el','y','los')))   AS s_es
+    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> x IN ('the','and','of'))) AS s_en,
+    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> x IN ('der','und','das'))) AS s_de,
+    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> x IN ('le','et','les')))  AS s_fr,
+    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), x -> x IN ('el','y','los')))   AS s_es
   FROM documents),
 b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
 SELECT doc_id,
@@ -562,23 +562,23 @@ FROM ranked WHERE rn <= 5
         # --- relational ---
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(round(l_quantity * 100)::BIGINT) AS sum_qty_c,
-       sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_c,
+       sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_c,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_c,
        sum(round(l_extendedprice * 100)::BIGINT *
-           (100 - round(l_discount * 100)::BIGINT)) AS sum_disc_rev,
+           (100 - round(l_discount * 100)::BIGINT))::BIGINT AS sum_disc_rev,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """,
         "rel_top_customers": """
 SELECT o.o_custkey AS c_custkey, c.c_name,
-       sum(round(o.o_totalprice * 100)::BIGINT) AS total_cents
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey LIMIT 10
 """,
         "rel_revenue_by_nation": """
 SELECT n.n_name,
-       sum(round(c.c_acctbal * 100)::BIGINT) AS acctbal_cents
+       sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -589,7 +589,7 @@ FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
 """,
         "rel_events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       sum(round(value * 100)::BIGINT) AS value_cents,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """,
@@ -612,8 +612,8 @@ WITH e AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id FROM e)
+s AS (SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM e)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts,
        round(sum(value) * 100)::BIGINT AS value_cents
@@ -627,7 +627,7 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
 """,
         "rel_props_sum": """
 SELECT event_type,
-       sum(regexp_extract(props, '"k": (-?[0-9]+)', 1)::BIGINT) AS k_sum
+       sum(regexp_extract(props, '"k": (-?[0-9]+)', 1)::BIGINT)::BIGINT AS k_sum
 FROM events GROUP BY event_type
 """,
         "ta_sample": (

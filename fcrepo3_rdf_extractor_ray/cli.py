@@ -87,15 +87,17 @@ def main(argv=None) -> int:
                                    n_salts=args.n_salts)
         quads = dedup_quads(resolve_quads(raw, mapping), n_salts=args.n_salts)
     elif args.checkpoint_dir:
-        quads = run_kg_resumable(args.sf_dir, args.checkpoint_dir,
-                                 n_salts=args.n_salts)
+        quads = run_kg_resumable(
+            args.sf_dir, args.checkpoint_dir, n_salts=args.n_salts,
+            skip_empty_literals=not args.keep_empty_literals)
         if quads is None:
             print("extraction incomplete (crashed run); re-invoke to resume",
                   file=sys.stderr)
             return 2
     else:
         quads = run_kg(args.sf_dir, use_join_resolve=args.use_join_resolve,
-                       n_salts=args.n_salts)
+                       n_salts=args.n_salts,
+                       skip_empty_literals=not args.keep_empty_literals)
 
     if args.graph_name:
         from .stages.filters import tag_graph

@@ -15,9 +15,21 @@ _NON_ALNUM = re.compile(r"[^0-9a-zÀ-ɏ一-鿿]+")
 
 
 def norm_surface(s: str) -> str:
-    """Normalize one entity surface form. Idempotent."""
-    s = unicodedata.normalize("NFKC", s).casefold()
-    return _NON_ALNUM.sub("", s)
+    """Normalize one entity surface form. Idempotent.
+
+    Surfaces written entirely in scripts outside the strip class
+    (Cyrillic, Greek, Hangul, Arabic, ...) would otherwise all normalize
+    to "" and spuriously merge into one skolem entity; such surfaces fall
+    back to a stable hash of the folded form instead (prefix ``zx`` +
+    hex = pure [0-9a-z], so the fallback is itself a fixed point)."""
+    folded = unicodedata.normalize("NFKC", s).casefold()
+    out = _NON_ALNUM.sub("", folded)
+    if not out and folded:
+        import hashlib
+
+        out = "zx" + hashlib.blake2b(
+            folded.encode("utf-8"), digest_size=8).hexdigest()
+    return out
 
 
 def norm_surface_batch(strings) -> list[str]:

@@ -75,7 +75,7 @@ def extract_raw_quads(pages_ds, concurrency: int | tuple | None = None,
 def run_kg(sf_dir: str, use_join_resolve: bool = False,
            concurrency: int | tuple | None = None,
            checkpoint_dir: str | None = None, n_salts: int = 1,
-           repeat: int = 1):
+           repeat: int = 1, skip_empty_literals: bool = True):
     """pages(sf_dir) → deduplicated canonical quads Dataset.
 
     ``n_salts``: >1 adds the salt-split exchange for head-key skew
@@ -84,7 +84,8 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
     salting pays off when the block count is far larger than the
     reducer count (the 10^12-document regime), not at test scale."""
     pages = pages_for_sf(sf_dir, repeat=repeat)
-    raw = extract_raw_quads(pages, concurrency=concurrency)
+    raw = extract_raw_quads(pages, concurrency=concurrency,
+                            skip_empty_literals=skip_empty_literals)
     if checkpoint_dir is not None:
         from ..state.lineage import checkpoint_quads, read_checkpoint
 
@@ -104,7 +105,8 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
 def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
                      wave_size: int = 4,
                      concurrency: int | tuple | None = None,
-                     max_waves: int | None = None, n_salts: int = 1):
+                     max_waves: int | None = None, n_salts: int = 1,
+                     skip_empty_literals: bool = True):
     """Resumable flagship run: the pages shards are processed in waves of
     ``wave_size`` files; each wave is one streaming extraction job that
     commits an atomic per-group checkpoint with lineage. A crashed run
@@ -115,8 +117,8 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     import os
 
     from ..state.lineage import (checkpoint_exists, checkpoint_quads,
-                                 new_collector, read_all_groups,
-                                 write_lineage)
+                                 merge_lineage, new_collector,
+                                 read_all_groups)
     from ..sources.pages import synthesize_pages
 
     # driver-owned lineage collector; its handle is passed into the stage
@@ -146,15 +148,21 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
         raw = pages.map_batches(
             ExtractQuadsStage,
             fn_constructor_kwargs={"collector": collector,
-                                   "shard_label": group},
+                                   "shard_label": group,
+                                   "skip_empty_literals": skip_empty_literals},
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=concurrency,
         )
+        # lineage rows commit atomically WITH the wave's data (inside the
+        # same rename) — a crash+resume across invocations keeps every
+        # committed wave's lineage; merge_lineage below rebuilds the
+        # merged file from the per-group records.
         checkpoint_quads(raw, checkpoint_dir, stage="extract", group=group,
-                         extra_manifest={"input_files": files})
+                         extra_manifest={"input_files": files},
+                         collector=collector)
         done += 1
-    write_lineage(collector, checkpoint_dir, stage="extract")
+    merge_lineage(checkpoint_dir, stage="extract")
     raw = read_all_groups(checkpoint_dir, "extract")
     alias = build_alias_table()
     mapping = build_entity_map(raw, alias, n_salts=n_salts)

@@ -165,7 +165,16 @@ def events_hourly(sf_dir: str):
 
     ds = ds.map_batches(bucket, batch_format="pyarrow")
     g = ds.groupby(["event_type", "hour"]).aggregate(Sum("value_cents"), Sum("n"))
-    return _rename(g, {"sum(value_cents)": "value_cents", "sum(n)": "n_events"})
+    g = _rename(g, {"sum(value_cents)": "value_cents", "sum(n)": "n_events"})
+
+    # Ray's sort-shuffle groupby round-trips blocks through pandas, which can
+    # coarsen the timestamp unit; re-assert timestamp[us] AFTER the aggregate
+    # so the output schema matches the DuckDB oracle exactly.
+    def fix_unit(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("hour")
+        return t.set_column(i, "hour", pc.cast(t["hour"], pa.timestamp("us")))
+
+    return g.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):

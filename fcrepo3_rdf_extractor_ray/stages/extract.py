@@ -159,11 +159,16 @@ def extract_quads_batch(batch: pa.Table,
     rows: list[tuple] = []
     for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
         try:
+            # Whole per-page derivation is inside the containment boundary:
+            # a malformed page (parse failure, unexpected enum value in
+            # robots/meta, bad date) must never fail the task — mirrors the
+            # reference's per-object catch-all (ObjectProcessor.java:172-176).
             page = parse_page(html)
-        except PageParseError:
+            page_rows = list(meta_quad_rows(url, page))
+            page_rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+        except Exception:
             continue  # contained: constant quads already emitted
-        rows.extend(meta_quad_rows(url, page))
-        rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+        rows.extend(page_rows)
     out = pa.concat_tables([const_quads, _rows_to_quads(rows)])
     if skip_empty_literals:
         from .filters import skip_empty_literals_table
@@ -199,12 +204,17 @@ class ExtractQuadsStage:
         htmls = batch["html"].to_pylist()
         for url, html in zip(urls, htmls):
             try:
+                # Containment boundary covers the whole per-page derivation
+                # (parse + meta enums + facts), matching the reference's
+                # per-object catch-all (ObjectProcessor.java:172-176): a data
+                # error never fails the task, and is counted per actor.
                 page = parse_page(html)
-            except PageParseError:
+                page_rows = list(meta_quad_rows(url, page))
+                page_rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+            except Exception:
                 self.errors += 1  # contained: constant quads already emitted
                 continue
-            rows.extend(meta_quad_rows(url, page))
-            rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+            rows.extend(page_rows)
         out = pa.concat_tables([const_quads, _rows_to_quads(rows)])
         if self.skip_empty_literals:
             from .filters import skip_empty_literals_table

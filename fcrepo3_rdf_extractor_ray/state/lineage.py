@@ -83,9 +83,17 @@ def checkpoint_exists(root: str, stage: str, group: str | None = None) -> bool:
 
 
 def checkpoint_quads(ds, root: str, stage: str, group: str | None = None,
-                     extra_manifest: dict | None = None) -> str:
+                     extra_manifest: dict | None = None,
+                     collector=None) -> str:
     """Write a Dataset to an atomic checkpoint. Skips (resume) if already
-    committed. Returns the checkpoint path."""
+    committed. Returns the checkpoint path.
+
+    ``collector``: optional LineageCollector handle. The lineage rows that
+    accumulated during this wave's execution are drained and written as
+    ``_LINEAGE.parquet`` INSIDE the tmp dir, before the manifest — so the
+    atomic rename commits data + lineage together and a crash between
+    waves can never orphan a committed checkpoint from its lineage
+    (the invariant in this module's docstring)."""
     final = _ckpt_dir(root, stage, group)
     if checkpoint_exists(root, stage, group):
         return final
@@ -95,6 +103,12 @@ def checkpoint_quads(ds, root: str, stage: str, group: str | None = None,
     ds.write_parquet(tmp)
     wall_ms = (time.perf_counter() - t0) * 1000
     import pyarrow.parquet as pq
+
+    if collector is not None:
+        rows = ray.get(collector.snapshot.remote())
+        ray.get(collector.clear.remote())  # drain: each wave owns its rows
+        pq.write_table(lineage_table(rows),
+                       os.path.join(tmp, "_LINEAGE.parquet"))
 
     files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     shards = []
@@ -120,7 +134,7 @@ def read_checkpoint(root: str, stage: str, group: str | None = None):
 
     d = _ckpt_dir(root, stage, group)
     files = sorted(os.path.join(d, f) for f in os.listdir(d)
-                   if f.endswith(".parquet"))
+                   if f.endswith(".parquet") and not f.startswith("_"))
     return rd.read_parquet(files)
 
 
@@ -136,7 +150,8 @@ def read_all_groups(root: str, stage: str):
             os.path.join(gd, "_MANIFEST.json")
         ):
             files.extend(sorted(os.path.join(gd, f) for f in os.listdir(gd)
-                                if f.endswith(".parquet")))
+                                if f.endswith(".parquet")
+                                and not f.startswith("_")))
     return rd.read_parquet(files)
 
 
@@ -149,3 +164,29 @@ def write_lineage(collector, root: str, stage: str = "all"):
     pq.write_table(lineage_table(rows),
                    os.path.join(root, "_lineage", f"{stage}.parquet"))
     return len(rows)
+
+
+def merge_lineage(root: str, stage: str) -> int:
+    """Merge the per-group ``_LINEAGE.parquet`` files of every committed
+    checkpoint into ``<root>/_lineage/<stage>.parquet``. Because each
+    wave's lineage commits atomically with its data (checkpoint_quads),
+    this reconstructs the FULL lineage even after crash+resume across
+    multiple invocations — the final merged file is derived state, safe
+    to rebuild at any time. Returns the merged row count."""
+    import pyarrow.parquet as pq
+
+    base = _ckpt_dir(root, stage)
+    tables = []
+    if os.path.isdir(base):
+        for g in sorted(os.listdir(base)):
+            gd = os.path.join(base, g)
+            lf = os.path.join(gd, "_LINEAGE.parquet")
+            if (g.startswith("group=")
+                    and os.path.exists(os.path.join(gd, "_MANIFEST.json"))
+                    and os.path.exists(lf)):
+                tables.append(pq.read_table(lf))
+    merged = (pa.concat_tables(tables) if tables
+              else LINEAGE_SCHEMA.empty_table())
+    os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+    pq.write_table(merged, os.path.join(root, "_lineage", f"{stage}.parquet"))
+    return merged.num_rows

@@ -53,6 +53,14 @@ def test_resume_after_simulated_crash(sf_dir, ckpt_dir):
     import pyarrow.compute as pc
 
     assert pc.sum(lt["error_count"]).as_py() > 0
+    # lineage survives the crash: the wave committed by the FIRST (crashed)
+    # invocation must still be present in the merged file, because each
+    # wave's lineage commits atomically inside its group checkpoint
+    assert set(lt["input_shard"].to_pylist()) == {"0000", "0001", "0002",
+                                                  "0003"}
+    for g in groups:
+        assert os.path.exists(os.path.join(ckpt_dir, "stage=extract", g,
+                                           "_LINEAGE.parquet"))
 
 
 def test_checkpoint_skip_is_idempotent(sf_dir, ckpt_dir):

@@ -168,104 +168,208 @@ def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-class MinHashStage:
-    """docs batch → (doc_id, band, band_hash, sig) rows: one row per LSH
-    band per doc. Permutation parameters and the token-hash memo (the
-    vocabulary repeats across documents) are per-actor state, built once
-    in ``__init__`` — the W1 actor-pool pattern."""
+# Module-level token-hash memo: tasks run on Ray's long-lived warm worker
+# processes, so module state persists across batches WITHOUT paying an
+# actor-pool spawn/ramp — the W1 stateful-stage benefit in task form.
+# Capped so a long-lived worker can't grow it unboundedly.
+_TOKEN_MEMO: dict[str, int] = {}
 
-    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16):
-        assert num_perm % bands == 0
+
+def _worker_memo(cap: int = 1_000_000) -> dict:
+    if len(_TOKEN_MEMO) > cap:
+        _TOKEN_MEMO.clear()
+    return _TOKEN_MEMO
+
+
+def minhash_sig_batch(t: pa.Table, text_col="text", id_col="doc_id",
+                      num_perm=64) -> pa.Table:
+    """docs batch → ONE row per doc: (doc_id, sig). The signature is
+    emitted exactly once per doc; the LSH band rows derived for the
+    shuffle carry only (doc_id, band, band_hash) — 3 ints — so the
+    banding exchange ships ~bands× less data than duplicating the
+    signature into every row."""
+    from ..functions.hashing import shingle_hashes_fast
+
+    memo = _worker_memo()
+    ids = t[id_col].to_pylist()
+    sigs = []
+    for txt in t[text_col].to_pylist():
+        sig = minhash_signature(
+            shingle_hashes_fast(txt.split(), memo=memo), num_perm)
+        sigs.append(sig.astype(np.int64).tolist())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "sig": pa.array(sigs, pa.list_(pa.int64())),
+    })
+
+
+class MinHashStage:
+    """Actor-pool form of ``minhash_sig_batch`` (kept for callers that
+    want an isolated per-actor memo, e.g. a model-backed variant)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64):
         self.text_col, self.id_col = text_col, id_col
-        self.num_perm, self.bands = num_perm, bands
-        self.rows_per_band = num_perm // bands
+        self.num_perm = num_perm
         self.memo: dict[str, int] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..functions.hashing import shingle_hashes_fast
 
         ids = t[self.id_col].to_pylist()
-        texts = t[self.text_col].to_pylist()
-        out_id, out_band, out_hash, out_sig = [], [], [], []
-        for i, txt in zip(ids, texts):
-            toks = txt.split()
+        sigs = []
+        for txt in t[self.text_col].to_pylist():
             sig = minhash_signature(
-                shingle_hashes_fast(toks, memo=self.memo), self.num_perm)
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = int(np.bitwise_xor.reduce(band * np.uint64(0x9E3779B97F4A7C15)))
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(bh & 0x7FFFFFFFFFFFFFFF)
-                out_sig.append(sig.astype(np.int64).tolist())
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
-            }
-        )
+                shingle_hashes_fast(txt.split(), memo=self.memo),
+                self.num_perm)
+            sigs.append(sig.astype(np.int64).tolist())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.list_(pa.int64())),
+        })
+
+
+def _sig_matrix(t: pa.Table) -> np.ndarray:
+    arr = t["sig"].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1) if len(arr) else flat.reshape(0, 0)
 
 
 def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
-                            num_perm=64, bands=16, max_bucket=64):
+                            num_perm=64, bands=16, max_bucket=64,
+                            n_parts=64):
     """LSH banding: groupby (band, band_hash) buckets → candidate pairs
     with estimated Jaccard (signature agreement). Buckets larger than
     ``max_bucket`` are truncated (logged via the `truncated` column) —
-    no silent caps."""
+    no silent caps.
+
+    Shuffle diet: the banding exchange moves only (doc_id, band,
+    band_hash) rows; full signatures stay in the one-row-per-doc
+    ``sig_ds`` and are fetched ONLY for candidate docs in the verify
+    pass. The candidate-doc set is near-dup scale (bounded by 2× the
+    pair count — the same boundedness assumption ``minhash_clusters``
+    already makes for its driver-side union-find), so the verify lookup
+    is broadcast once via ``ray.put`` and read per task."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
 
     sig_ds = docs_ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "bands": bands},
+        minhash_sig_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "num_perm": num_perm},
         batch_format="pyarrow",
-        concurrency=_pool(0.5),
-    )
+    ).materialize()  # consumed twice: band derivation + candidate verify
 
-    # Shuffle key = (band, band_hash % n_parts): bounded-size groups, few
-    # map_groups invocations (16 × n_parts), and each invocation handles
-    # its many buckets with a vectorized pandas groupby — never one Python
-    # call per bucket.
-    n_parts = 64
+    def explode_bands(t: pa.Table) -> pa.Table:
+        M = _sig_matrix(t).astype(np.uint64)
+        n = M.shape[0]
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # fold each band's rows to one 63-bit hash, fully vectorized
+        X = M * np.uint64(0x9E3779B97F4A7C15)
+        bh = np.bitwise_xor.reduce(
+            X.reshape(n, bands, rows_per_band), axis=2
+        ).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(band_idx, pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1), pa.int64()),
+            "part": pa.array((bh.reshape(-1) & (n_parts - 1)).astype(np.int32),
+                             pa.int32()),
+        })
 
-    def add_part(t: pa.Table) -> pa.Table:
-        part = pc.cast(pc.bit_wise_and(t["band_hash"], n_parts - 1), pa.int32())
-        return t.append_column("part", part)
+    band_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    sig_ds = sig_ds.map_batches(add_part, batch_format="pyarrow")
-
+    # Shuffle key = band_hash % n_parts: bounded group count (n_parts map_groups
+    # invocations), and each invocation handles ALL its (band, band_hash)
+    # buckets with one vectorized pandas pass — never one Python call per
+    # bucket. Rows of one bucket always share a part (part = f(band_hash)).
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        # only hashes occurring ≥2× can form pairs — vectorized pre-filter
-        dupmask = df.duplicated(subset=["band_hash", "doc_id"], keep="first")
-        df = df[~dupmask]
-        counts = df["band_hash"].value_counts()
-        hot = counts[counts >= 2].index
-        df = df[df["band_hash"].isin(hot)]
-        for bh, sub in df.groupby("band_hash"):
-            sub = sub.sort_values("doc_id")
-            n = len(sub)
-            truncated = n > max_bucket
-            if truncated:
-                sub = sub.head(max_bucket)
-                n = max_bucket
+        df = df[~df.duplicated(subset=["band", "band_hash", "doc_id"],
+                               keep="first")]
+        sizes = df.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        df = df[sizes >= 2].sort_values(["band", "band_hash", "doc_id"])
+        chunks, trunc_chunks = [], []
+        for _, sub in df.groupby(["band", "band_hash"]):
             ids = sub["doc_id"].to_numpy()
-            sigs = np.array(sub["sig"].tolist(), dtype=np.int64)
-            ia, ja = np.triu_indices(n, k=1)
-            est = (sigs[ia] == sigs[ja]).mean(axis=1)
-            for k in range(len(ia)):
-                out.append((int(ids[ia[k]]), int(ids[ja[k]]), float(est[k]),
-                            truncated))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard",
-                                          "truncated"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64",
-             "truncated": "bool"})
+            truncated = len(ids) > max_bucket
+            if truncated:
+                ids = ids[:max_bucket]
+            ia, ja = np.triu_indices(len(ids), k=1)
+            chunks.append(np.stack([ids[ia], ids[ja]], axis=1))
+            trunc_chunks.append(np.full(len(ia), truncated))
+        P = (np.concatenate(chunks) if chunks
+             else np.empty((0, 2), dtype=np.int64))
+        T = (np.concatenate(trunc_chunks) if trunc_chunks
+             else np.empty(0, dtype=bool))
+        return pd.DataFrame({"doc_a": P[:, 0].astype("int64"),
+                             "doc_b": P[:, 1].astype("int64"),
+                             "truncated": T})
 
-    pairs = sig_ds.groupby(["band", "part"]).map_groups(
+    raw_pairs = band_ds.groupby("part").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    return pairs
+
+    # A near-dup pair collides in MANY bands (all 16 for identical docs).
+    # The cross-band dedup + candidate-id collection happen in ONE driver
+    # pass over the (near-dup-scale, bounded) raw pair stream — the same
+    # boundedness assumption ``minhash_clusters`` makes for its union-find
+    # — saving the extra groupby shuffle a distributed dedup would cost.
+    import ray.data as rd
+
+    pair_trunc: dict[tuple[int, int], bool] = {}
+    for b in raw_pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_, tr in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist(),
+                              b["truncated"].to_pylist()):
+            k = (a_, b_)
+            pair_trunc[k] = pair_trunc.get(k, False) or tr
+    if not pair_trunc:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+            "truncated": pa.array([], pa.bool_()),
+        }))
+    keys = sorted(pair_trunc)
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([k[0] for k in keys], pa.int64()),
+        "doc_b": pa.array([k[1] for k in keys], pa.int64()),
+        "truncated": pa.array([pair_trunc[k] for k in keys], pa.bool_()),
+    }))
+    cand_ids = {k[0] for k in keys} | {k[1] for k in keys}
+    idset = pa.array(sorted(cand_ids), pa.int64())
+    cand_sig = sig_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=idset)),
+        batch_format="pyarrow",
+    )
+    lookup: dict[int, np.ndarray] = {}
+    for b in cand_sig.iter_batches(batch_format="pyarrow"):
+        M = _sig_matrix(b)
+        for j, d in enumerate(b["doc_id"].to_pylist()):
+            lookup[d] = M[j]
+    import ray as _ray
+
+    sig_ref = _ray.put(lookup)
+
+    def verify(t: pa.Table, ref=sig_ref) -> pa.Table:
+        # task form (no actor ramp): ray.get of the broadcast lookup is a
+        # node-local zero-copy object-store read per task
+        lk = _ray.get(ref)
+        da = t["doc_a"].to_pylist()
+        db = t["doc_b"].to_pylist()
+        if da:
+            A = np.stack([lk[d] for d in da])
+            B = np.stack([lk[d] for d in db])
+            est = (A == B).mean(axis=1)
+        else:
+            est = np.array([], dtype=np.float64)
+        return pa.table({
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "est_jaccard": pa.array(est, pa.float64()),
+            "truncated": t["truncated"],
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_clusters(docs_ds, threshold=0.7, **kw):
@@ -335,12 +439,30 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
     """SimHash near-dup pairs: bucket by 16-bit signature chunks (pigeonhole:
     hamming ≤ 3 over 64 bits ⇒ at least one of 4 chunks identical), verify
     hamming distance exactly within buckets, global pair dedup."""
-    sig_ds = docs_ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=_pool(0.5),
-    )
+    def sim_sigs(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import simhash64_batch
+
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sigs = simhash64_batch([txt.split()
+                                for txt in t[text_col].to_pylist()],
+                               memo=_worker_memo())
+        # explode each doc into its 4×16-bit chunks, vectorized
+        # (pigeonhole: hamming ≤ 3 over 64 bits ⇒ ≥1 chunk identical)
+        c = np.arange(4, dtype=np.uint64)
+        keys = ((sigs[:, None] >> (np.uint64(16) * c)[None, :])
+                & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4).astype(np.int64),
+                                   pa.int64()),
+                "chunk": pa.array(np.tile(c.astype(np.int32), len(ids)),
+                                  pa.int32()),
+                "chunk_key": pa.array(keys.reshape(-1), pa.int64()),
+                "sig": pa.array(np.repeat(sigs.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    sig_ds = docs_ds.map_batches(sim_sigs, batch_format="pyarrow")
 
     n_parts = 16
 
@@ -351,31 +473,35 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
     sig_ds = sig_ds.map_batches(add_part, batch_format="pyarrow")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        df = df.drop_duplicates(subset=["chunk_key", "doc_id"])
-        counts = df["chunk_key"].value_counts()
-        df = df[df["chunk_key"].isin(counts[counts >= 2].index)]
-        for _, sub in df.groupby("chunk_key"):
-            sub = sub.sort_values("doc_id").head(max_bucket)
+        chunks = []
+        df = df.drop_duplicates(subset=["chunk", "chunk_key", "doc_id"])
+        sizes = df.groupby(["chunk", "chunk_key"])["doc_id"].transform("size")
+        df = df[sizes >= 2].sort_values(["chunk", "chunk_key", "doc_id"])
+        for (c, _), sub in df.groupby(["chunk", "chunk_key"]):
+            sub = sub.head(max_bucket)
             ids = sub["doc_id"].to_numpy()
-            sigs = sub["sig"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = hamming64(int(sigs[i]) & 0xFFFFFFFFFFFFFFFF,
-                                  int(sigs[j]) & 0xFFFFFFFFFFFFFFFF)
-                    if d <= max_hamming:
-                        rows.append((int(ids[i]), int(ids[j]), d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+            sigs = sub["sig"].to_numpy().astype(np.int64).view(np.uint64)
+            ia, ja = np.triu_indices(len(ids), k=1)
+            x = sigs[ia] ^ sigs[ja]
+            # vectorized 64-bit popcount: 8 bytes per value → unpackbits
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                              axis=1).sum(axis=1).astype(np.int64)
+            keep = d <= max_hamming
+            # global pair dedup WITHOUT a second shuffle: a pair matching
+            # in several chunks is emitted only by its SMALLEST matching
+            # chunk — decidable locally because the full sig travels with
+            # the row (the xor's low 16c bits reveal lower-chunk matches)
+            for cp in range(int(c)):
+                keep &= ((x >> np.uint64(16 * cp)) & np.uint64(0xFFFF)) != 0
+            chunks.append(np.stack([ids[ia][keep], ids[ja][keep],
+                                    d[keep]], axis=1))
+        P = (np.concatenate(chunks) if chunks
+             else np.empty((0, 3), dtype=np.int64))
+        return pd.DataFrame({"doc_a": P[:, 0].astype("int64"),
+                             "doc_b": P[:, 1].astype("int64"),
+                             "hamming": P[:, 2].astype("int64")})
 
-    pairs = sig_ds.groupby(["chunk", "part"]).map_groups(
-        bucket, batch_format="pandas"
-    )
-    # a pair can match in several chunks → dedup
-    from ray.data.aggregate import Min
-
-    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
-    return _rename(g, {"min(hamming)": "hamming"})
+    return sig_ds.groupby("part").map_groups(bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

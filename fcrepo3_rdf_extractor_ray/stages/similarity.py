@@ -8,8 +8,11 @@
   micro-units (floor ×1e6, int64) so the DuckDB oracle compares exactly.
 - ``knn_ivf`` — the scale path: a deterministic coarse quantizer
   (seeded k-means on a sample) buckets vectors; queries probe the
-  ``n_probe`` nearest centroids only. Approximate; recall vs brute
-  force is asserted in tests.
+  ``n_probe`` nearest centroids only. The probed-bucket search runs
+  DISTRIBUTED inside ``map_batches`` (each task scans only its block's
+  probed rows and emits local top-k candidates); nothing but the
+  bounded candidate set (#blocks × #queries × (k+1) rows) ever reaches
+  the driver. Approximate; recall vs brute force is asserted in tests.
 """
 
 from __future__ import annotations
@@ -26,6 +29,17 @@ def _unit(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
+def _list_col_to_matrix(t: pa.Table, col: str) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix without a Python-object
+    round-trip: flatten the Arrow list values buffer and reshape (all
+    embeddings share one dim, asserted by the reshape)."""
+    arr = t[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64,
+                                                               copy=False)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
 class BruteForceTopKStage:
     """embeddings batch → local top-k candidates per query."""
 
@@ -39,25 +53,27 @@ class BruteForceTopKStage:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
-        V = np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = t[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        V = _list_col_to_matrix(t, self.vec_col)
         vn = np.sqrt((V * V).sum(axis=1))
         vn[vn == 0] = 1.0
         # dot / (|q|·|v|) — the same formula shape as the SQL oracle so
         # floor(×1e6) agrees bit-for-bit in practice
         sims = (self.Q @ V.T) / (self.qn[:, None] * vn[None, :])
-        out_q, out_n, out_s = [], [], []
         k = min(self.k + 1, sims.shape[1])  # +1 to survive self-match removal
+        out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
             idx = np.argpartition(-sims[qi], k - 1)[:k]
-            for j in idx:
-                out_q.append(qid)
-                out_n.append(int(ids[j]))
-                out_s.append(int(np.floor(sims[qi, j] * 1e6)))
+            out_q.append(np.full(len(idx), qid, dtype=np.int64))
+            out_n.append(ids[idx].astype(np.int64))
+            out_s.append(np.floor(sims[qi, idx] * 1e6).astype(np.int64))
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cos_micro": pa.array(out_s, pa.int64()),
+            "query_id": pa.array(np.concatenate(out_q) if out_q else [],
+                                 pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else [],
+                                    pa.int64()),
+            "cos_micro": pa.array(np.concatenate(out_s) if out_s else [],
+                                  pa.int64()),
         })
 
 
@@ -114,13 +130,61 @@ class IVFAssignStage:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
-        V = _unit(np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64))
+        ids = t[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        V = _unit(_list_col_to_matrix(t, self.vec_col))
         assign = np.argmax(V @ self.C.T, axis=1)
         return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
             "bucket": pa.array(assign.astype(np.int64), pa.int64()),
             "unit_vec": pa.array(V.tolist(), pa.list_(pa.float64())),
+        })
+
+
+class IVFSearchStage:
+    """(vec_id, bucket, unit_vec) batch → local top-k candidates per query,
+    searching ONLY the rows whose bucket is probed by each query. The
+    probe plan (query matrix + bucket→queries index) is broadcast once
+    via ``ray.put`` and loaded per actor in ``__init__`` — the block's
+    vectors never leave the task, so the pipeline stays streaming and
+    driver memory is bounded by the candidate count."""
+
+    def __init__(self, plan_ref, k: int):
+        qids, Q, probe = ray.get(plan_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.Q = Q  # unit-normalized (nq, dim)
+        self.k = k
+        self.bucket_to_q: dict[int, np.ndarray] = {}
+        for qi, row in enumerate(probe):
+            for b in row:
+                self.bucket_to_q.setdefault(int(b), []).append(qi)
+        self.bucket_to_q = {b: np.asarray(v, dtype=np.int64)
+                            for b, v in self.bucket_to_q.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        buckets = t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        V = _list_col_to_matrix(t, "unit_vec")
+        out_q, out_n, out_s = [], [], []
+        for b in np.unique(buckets):
+            qidx = self.bucket_to_q.get(int(b))
+            if qidx is None:
+                continue
+            rows = np.flatnonzero(buckets == b)
+            sims = self.Q[qidx] @ V[rows].T  # (nq_b, n_rows_b)
+            k = min(self.k + 1, sims.shape[1])
+            for i, qi in enumerate(qidx):
+                idx = np.argpartition(-sims[i], k - 1)[:k]
+                out_q.append(np.full(len(idx), self.qids[qi], dtype=np.int64))
+                out_n.append(ids[rows[idx]].astype(np.int64))
+                out_s.append(np.floor(sims[i, idx] * 1e6).astype(np.int64))
+        empty = np.array([], dtype=np.int64)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else empty,
+                                 pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else empty,
+                                    pa.int64()),
+            "cos_micro": pa.array(np.concatenate(out_s) if out_s else empty,
+                                  pa.int64()),
         })
 
 
@@ -129,7 +193,12 @@ def knn_ivf(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
             id_col="vec_id", vec_col="embedding", exclude_self=True):
     """IVF top-k: train a coarse quantizer on a limited sample (seeded,
     deterministic), bucket all vectors via an actor-pool assign stage,
-    then search only the ``n_probe`` buckets nearest each query."""
+    prune non-probed buckets with a vectorized filter, then run the
+    probed-bucket search distributed inside ``map_batches``. Only the
+    bounded candidate set (#blocks × #queries × (k+1)) is merged on the
+    driver — the full vector corpus never leaves the tasks."""
+    import pyarrow.compute as pc
+
     from ..runtime import pool
 
     sample = emb_ds.limit(sample_size).to_pandas()
@@ -148,32 +217,23 @@ def knn_ivf(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
     Cn = _unit(C)
     probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     wanted_buckets = sorted({int(b) for row in probe for b in row})
+    plan_ref = ray.put((qids, Q, probe))
 
-    import pyarrow.compute as pc
-
-    hits = assigned.map_batches(
+    cand_ds = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"],
-                                    value_set=pa.array(wanted_buckets, pa.int64()))),
+                                    value_set=pa.array(wanted_buckets,
+                                                       pa.int64()))),
         batch_format="pyarrow",
-    ).to_pandas()
-
-    rows = []
-    by_bucket = {b: g for b, g in hits.groupby("bucket")}
-    for qi, qid in enumerate(qids):
-        frames = [by_bucket[b] for b in probe[qi] if b in by_bucket]
-        if not frames:
-            continue
-        g = pd.concat(frames)
-        V = np.asarray(g["unit_vec"].tolist(), dtype=np.float64)
-        sims = V @ Q[qi]
-        g = pd.DataFrame({
-            "query_id": qid,
-            "neighbor_id": g["vec_id"].to_numpy(),
-            "cos_micro": np.floor(sims * 1e6).astype(np.int64),
-        })
-        rows.append(g)
-    cands = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
-        {"query_id": pd.Series([], dtype="int64"),
-         "neighbor_id": pd.Series([], dtype="int64"),
-         "cos_micro": pd.Series([], dtype="int64")})
+    ).map_batches(
+        IVFSearchStage,
+        fn_constructor_kwargs={"plan_ref": plan_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=pool(0.5),
+    )
+    cands = cand_ds.to_pandas()
+    if cands.empty:
+        cands = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "cos_micro": pd.Series([], dtype="int64")})
     return _merge_topk(cands, k, exclude_self)

@@ -72,3 +72,19 @@ def test_rolling_fingerprint_order_sensitive():
     assert rolling_fingerprint(["a", "b"]) != rolling_fingerprint(["b", "a"])
     assert rolling_fingerprint(["a", "b"]) == rolling_fingerprint(["a", "b"])
     assert rolling_fingerprint([]) == 0
+
+
+def test_simhash64_batch_bit_identical():
+    from fcrepo3_rdf_extractor_ray.functions.hashing import (simhash64,
+                                                             simhash64_batch)
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog".split(),
+        [],
+        ["single"],
+        "a b c a b c a b c d e f".split(),
+        "Η γρήγορη καφέ αλεπού".split(),
+    ]
+    got = simhash64_batch(docs, memo={})
+    for toks, g in zip(docs, got):
+        assert int(g) == simhash64(toks, memo={})

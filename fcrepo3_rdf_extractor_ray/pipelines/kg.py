@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..sources.pages import build_alias_table, read_pages, synthesize_pages
-from ..stages.canonicalize import build_entity_map, resolve_quads, resolve_quads_join
+from ..stages.canonicalize import build_entity_map, resolve_quads
 from ..stages.dedup import dedup_quads
 from ..stages.extract import ExtractQuadsStage
 
@@ -96,9 +96,18 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
         # build + resolve) — materialize so pages are parsed exactly once
         raw = raw.materialize()
     alias = build_alias_table()
-    mapping = build_entity_map(raw, alias, n_salts=n_salts)
-    resolved = (resolve_quads_join(raw, mapping) if use_join_resolve
-                else resolve_quads(raw, mapping))
+    if use_join_resolve:
+        # 100-TB path: the entity map stays a Dataset end-to-end (unique
+        # norms → link → distributed union-find → hash-join resolve) —
+        # no driver-side dict anywhere
+        from ..stages.canonicalize import (build_entity_map_ds,
+                                           resolve_quads_join_ds)
+
+        mapping_ds = build_entity_map_ds(raw, alias, n_salts=n_salts)
+        resolved = resolve_quads_join_ds(raw, mapping_ds)
+    else:
+        mapping = build_entity_map(raw, alias, n_salts=n_salts)
+        resolved = resolve_quads(raw, mapping)
     return dedup_quads(resolved, n_salts=n_salts)
 
 
@@ -227,20 +236,25 @@ def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
         ds.write_parquet(out_dir)
     if write_nquads:
         def to_lines(t: pa.Table) -> pa.Table:
-            lines = []
-            for r in t.to_pylist():
-                if r["obj_is_literal"]:
-                    lex = (r["obj"].replace("\\", "\\\\").replace('"', '\\"')
-                           .replace("\n", "\\n"))
-                    obj = f'"{lex}"'
-                    if r["obj_datatype"]:
-                        obj += f"^^<{r['obj_datatype']}>"
-                else:
-                    obj = f"<{r['obj']}>"
-                lines.append(
-                    f"<{r['subj']}> <{r['pred']}> {obj} <{r['graph']}> ."
-                )
-            return pa.table({"line": pa.array(lines, pa.string())})
+            import pyarrow.compute as pc
+
+            # vectorized literal escaping (\ " newline) + term assembly;
+            # bare strings broadcast as scalars in the join kernel
+            lex = pc.replace_substring(t["obj"], "\\", "\\\\")
+            lex = pc.replace_substring(lex, '"', '\\"')
+            lex = pc.replace_substring(lex, "\n", "\\n")
+            lit = pc.binary_join_element_wise('"', lex, '"', "")
+            dt_tail = pc.binary_join_element_wise(
+                "^^<", t["obj_datatype"], ">", "")
+            lit = pc.if_else(
+                pc.not_equal(t["obj_datatype"], ""),
+                pc.binary_join_element_wise(lit, dt_tail, ""), lit)
+            iri = pc.binary_join_element_wise("<", t["obj"], ">", "")
+            obj = pc.if_else(t["obj_is_literal"], lit, iri)
+            lines = pc.binary_join_element_wise(
+                "<", t["subj"], "> <", t["pred"], "> ", obj,
+                " <", t["graph"], "> .", "")
+            return pa.table({"line": lines})
 
         import os
 

@@ -83,18 +83,22 @@ def top_customers(sf_dir: str, limit: int = 10):
     from ray.data.aggregate import Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    cust_ref = ray.put(pa.table({
+        "c_custkey": pa.array(cust["c_custkey"], pa.int64()),
+        "c_name": pa.array(cust["c_name"], pa.string()),
+    }))
 
     def join_name(t: pa.Table) -> pa.Table:
-        # stateless task reading the broadcast dict zero-copy per task —
-        # a dict lookup has no per-worker setup worth an actor pool
+        # stateless task reading the broadcast table zero-copy per task;
+        # the lookup is a vectorized index_in + take, no per-row Python
         names = ray.get(cust_ref)
-        joined = [names.get(k) for k in t["o_custkey"].to_pylist()]
+        idx = pc.index_in(t["o_custkey"], value_set=names["c_custkey"])
+        joined = pc.take(names["c_name"], idx)
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
                         pa.int64())
         return pa.table({
             "c_custkey": t["o_custkey"],
-            "c_name": pa.array(joined, pa.string()),
+            "c_name": joined,
             "total_cents": cents,
         })
 
@@ -221,13 +225,12 @@ def semi_join_orders(sf_dir: str, min_acctbal: float = 5000.0):
     filter set is broadcast (ray.put once) — an IN-subquery without a
     shuffle."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    keep = set(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
-    keep_ref = ray.put(keep)
+    keep = cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"]
+    keep_ref = ray.put(pa.array(keep, pa.int64()))
 
     def fil(t: pa.Table) -> pa.Table:
         ks = ray.get(keep_ref)
-        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
-        t = t.filter(mask)
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=ks))
         return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],

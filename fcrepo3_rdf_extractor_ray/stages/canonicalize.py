@@ -179,8 +179,17 @@ def union_find_min_id(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
-def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
-                              num_partitions: int = 1) -> dict[str, str]:
+def _safe_join_partitions(small_side_count: int, cap: int = 64) -> int:
+    """Join partition count sized so every hash partition of the smaller
+    side stays non-empty with overwhelming probability — Ray 2.49's hash
+    join materializes empty partitions as schema-less blocks and the
+    pyarrow join then fails ("No match for key field on right side").
+    ≥64 uniformly-hashed keys per partition keeps P(empty) ≪ 1e-20."""
+    return max(1, min(cap, small_side_count // 64))
+
+
+def union_find_labels_ds(edges_ds, max_iters: int = 16,
+                         num_partitions: int | None = None):
     """Distributed min-ID cluster resolution: iterate-to-fixpoint min-label
     propagation over the bipartite (norm, candidate) edge Dataset — the
     at-scale path promised in SURVEY.md §7.4 for when the edge list
@@ -189,14 +198,12 @@ def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
     cluster-diameter). Convergence is checked via a tiny per-round
     checksum aggregate, never by collecting the edges.
 
-    Returns the final norm→canonical dict (callers still broadcast it;
-    at extreme scale keep it as a Dataset and use resolve_quads_join).
+    Returns the (norm, label) Dataset — fully driver-free; feed it to
+    ``resolve_quads_join_ds`` to keep the whole resolve path streaming.
 
-    ``num_partitions`` defaults to 1: Ray 2.49's hash join materializes
-    empty partitions as schema-less blocks and pyarrow's join then fails
-    ("No match for key field on right side"); with key cardinality ≫
-    partitions (the at-scale regime) higher values are safe."""
-    import ray.data as rd
+    ``num_partitions``: join parallelism; defaults to a count-derived
+    value via ``_safe_join_partitions`` (see there for the Ray 2.49
+    empty-partition caveat)."""
 
     def _min_by(ds, key: str, val: str, out: str):
         def part_min(t: pa.Table) -> pa.Table:
@@ -216,6 +223,8 @@ def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
         return out_ds
 
     edges = edges_ds.materialize()
+    if num_partitions is None:
+        num_partitions = _safe_join_partitions(edges.count())
 
     def checksum(label_ds) -> int:
         def h(t: pa.Table) -> pa.Table:
@@ -251,7 +260,16 @@ def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
         if cs == prev:
             break
         prev = cs
-    rows = norm_lab.take_all()
+    return norm_lab.select_columns(["norm", "label"])
+
+
+def union_find_min_id_dataset(edges_ds, max_iters: int = 16,
+                              num_partitions: int | None = None
+                              ) -> dict[str, str]:
+    """Dict-returning wrapper over ``union_find_labels_ds`` for callers
+    that broadcast the map (small-scale fast path)."""
+    rows = union_find_labels_ds(edges_ds, max_iters=max_iters,
+                                num_partitions=num_partitions).take_all()
     return {r["norm"]: r["label"] for r in rows}
 
 
@@ -285,6 +303,23 @@ def build_entity_map(quads_ds, alias_table: pa.Table, n_salts: int = 4,
     # The edge list is small; driver-side union-find is the documented
     # design (SURVEY.md §7.4).
     return union_find_min_id(pairs)
+
+
+def build_entity_map_ds(quads_ds, alias_table: pa.Table, n_salts: int = 4):
+    """Dataset form of ``build_entity_map`` — the 100-TB path: unique
+    norms → alias/embedding linking (actor pool, broadcast dictionary) →
+    distributed min-ID fixpoint, all as Datasets with NO driver-side
+    collection anywhere. Returns the (norm, label) mapping Dataset; feed
+    it to ``resolve_quads_join_ds``."""
+    norms_ds = unique_norms(quads_ds, n_salts=n_salts)
+    alias_ref = ray.put(alias_table)
+    linked = norms_ds.map_batches(
+        AliasLinkStage,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+    return union_find_labels_ds(linked)
 
 
 def _resolve_col(col: pa.ChunkedArray, mapping: dict[str, str]) -> pa.Array:
@@ -325,28 +360,37 @@ def resolve_quads(quads_ds, mapping: dict[str, str]):
     return quads_ds.map_batches(resolver, batch_format="pyarrow")
 
 
-def resolve_quads_join(quads_ds, mapping: dict[str, str], num_partitions: int = 8):
-    """At-scale path: resolve via Ray-native hash joins on the surface key
-    instead of a broadcast dict (for when the mapping outgrows worker
-    heaps). Semantically identical to ``resolve_quads`` (tested).
+def resolve_quads_join_ds(quads_ds, mapping_ds, num_partitions: int | None = None):
+    """At-scale path: resolve via Ray-native hash joins against the
+    (norm, label) mapping DATASET — no driver dict anywhere, so the whole
+    unique-norms → link → union-find → resolve chain streams end-to-end.
+    Semantically identical to ``resolve_quads`` when every surface has a
+    mapping entry (always true when the mapping was built from the same
+    quads — tested for equivalence).
 
-    Partition count is capped so every hash partition of the (small)
-    mapping side stays non-empty — Ray 2.49's hash join crashes on
-    schema-less empty partitions."""
-    import ray.data as rd
+    Partition count defaults to a count-derived value so every hash
+    partition of the (small) mapping side stays non-empty — see
+    ``_safe_join_partitions`` for the Ray 2.49 caveat."""
+    mapping_ds = mapping_ds.materialize()  # consumed twice (subj + obj join)
+    if num_partitions is None:
+        num_partitions = _safe_join_partitions(mapping_ds.count())
 
-    num_partitions = max(1, min(num_partitions, len(mapping) // 16 or 1))
+    def as_subj(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pa.array([SURF_PREFIX] * t.num_rows, pa.string()), t["norm"], "")
+        return pa.table({"subj": key, "subj_canon": t["label"]})
 
-    map_ds_s = rd.from_items(
-        [{"subj": SURF_PREFIX + k, "subj_canon": v} for k, v in mapping.items()]
-    )
-    map_ds_o = rd.from_items(
-        [{"obj": SURF_PREFIX + k, "obj_canon": v} for k, v in mapping.items()]
-    )
-    ds = quads_ds.join(map_ds_s, join_type="left_outer", num_partitions=num_partitions,
-                       on=("subj",))
-    ds = ds.join(map_ds_o, join_type="left_outer", num_partitions=num_partitions,
-                 on=("obj",))
+    def as_obj(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pa.array([SURF_PREFIX] * t.num_rows, pa.string()), t["norm"], "")
+        return pa.table({"obj": key, "obj_canon": t["label"]})
+
+    map_ds_s = mapping_ds.map_batches(as_subj, batch_format="pyarrow")
+    map_ds_o = mapping_ds.map_batches(as_obj, batch_format="pyarrow")
+    ds = quads_ds.join(map_ds_s, join_type="left_outer",
+                       num_partitions=num_partitions, on=("subj",))
+    ds = ds.join(map_ds_o, join_type="left_outer",
+                 num_partitions=num_partitions, on=("obj",))
 
     def finish(t: pa.Table) -> pa.Table:
         subj = pc.coalesce(t["subj_canon"], t["subj"])
@@ -356,3 +400,20 @@ def resolve_quads_join(quads_ds, mapping: dict[str, str], num_partitions: int = 
         return t.drop_columns(["subj_canon", "obj_canon"])
 
     return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def resolve_quads_join(quads_ds, mapping: dict[str, str],
+                       num_partitions: int | None = None):
+    """Dict-input wrapper over ``resolve_quads_join_ds`` (kept for callers
+    holding a driver-side map; the Dataset form is the at-scale path)."""
+    import ray.data as rd
+
+    items = sorted(mapping.items())
+    mapping_ds = rd.from_arrow(pa.table({
+        "norm": pa.array([k for k, _ in items], pa.string()),
+        "label": pa.array([v for _, v in items], pa.string()),
+    }))
+    if num_partitions is None:
+        num_partitions = _safe_join_partitions(len(mapping))
+    return resolve_quads_join_ds(quads_ds, mapping_ds,
+                                 num_partitions=num_partitions)

@@ -125,3 +125,28 @@ def test_salt_split_invariance():
     # 3 distinct quads, each repeated 5× → n_src == 5
     assert len(outs[0]) == 3
     assert all(dict(r)["n_src"] == 5 for r in outs[0])
+
+
+def test_dataset_entity_map_path_matches_driver_dict(sf_dir):
+    """The fully-driver-free path (build_entity_map_ds →
+    resolve_quads_join_ds, no take_all anywhere) must produce the same
+    quad set as the broadcast-dict path."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.pages import build_alias_table
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+        build_entity_map, build_entity_map_ds, resolve_quads,
+        resolve_quads_join_ds)
+    from fcrepo3_rdf_extractor_ray.stages.extract import extract_quads_batch
+
+    raw = pages_for_sf(sf_dir).map_batches(
+        extract_quads_batch, batch_format="pyarrow").materialize()
+    alias = build_alias_table()
+
+    mapping = build_entity_map(raw, alias)
+    want = resolve_quads(raw, mapping).take_all()
+
+    mapping_ds = build_entity_map_ds(raw, alias)
+    got = resolve_quads_join_ds(raw, mapping_ds).take_all()
+
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, got)) == sorted(map(key, want))

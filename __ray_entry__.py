@@ -239,6 +239,14 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dups (inverted index, oracle-checked)."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               threshold=0.5, k=3)
+
+
 def _q_dedup_embedding(sf_dir: str):
     import os
 
@@ -395,6 +403,46 @@ def _q_mm_image_features(sf_dir: str):
     return image_features(items)
 
 
+def _q_mm_frame_sample(sf_dir: str):
+    """Frame-sampling plumbing with a fully deterministic, SQL-expressible
+    surface — the oracle-checked multimodal query. The explode stage's
+    byte offsets and slice lengths are byte-true (octet_length semantics,
+    not characters); the slices themselves are asserted in pytest (DuckDB
+    can't substring a BLOB, so the oracle compares the numeric surface)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import FrameSampleStage
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": t["doc_id"],
+            "payload": pa.array([s.encode("utf-8") for s in
+                                 t["text"].to_pylist()], pa.binary()),
+        })
+
+    frames = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    ).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"k": 4},
+        batch_format="pyarrow",
+        batch_size=64,  # binary payloads: small batches
+        concurrency=2,
+    )
+
+    def numeric_surface(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": t["item_id"],
+            "frame_no": t["frame_no"],
+            "byte_offset": t["byte_offset"],
+            "frame_len": pc.cast(pc.binary_length(t["frame_bytes"]),
+                                 pa.int64()),
+        })
+
+    return frames.map_batches(numeric_surface, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -415,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         # similarity search
         "sim_knn_brute": _q_sim_knn_brute,
@@ -435,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency_stats": _q_kg_adjacency_stats,
         # multimodal plumbing (stubbed codec)
         "mm_image_features": _q_mm_image_features,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -639,5 +689,41 @@ SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25,
        quantile_disc(n_chars, 0.75)::BIGINT AS p75
 FROM documents
 """,
+        # dedup_jaccard: exact inverted-index n-gram Jaccard — the one
+        # near-dup method with a faithful SQL mirror (the LSH methods'
+        # hash families are not SQL-expressible).
+        "dedup_jaccard": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(greatest(len(ts) - 2, 0)),
+                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS ng
+  FROM t WHERE len(ts) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       floor(1000000.0 * i.c / (sa.n + sb.n - i.c))::BIGINT AS jaccard_micro
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+             JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE 1000000.0 * i.c / (sa.n + sb.n - i.c) >= 500000.0
+""",
         # mm_image_features: stubbed codec, no SQL equivalent — rows-only.
+        "mm_frame_sample": """
+WITH p AS (
+  SELECT doc_id AS item_id, octet_length(encode(text)) AS nb,
+         greatest(octet_length(encode(text)), 1) AS n
+  FROM documents),
+f AS (SELECT unnest(range(4)) AS frame_no)
+SELECT p.item_id, f.frame_no::INT AS frame_no,
+       ((f.frame_no * p.n) // 4)::BIGINT AS byte_offset,
+       greatest(least(16, p.nb - (f.frame_no * p.n) // 4), 0)::BIGINT
+           AS frame_len
+FROM p CROSS JOIN f
+""",
     }

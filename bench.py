@@ -67,15 +67,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     qs = em.queries()
     timings: dict[str, float] = {}
 
+    # steady-state protocol (same as the scaling runs): one untimed
+    # warm-up pays the one-time worker spawn + imports that a long-lived
+    # cluster amortizes to nothing; timings below measure the pipelines
+    import ray.data as rd
+
+    rd.range(1024, override_num_blocks=num_cpus).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+    _flagship(sf_dir)  # untimed warm-up run
+
     kg_sec, n_triples = _flagship(sf_dir)
     timings["kg_quads_all"] = round(kg_sec, 3)
 
     for name in ("kg_extracted_text", "kg_mentions", "ta_quality",
                  "ta_lang_id", "dedup_exact", "dedup_minhash",
-                 "dedup_simhash", "sim_knn_brute", "sim_knn_ivf",
-                 "rel_pricing_summary", "rel_top_customers",
+                 "dedup_simhash", "dedup_jaccard", "sim_knn_brute",
+                 "sim_knn_ivf", "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions",
-                 "mm_image_features"):
+                 "mm_image_features", "mm_frame_sample"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -8,8 +8,9 @@ Mirrors the reference's option surface (Extract.java:89-139):
     -n/--numExtractorThreads       | --parallelism (ray num_cpus)
     -q/--queueSize                 | (streaming backpressure — built in)
     -o/--outputLocation            | --output-dir
-    --skipEmptyLiterals            | --keep-empty-literals (inverted;
-                                   |   skip is the pipeline default)
+    --skipEmptyLiterals            | --skip-empty-literals (same opt-in
+                                   |   polarity as the reference: empty
+                                   |   literals are KEPT by default)
     positional URIs (subset run)   | --urls (explicit page subset)
     (none — no resume in reference)| --checkpoint-dir / wave resume
 
@@ -35,8 +36,9 @@ def main(argv=None) -> int:
                     help="re-home all quads into this graph (F4 rewrite)")
     ap.add_argument("--parallelism", type=int, default=None,
                     help="ray num_cpus (default: all cores)")
-    ap.add_argument("--keep-empty-literals", action="store_true",
-                    help="disable the empty-literal filter (F1 is on by default)")
+    ap.add_argument("--skip-empty-literals", action="store_true",
+                    help="drop empty-string literals (F1; opt-in, matching "
+                         "the reference's --skipEmptyLiterals default)")
     ap.add_argument("--urls", nargs="*", default=None,
                     help="restrict to these page urls (subset run)")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -80,7 +82,7 @@ def main(argv=None) -> int:
         )
         raw = pages.map_batches(
             extract_quads_batch,
-            fn_kwargs={"skip_empty_literals": not args.keep_empty_literals},
+            fn_kwargs={"skip_empty_literals": args.skip_empty_literals},
             batch_format="pyarrow",
         ).materialize()
         mapping = build_entity_map(raw, build_alias_table(),
@@ -89,7 +91,7 @@ def main(argv=None) -> int:
     elif args.checkpoint_dir:
         quads = run_kg_resumable(
             args.sf_dir, args.checkpoint_dir, n_salts=args.n_salts,
-            skip_empty_literals=not args.keep_empty_literals)
+            skip_empty_literals=args.skip_empty_literals)
         if quads is None:
             print("extraction incomplete (crashed run); re-invoke to resume",
                   file=sys.stderr)
@@ -97,7 +99,7 @@ def main(argv=None) -> int:
     else:
         quads = run_kg(args.sf_dir, use_join_resolve=args.use_join_resolve,
                        n_salts=args.n_salts,
-                       skip_empty_literals=not args.keep_empty_literals)
+                       skip_empty_literals=args.skip_empty_literals)
 
     if args.graph_name:
         from .stages.filters import tag_graph

@@ -11,6 +11,9 @@
   bucketing.
 - ``embedding_neardup_pairs`` — cosine near-dups over an embedding
   column via random-hyperplane LSH buckets + exact verify.
+- ``ngram_jaccard_pairs`` — EXACT word-k-gram Jaccard near-dups via a
+  distributed inverted index (intersection counts fall out of the
+  index; oracle-checkable, unlike the LSH approximations).
 """
 
 from __future__ import annotations
@@ -592,3 +595,139 @@ def embedding_neardup_pairs(emb_ds, dim: int, threshold: float = 0.99,
 
     g = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_micro"))
     return _rename(g, {"max(cos_micro)": "cos_micro"})
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact similarity, inverted-index candidates)
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                        text_col="text", id_col="doc_id",
+                        max_df: int = 4096, n_parts: int = 64):
+    """EXACT word-k-gram Jaccard near-dup pairs via a distributed
+    inverted index — no approximation (unlike MinHash): for docs a, b
+    with distinct-k-gram sets A, B, J = |A∩B| / (|A|+|B|-|A∩B|), where
+    the intersection count falls out of the index itself (each shared
+    k-gram contributes one (a, b) co-occurrence).
+
+    Plan: per-doc distinct k-gram hashes (+ the doc's set size carried
+    on every row — 8 bytes beats a separate size join) → hash-partition
+    the index on the k-gram → per-partition vectorized pair generation
+    with PARTIAL (a, b) counts → one global pair aggregate
+    (Sum / Max-of-constant) → threshold filter. Two exchanges total,
+    both combiner-bounded.
+
+    ``max_df``: k-grams appearing in more than this many docs are
+    dropped as stop-grams (a df-cap, the standard inverted-index guard
+    against O(df²) pair blowup). NOT silent: dropped k-gram counts are
+    emitted on stderr per partition. The DuckDB oracle matches exactly
+    whenever no k-gram exceeds the cap (true for the test corpora).
+
+    Mirrors (for the oracle): tokens = whitespace-split, k-grams only
+    for docs with ≥ k tokens, sets are distinct, J compared pre-floor in
+    float64, reported as ``jaccard_micro`` (floor ×1e6)."""
+    from ..functions.hashing import shingle_hashes_fast
+
+    def doc_ngrams(t: pa.Table) -> pa.Table:
+        memo = _worker_memo()
+        ids, ngs, ns = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = txt.split()
+            if len(toks) < k:
+                continue  # oracle semantics: no k-grams for short docs
+            hs = shingle_hashes_fast(toks, k=k, memo=memo)  # distinct
+            ids.append(np.full(len(hs), i, dtype=np.int64))
+            ngs.append(hs.view(np.int64))
+            ns.append(np.full(len(hs), len(hs), dtype=np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ng": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        ng = np.concatenate(ngs)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            "ng": pa.array(ng, pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
+            "part": pa.array((ng & (n_parts - 1)).astype(np.int32),
+                             pa.int32()),
+        })
+
+    grams = docs_ds.map_batches(doc_ngrams, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("ng")["doc_id"].transform("size")
+        hot = sizes > max_df
+        if hot.any():
+            import sys
+
+            print(f"ngram_jaccard: dropped "
+                  f"{df.loc[hot, 'ng'].nunique()} stop-grams (df>{max_df})",
+                  file=sys.stderr)
+            df = df[~hot]
+        df = df[df.groupby("ng")["doc_id"].transform("size") >= 2]
+        df = df.sort_values(["ng", "doc_id"])
+        a_chunks, b_chunks, na_chunks, nb_chunks = [], [], [], []
+        for _, sub in df.groupby("ng"):
+            ids = sub["doc_id"].to_numpy()
+            ns = sub["n"].to_numpy()
+            ia, ja = np.triu_indices(len(ids), k=1)
+            a_chunks.append(ids[ia])
+            b_chunks.append(ids[ja])
+            na_chunks.append(ns[ia])
+            nb_chunks.append(ns[ja])
+        if not a_chunks:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "na": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "doc_a": np.concatenate(a_chunks),
+            "doc_b": np.concatenate(b_chunks),
+            "na": np.concatenate(na_chunks),
+            "nb": np.concatenate(nb_chunks),
+        })
+        # partial combiner: co-occurrence count within this partition
+        g = out.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            c=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+        return g[["doc_a", "doc_b", "c", "na", "nb"]].astype("int64")
+
+    pairs_part = grams.groupby("part").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # global pair aggregate via hash-partition + ONE vectorized Arrow
+    # group_by per partition — Ray's builtin aggregate costs ~µs of
+    # Python per group per agg, which dominates at the millions of
+    # candidate pairs a templated web corpus produces
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ df["doc_b"].to_numpy(np.uint64))
+        df["pp"] = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        return df
+
+    def combine_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["pp", "doc_a", "doc_b"]).aggregate(
+            [("c", "sum"), ("na", "min"), ("nb", "min")])
+        return g.rename_columns(["pp", "doc_a", "doc_b", "sum(c)",
+                                 "max(na)", "max(nb)"])
+
+    g = (pairs_part.map_batches(add_pair_part, batch_format="pandas")
+         .groupby("pp")
+         .map_groups(combine_pairs, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["max(na)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["max(nb)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # same float64 expression shape as the SQL oracle so the floor
+        # and the threshold comparison agree bit-for-bit
+        jm = 1000000.0 * c / (na + nb - c)
+        keep = pa.array(jm >= threshold * 1000000.0)
+        return pa.table({
+            "doc_a": t["doc_a"].filter(keep),
+            "doc_b": t["doc_b"].filter(keep),
+            "jaccard_micro": pa.array(
+                np.floor(jm[np.asarray(keep)]).astype(np.int64), pa.int64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")

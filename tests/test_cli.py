@@ -20,6 +20,7 @@ def test_cli_end_to_end(tmp_path):
         [sys.executable, "-m", "fcrepo3_rdf_extractor_ray.cli",
          "--sf-dir", "/root/testdata/sf0.001",
          "--output-dir", out,
+         "--skip-empty-literals",  # F1 on → the golden flagship count
          "--partition-by-subject-hash"],
         capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
     )
@@ -51,3 +52,23 @@ def test_cli_subset_urls(tmp_path):
                           if l.startswith("{")][-1])
     # 2 pages: 4 constant + 4 meta (title/desc/kw/state) + 1 fact each
     assert 14 <= payload["quads"] <= 18
+
+
+@pytest.mark.slow
+def test_cli_default_keeps_empty_literals(tmp_path):
+    """Reference CLI parity (Extract.java:122-124): empty literals are
+    KEPT unless --skip-empty-literals is passed — the opt-in polarity."""
+    out = str(tmp_path / "out")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(
+        [sys.executable, "-m", "fcrepo3_rdf_extractor_ray.cli",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--output-dir", out, "--no-nquads"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads([l for l in r.stdout.strip().splitlines()
+                          if l.startswith("{")][-1])
+    # empty-description quads (doc_id % 11 pages) survive → more than the
+    # skip-filtered golden count
+    assert payload["quads"] > 4083

@@ -81,3 +81,25 @@ def test_embedding_neardup_pairs():
     pairset = {tuple(p) for p in pairs[["vec_a", "vec_b"]].itertuples(index=False)}
     assert (0, 5) in pairset
     assert len(pairset) == 1
+
+
+def test_ngram_jaccard_exact_pairs():
+    import ray.data as rd
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d e",   # trigrams: abc bcd cde
+            "a b c d x",   # shares abc bcd → J = 2/4 = 0.5
+            "q r s t u",   # disjoint
+            "a b",         # < k tokens → no ngrams
+        ]),
+    })
+    out = ngram_jaccard_pairs(rd.from_arrow(t).repartition(2),
+                              threshold=0.5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard_micro"]) == (1, 2, 500000)

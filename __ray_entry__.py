@@ -160,12 +160,11 @@ def _q_kg_mentions(sf_dir: str):
 
 def _q_kg_extracted_text(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
-    from fcrepo3_rdf_extractor_ray.stages.extract import ExtractTextStage
+    from fcrepo3_rdf_extractor_ray.stages.extract import extract_text_batch
 
+    # task form: regex state is module-level, warm workers skip actor ramp
     return pages_for_sf(sf_dir).map_batches(
-        ExtractTextStage, batch_format="pyarrow",
-        concurrency=__import__("fcrepo3_rdf_extractor_ray.runtime", fromlist=["pool"]).pool(0.5)
-    )
+        extract_text_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +402,20 @@ def _q_mm_image_features(sf_dir: str):
     return image_features(items)
 
 
+def _q_rel_asof(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        asof_last_purchase)
+
+    return asof_last_purchase(sf_dir)
+
+
+def _q_rel_range_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        range_join_attribution)
+
+    return range_join_attribution(sf_dir)
+
+
 def _q_mm_frame_sample(sf_dir: str):
     """Frame-sampling plumbing with a fully deterministic, SQL-expressible
     surface — the oracle-checked multimodal query. The explode stage's
@@ -479,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessions": _q_rel_sessions,
         "rel_semi_join": _q_rel_semi_join,
         "rel_props_sum": _q_rel_props_sum,
+        "rel_asof": _q_rel_asof,
+        "rel_range_join": _q_rel_range_join,
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
@@ -688,6 +703,21 @@ SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25,
        quantile_disc(n_chars, 0.50)::BIGINT AS p50,
        quantile_disc(n_chars, 0.75)::BIGINT AS p75
 FROM documents
+""",
+        "rel_asof": """
+SELECT e.event_id, e.user_id, e.ts,
+       coalesce(epoch_us(e.ts) - epoch_us(p.ts), -1)::BIGINT AS gap_us
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+""",
+        "rel_range_join": """
+SELECT p.event_id, count(c.event_id)::BIGINT AS n_clicks
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
 """,
         # dedup_jaccard: exact inverted-index n-gram Jaccard — the one
         # near-dup method with a faithful SQL mirror (the LSH methods'

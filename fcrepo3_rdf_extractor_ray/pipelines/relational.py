@@ -353,3 +353,85 @@ def distinct_users_by_type(sf_dir: str):
     pairs = pairs.select_columns(["event_type", "user_id"])
     g = pairs.groupby("event_type").aggregate(Count())
     return _rename(g, {"count()": "n_users"})
+
+
+def asof_last_purchase(sf_dir: str, n_parts: int = 32):
+    """AS-OF JOIN (time-series feature op): each event gains the
+    timestamp of the SAME user's most recent strictly-earlier 'purchase'
+    event and the gap in epoch-microseconds — the "time since last X"
+    feature a training pipeline derives per example.
+
+    Ray shape: one exchange (user-hash partition co-locates each user's
+    events with their purchases), then a vectorized ``pandas.merge_asof``
+    per partition — as-of needs only per-key time-locality, never a
+    global sort. Gap is exact integer microseconds so the DuckDB ASOF
+    JOIN oracle compares bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.sort_values("ts", kind="mergesort")
+        right = (df[df["event_type"] == "purchase"][["user_id", "ts"]]
+                 .sort_values("ts", kind="mergesort")
+                 .rename(columns={"ts": "last_purchase_ts"}))
+        out = pd.merge_asof(left, right, left_on="ts",
+                            right_on="last_purchase_ts", by="user_id",
+                            direction="backward", allow_exact_matches=False)
+        gap = (out["ts"].astype("int64")
+               - out["last_purchase_ts"].astype("int64"))
+        # -1 sentinel for "no earlier purchase" keeps the column a plain
+        # int64 (a nullable int would round-trip unstably through the
+        # pandas block format and the DuckDB fetch)
+        out["gap_us"] = gap.where(out["last_purchase_ts"].notna(),
+                                  -1).astype("int64")
+        return out[["event_id", "user_id", "ts", "gap_us"]]
+
+    return ds.groupby("part").map_groups(asof, batch_format="pandas")
+
+
+def range_join_attribution(sf_dir: str, window_minutes: int = 10,
+                           n_parts: int = 32):
+    """RANGE (interval) JOIN: for every 'purchase' event, count the same
+    user's 'click' events in the half-open window (ts - w, ts) — the
+    classic attribution join a feature pipeline runs at scale.
+
+    Ray shape: one user-hash exchange, then per-partition vectorized
+    counting — clicks sorted once per (partition, user) and windows
+    resolved by binary search (``np.searchsorted``), never an O(n²)
+    nested loop. The partition key bounds group count, the per-user
+    work is two sorted arrays."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n = [], []
+        purchases = df[df["event_type"] == "purchase"]
+        clicks = df[df["event_type"] == "click"]
+        for uid, p in purchases.groupby("user_id"):
+            c = clicks[clicks["user_id"] == uid]["ts"].astype("int64")
+            c = np.sort(c.to_numpy())
+            pts = p["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(c, pts - w_us, side="right")  # ts > p-w
+            hi = np.searchsorted(c, pts, side="left")          # ts < p
+            out_id.append(p["event_id"].to_numpy())
+            out_n.append(hi - lo)
+        if not out_id:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_clicks": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_id).astype("int64"),
+            "n_clicks": np.concatenate(out_n).astype("int64"),
+        })
+
+    return ds.groupby("part").map_groups(attribute, batch_format="pandas")

@@ -236,10 +236,29 @@ class ExtractQuadsStage:
         return out
 
 
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Task form of ``ExtractTextStage`` — the parse has no per-worker
+    state beyond module-level compiled regexes, so warm-worker tasks
+    beat paying an actor-pool ramp. Same output, errors contained per
+    row (rows dropped)."""
+    urls, texts = [], []
+    for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        try:
+            page = parse_page(html)
+        except PageParseError:
+            continue
+        urls.append(url)
+        texts.append(page.text)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "text": pa.array(texts, pa.string())})
+
+
 class ExtractTextStage:
     """pages batch → (url, text) with the boilerplate-stripped main text —
     the byte-identical-per-url invariant surface (BASELINE.json
-    input_hint). Malformed pages are dropped (error contained per row)."""
+    input_hint). Malformed pages are dropped (error contained per row).
+    Actor form (per-actor error counter feeds lineage); the stateless
+    task form is ``extract_text_batch``."""
 
     def __init__(self):
         self.errors = 0

@@ -104,12 +104,22 @@ class FrameSampleStage:
 
 def image_features(items_ds, id_col="item_id", payload_col="payload",
                    batch_size: int = 64, concurrency=None):
-    from ..runtime import pool
+    """Decode stage. Default is task form on warm workers (the stubbed
+    codec has no per-actor setup worth a pool ramp); pass ``concurrency``
+    to get the actor-pool form — the right shape once ``real_decode``
+    loads an actual codec/model per actor."""
+    if concurrency is not None:
+        return items_ds.map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"id_col": id_col,
+                                   "payload_col": payload_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,  # binary payloads: small batches
+            concurrency=concurrency,
+        )
 
-    return items_ds.map_batches(
-        DecodeImageStage,
-        fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,  # binary payloads: small batches
-        concurrency=concurrency or pool(0.5),
-    )
+    def decode_batch(t: pa.Table) -> pa.Table:
+        return DecodeImageStage(id_col=id_col, payload_col=payload_col)(t)
+
+    return items_ds.map_batches(decode_batch, batch_format="pyarrow",
+                                batch_size=batch_size)

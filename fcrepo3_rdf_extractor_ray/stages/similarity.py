@@ -23,6 +23,21 @@ import pyarrow as pa
 import ray
 
 
+# Per-worker stage cache: tasks run on Ray's long-lived warm worker
+# processes, so module state persists across batches — actor-pool-style
+# once-per-worker setup without paying the pool spawn/ramp. Bounded.
+_STAGE_CACHE: dict = {}
+
+
+def _cached(key, factory):
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        if len(_STAGE_CACHE) >= 8:
+            _STAGE_CACHE.clear()
+        st = _STAGE_CACHE[key] = factory()
+    return st
+
+
 def _unit(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -92,16 +107,30 @@ def knn_bruteforce(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
                    concurrency=None):
     """Exact cosine top-k. Returns (query_id, neighbor_id, cos_micro).
     Ties broken by neighbor_id ascending (deterministic, oracle-safe)."""
-    from ..runtime import pool
 
     q_ref = ray.put(query_vectors)
-    cand_ds = emb_ds.map_batches(
-        BruteForceTopKStage,
-        fn_constructor_kwargs={"queries_ref": q_ref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency or pool(0.5),
-    )
+
+    def brute_batch(t: pa.Table) -> pa.Table:
+        # task form: warm workers skip the actor ramp; the stage object
+        # (broadcast query matrix + norms) is built once per WORKER via
+        # the module cache. (Use the actor-class form when per-actor
+        # setup is heavy and exclusive, e.g. a learned re-ranker.)
+        stage = _cached(
+            ("brute", q_ref.hex(), k, id_col, vec_col),
+            lambda: BruteForceTopKStage(q_ref, k, id_col=id_col,
+                                        vec_col=vec_col))
+        return stage(t)
+
+    if concurrency is not None:
+        cand_ds = emb_ds.map_batches(
+            BruteForceTopKStage,
+            fn_constructor_kwargs={"queries_ref": q_ref, "k": k,
+                                   "id_col": id_col, "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        cand_ds = emb_ds.map_batches(brute_batch, batch_format="pyarrow")
     # candidate set is #blocks × #queries × (k+1) — a small reduce; the
     # driver-side merge is the documented tree-reduce stand-in
     cands = cand_ds.to_pandas()
@@ -199,19 +228,19 @@ def knn_ivf(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
     driver — the full vector corpus never leaves the tasks."""
     import pyarrow.compute as pc
 
-    from ..runtime import pool
 
     sample = emb_ds.limit(sample_size).to_pandas()
     X = np.asarray(sample[vec_col].tolist(), dtype=np.float64)
     C = _kmeans_lite(X, n_clusters)
     c_ref = ray.put(C)
-    assigned = emb_ds.map_batches(
-        IVFAssignStage,
-        fn_constructor_kwargs={"centroids_ref": c_ref, "id_col": id_col,
-                               "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=pool(0.5),
-    )
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        stage = _cached(("ivf-assign", c_ref.hex(), id_col, vec_col),
+                        lambda: IVFAssignStage(c_ref, id_col=id_col,
+                                               vec_col=vec_col))
+        return stage(t)
+
+    assigned = emb_ds.map_batches(assign_batch, batch_format="pyarrow")
     qids = list(query_vectors.keys())
     Q = _unit(np.asarray([query_vectors[i] for i in qids], dtype=np.float64))
     Cn = _unit(C)
@@ -219,17 +248,17 @@ def knn_ivf(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
     wanted_buckets = sorted({int(b) for row in probe for b in row})
     plan_ref = ray.put((qids, Q, probe))
 
+    def search_batch(t: pa.Table) -> pa.Table:
+        stage = _cached(("ivf-search", plan_ref.hex(), k),
+                        lambda: IVFSearchStage(plan_ref, k))
+        return stage(t)
+
     cand_ds = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"],
                                     value_set=pa.array(wanted_buckets,
                                                        pa.int64()))),
         batch_format="pyarrow",
-    ).map_batches(
-        IVFSearchStage,
-        fn_constructor_kwargs={"plan_ref": plan_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=pool(0.5),
-    )
+    ).map_batches(search_batch, batch_format="pyarrow")
     cands = cand_ds.to_pandas()
     if cands.empty:
         cands = pd.DataFrame(

@@ -1,0 +1,66 @@
+"""As-of join + range (interval) join — the time-series feature ops."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchase @0min, clicks @2,5min, purchase @9min,
+        #         view @9.5min
+        (1, 1, base, "purchase", 1.0, "{}"),
+        (2, 1, base + dt.timedelta(minutes=2), "click", 0.0, "{}"),
+        (3, 1, base + dt.timedelta(minutes=5), "click", 0.0, "{}"),
+        (4, 1, base + dt.timedelta(minutes=9), "purchase", 2.0, "{}"),
+        (5, 1, base + dt.timedelta(minutes=9, seconds=30), "view", 0.0, "{}"),
+        # user 2: click @0, purchase @15min (click outside 10-min window)
+        (6, 2, base, "click", 0.0, "{}"),
+        (7, 2, base + dt.timedelta(minutes=15), "purchase", 3.0, "{}"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_asof_last_purchase(events_dir, sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        asof_last_purchase)
+
+    out = asof_last_purchase(events_dir).to_pandas().set_index("event_id")
+    # first event of each user: no earlier purchase → sentinel
+    assert out.loc[1, "gap_us"] == -1
+    assert out.loc[6, "gap_us"] == -1
+    # clicks after user 1's purchase @0
+    assert out.loc[2, "gap_us"] == 2 * 60 * 1_000_000
+    assert out.loc[3, "gap_us"] == 5 * 60 * 1_000_000
+    # the 9-min purchase sees the @0 one (strictly earlier), not itself
+    assert out.loc[4, "gap_us"] == 9 * 60 * 1_000_000
+    # view @9.5min sees the 9-min purchase
+    assert out.loc[5, "gap_us"] == 30 * 1_000_000
+    # user 2's purchase: no earlier purchase for that user
+    assert out.loc[7, "gap_us"] == -1
+
+
+def test_range_join_attribution(events_dir, sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        range_join_attribution)
+
+    out = range_join_attribution(events_dir).to_pandas().set_index("event_id")
+    assert set(out.index) == {1, 4, 7}  # one row per purchase
+    assert out.loc[1, "n_clicks"] == 0  # nothing before the first purchase
+    assert out.loc[4, "n_clicks"] == 2  # clicks @2,5min inside (−10m, 9m)
+    assert out.loc[7, "n_clicks"] == 0  # click @0 outside the 10-min window

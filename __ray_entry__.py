@@ -416,6 +416,14 @@ def _q_rel_range_join(sf_dir: str):
     return range_join_attribution(sf_dir)
 
 
+def _q_prep_corpus(sf_dir: str):
+    """Composite LLM-data prep chain (filter -> dedup -> sample), one
+    streaming pipeline, oracle-checked end-to-end."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import prep_corpus
+
+    return prep_corpus(sf_dir, docs_ds=_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_mm_frame_sample(sf_dir: str):
     """Frame-sampling plumbing with a fully deterministic, SQL-expressible
     surface — the oracle-checked multimodal query. The explode stage's
@@ -494,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_props_sum": _q_rel_props_sum,
         "rel_asof": _q_rel_asof,
         "rel_range_join": _q_rel_range_join,
+        "prep_corpus": _q_prep_corpus,
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
@@ -718,6 +727,17 @@ FROM events p LEFT JOIN events c
  AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
+""",
+        "prep_corpus": """
+WITH q AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+f AS (SELECT * FROM q WHERE n_tokens >= 20),
+d AS (SELECT text, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+      FROM f GROUP BY text)
+SELECT doc_id, n_tokens FROM d WHERE substring(md5(text), 1, 2) < '40'
 """,
         # dedup_jaccard: exact inverted-index n-gram Jaccard — the one
         # near-dup method with a faithful SQL mirror (the LSH methods'

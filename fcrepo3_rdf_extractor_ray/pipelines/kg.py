@@ -174,8 +174,20 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     merge_lineage(checkpoint_dir, stage="extract")
     raw = read_all_groups(checkpoint_dir, "extract")
     alias = build_alias_table()
-    mapping = build_entity_map(raw, alias, n_salts=n_salts)
-    resolved = resolve_quads(raw, mapping)
+    # mid-pipeline resume continues PAST extraction: the entity map (the
+    # second expensive phase) is itself an atomic checkpoint — a crash
+    # between map-build and resolve re-reads it instead of re-linking.
+    # Uses the Dataset-native map path (checkpoint = parquet of
+    # (norm, label)), proven equivalent to the broadcast-dict path.
+    from ..stages.canonicalize import (build_entity_map_ds,
+                                       resolve_quads_join_ds)
+    from ..state.lineage import read_checkpoint
+
+    if not checkpoint_exists(checkpoint_dir, "entitymap"):
+        mapping_ds = build_entity_map_ds(raw, alias, n_salts=n_salts)
+        checkpoint_quads(mapping_ds, checkpoint_dir, stage="entitymap")
+    mapping_ds = read_checkpoint(checkpoint_dir, stage="entitymap")
+    resolved = resolve_quads_join_ds(raw, mapping_ds)
     return dedup_quads(resolved, n_salts=n_salts)
 
 

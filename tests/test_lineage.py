@@ -69,3 +69,16 @@ def test_checkpoint_skip_is_idempotent(sf_dir, ckpt_dir):
     # second call must skip all extraction work and return the same result
     ds2 = run_kg_resumable(sf_dir, ckpt_dir, wave_size=8)
     assert ds2.count() == n1
+
+
+def test_entitymap_checkpoint_reused(sf_dir, ckpt_dir):
+    """Mid-pipeline resume: the entity map commits as its own atomic
+    checkpoint; a re-invocation reuses it (same mtime) instead of
+    re-running the linking phase."""
+    run_kg_resumable(sf_dir, ckpt_dir, wave_size=8).count()
+    em_dir = os.path.join(ckpt_dir, "stage=entitymap")
+    manifest = os.path.join(em_dir, "_MANIFEST.json")
+    assert os.path.exists(manifest)
+    mtime = os.path.getmtime(manifest)
+    run_kg_resumable(sf_dir, ckpt_dir, wave_size=8).count()
+    assert os.path.getmtime(manifest) == mtime  # untouched on resume

@@ -416,6 +416,12 @@ def _q_rel_range_join(sf_dir: str):
     return range_join_attribution(sf_dir)
 
 
+def _q_ta_vocab(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import vocab_top_terms
+
+    return vocab_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=100)
+
+
 def _q_prep_corpus(sf_dir: str):
     """Composite LLM-data prep chain (filter -> dedup -> sample), one
     streaming pipeline, oracle-checked end-to-end."""
@@ -503,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof": _q_rel_asof,
         "rel_range_join": _q_rel_range_join,
         "prep_corpus": _q_prep_corpus,
+        "ta_vocab": _q_ta_vocab,
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
@@ -727,6 +734,14 @@ FROM events p LEFT JOIN events c
  AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
+""",
+        "ta_vocab": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents)
+SELECT token, count(*)::BIGINT AS n
+FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 100
 """,
         "prep_corpus": """
 WITH q AS (

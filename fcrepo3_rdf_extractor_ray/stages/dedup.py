@@ -23,11 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import (
-    hamming64,
-    minhash_signature,
-    simhash64,
-)
+from ..functions.hashing import minhash_signature, simhash64
 from ..runtime import pool as _pool
 from ..schema import QUAD_KEY_COLS
 

@@ -116,3 +116,41 @@ def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
         })
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
+                    n_parts: int = 64):
+    """Distributed word count → global top-k terms: the vocabulary /
+    term-frequency builder every corpus pipeline needs.
+
+    Shape: per-batch vectorized explode + PARTIAL counts (the combiner —
+    the shuffle moves one row per distinct token per batch, never one
+    per occurrence) → token-hash partition → one vectorized Arrow
+    group_by per partition → tiny global sort+limit over the vocabulary.
+    Ties at the k-boundary break (count DESC, token ASC), matching the
+    SQL oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import siphash64_batch
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split().explode().dropna()
+        counts = toks.value_counts()
+        tokens = counts.index.to_numpy(dtype=object)
+        part = (siphash64_batch(list(tokens)) % n_parts).astype(np.int32)
+        return pd.DataFrame({
+            "token": tokens,
+            "n": counts.to_numpy().astype("int64"),
+            "part": part,
+        })
+
+    ds = docs_ds.map_batches(combine, batch_format="pandas")
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["part", "token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["part", "token", "n"])
+
+    g = ds.groupby("part").map_groups(part_sum, batch_format="pyarrow")
+    g = g.map_batches(lambda t: t.drop_columns(["part"]),
+                      batch_format="pyarrow")
+    return g.sort(["n", "token"], descending=[True, False]).limit(k)

@@ -104,8 +104,36 @@ def top_customers(sf_dir: str, limit: int = 10):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = orders.map_batches(join_name, batch_format="pyarrow")
-    g = joined.groupby(["c_custkey", "c_name"]).aggregate(Sum("total_cents"))
-    g = _rename(g, {"sum(total_cents)": "total_cents"})
+
+    # per-customer sum via per-batch combiner → custkey-hash partition →
+    # one vectorized Arrow group_by per partition (Ray's builtin
+    # aggregate pays ~µs of Python per group — too slow at 10k+ keys)
+    n_parts = 16
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey", "c_name"]).aggregate(
+            [("total_cents", "sum")])
+        g = g.rename_columns(["c_custkey", "c_name", "total_cents"])
+        part = pc.cast(pc.bit_wise_and(g["c_custkey"], n_parts - 1),
+                       pa.int32())
+        return g.append_column("part", part)
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["part", "c_custkey", "c_name"]).aggregate(
+            [("total_cents", "sum")])
+        g = g.rename_columns(["part", "c_custkey", "c_name", "total_cents"])
+        # partial top-k: each partition holds every row of its customers
+        # (sums are final here), so the global top-k is a subset of the
+        # union of per-partition top-k — the final sort sees ≤
+        # n_parts × limit rows instead of the whole customer table
+        idx = pc.sort_indices(g, sort_keys=[("total_cents", "descending"),
+                                            ("c_custkey", "ascending")])
+        return g.take(idx[:limit])
+
+    g = (joined.map_batches(combine, batch_format="pyarrow")
+         .groupby("part").map_groups(part_sum, batch_format="pyarrow")
+         .map_batches(lambda t: t.drop_columns(["part"]),
+                      batch_format="pyarrow"))
     return g.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(limit)
 
 

@@ -107,8 +107,11 @@ def _q_kg_meta_quads(sf_dir: str):
         rows = []
         for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
             try:
+                # catch-all containment, matching stages/extract.py (a
+                # post-parse data error — e.g. unmapped robots enum —
+                # must also never fail the task)
                 rows.extend(meta_quad_rows(url, parse_page(html)))
-            except PageParseError:
+            except Exception:
                 continue
         if not rows:
             return empty_quads_table()

@@ -543,6 +543,22 @@ class HyperplaneBucketStage:
         )
 
 
+_PLANE_CACHE: dict = {}
+
+
+def _hyperplane_stage(dim, n_planes, n_tables, id_col, vec_col):
+    """Per-worker cached HyperplaneBucketStage (module-level function →
+    pickled by reference, so the cache dict resolves to each WORKER's
+    module instance and persists across that worker's tasks)."""
+    key = (dim, n_planes, n_tables, id_col, vec_col)
+    st = _PLANE_CACHE.get(key)
+    if st is None:
+        st = _PLANE_CACHE[key] = HyperplaneBucketStage(
+            dim=dim, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col)
+    return st
+
+
 def embedding_neardup_pairs(emb_ds, dim: int, threshold: float = 0.99,
                             n_planes=8, n_tables=4, max_bucket=512,
                             id_col="vec_id", vec_col="embedding"):
@@ -552,14 +568,13 @@ def embedding_neardup_pairs(emb_ds, dim: int, threshold: float = 0.99,
     shuffle volume) — the brute-force exact path lives in
     stages/similarity.py."""
 
-    sig = emb_ds.map_batches(
-        HyperplaneBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "n_tables": n_tables, "id_col": id_col,
-                               "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=_pool(0.5),
-    )
+    # task form on warm workers: the hyperplanes are a seeded-RNG pure
+    # function (identical on every worker), built once per worker via the
+    # module-level cache helper — no actor-pool ramp
+    def bucket_sigs(t: pa.Table) -> pa.Table:
+        return _hyperplane_stage(dim, n_planes, n_tables, id_col, vec_col)(t)
+
+    sig = emb_ds.map_batches(bucket_sigs, batch_format="pyarrow")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         frames = []

@@ -53,11 +53,20 @@ class NerStage:
 
 
 def detect_mentions(pages_ds, concurrency=None, batch_size: int = 4096):
-    from ..runtime import pool
+    """Default is task form on warm workers (the regex "model" is a
+    module-level compiled pattern — no per-actor setup worth a pool
+    ramp); pass ``concurrency`` for the actor-pool form, the right shape
+    once a real NER model loads per actor."""
+    if concurrency is not None:
+        return pages_ds.map_batches(
+            NerStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
-    return pages_ds.map_batches(
-        NerStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or pool(0.5),
-    )
+    def ner_batch(t):
+        return NerStage()(t)
+
+    return pages_ds.map_batches(ner_batch, batch_format="pyarrow",
+                                batch_size=batch_size)

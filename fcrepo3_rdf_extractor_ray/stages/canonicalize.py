@@ -243,7 +243,11 @@ def union_find_labels_ds(edges_ds, max_iters: int = 16,
     # #entities-scale, and a concrete schema sidesteps empty-partition
     # schema loss inside the hash-join aggregator.
     norm_lab = _min_by(edges, "norm", "candidate_id", "label").materialize()
-    prev = None
+    # seed the convergence baseline with the INITIAL labels: in the common
+    # star-shaped case (every norm linked to exactly one candidate, as
+    # AliasLinkStage emits) labels never change, so the loop exits after
+    # ONE round instead of needing a second confirmation pass
+    prev = checksum(norm_lab.select_columns(["norm", "label"]))
     for _ in range(max_iters):
         # candidate's label = min over its norms' labels
         cand_side = edges.join(norm_lab, join_type="inner",

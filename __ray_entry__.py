@@ -419,6 +419,12 @@ def _q_rel_range_join(sf_dir: str):
     return range_join_attribution(sf_dir)
 
 
+def _q_ta_tf_df(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import tf_df_stats
+
+    return tf_df_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_vocab(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import vocab_top_terms
 
@@ -513,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": _q_rel_range_join,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
+        "ta_tf_df": _q_ta_tf_df,
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
@@ -737,6 +744,18 @@ FROM events p LEFT JOIN events c
  AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
+""",
+        "ta_tf_df": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+       FROM toks GROUP BY 1)
+SELECT tf.doc_id, tf.token, tf.tf, df.df FROM tf JOIN df USING (token)
 """,
         "ta_vocab": """
 WITH toks AS (

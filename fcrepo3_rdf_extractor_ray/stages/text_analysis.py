@@ -154,3 +154,61 @@ def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
     g = g.map_batches(lambda t: t.drop_columns(["part"]),
                       batch_format="pyarrow")
     return g.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
+                n_parts: int = 64):
+    """Per-(doc, token) term frequency joined with corpus document
+    frequency — the integer core of TF-IDF (the log-weighting is a
+    trivial map over these columns; kept integer here so the oracle
+    compares exactly with no float drift).
+
+    Shape: one pass computes per-batch (doc, token, tf) AND partial
+    (token, doc-count) rows; df aggregates token-hash-partitioned
+    (vocabulary-sized result), is broadcast once via ``ray.put``, and
+    joins map-side — the big (doc, token) stream never shuffles."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import siphash64_batch
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index(id_col)[text_col].str.split().explode().dropna()
+        g = toks.groupby([toks.index, toks]).size()
+        g.index.names = [id_col, "token"]
+        out = g.reset_index(name="tf")
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf = docs_ds.map_batches(tf_batch, batch_format="pandas").materialize()
+
+    # df: distinct doc count per token — each (doc, token) row counts one
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = (siphash64_batch(list(df["token"].to_numpy(dtype=object)))
+                % n_parts).astype(np.int32)
+        return pd.DataFrame({"token": df["token"], "one": np.int64(1),
+                             "part": part})
+
+    def df_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["part", "token"]).aggregate([("one", "sum")])
+        return g.rename_columns(["part", "token", "df"])
+
+    df_ds = (tf.map_batches(df_partial, batch_format="pandas")
+               .groupby("part").map_groups(df_sum, batch_format="pyarrow")
+               .map_batches(lambda t: t.drop_columns(["part"]),
+                            batch_format="pyarrow"))
+    vocab_df = pa.Table.from_pandas(df_ds.to_pandas(),
+                                    preserve_index=False)
+    df_ref = ray.put(vocab_df)
+
+    def join_df(t: pa.Table) -> pa.Table:
+        v = ray.get(df_ref)
+        idx = pc.index_in(t["token"], value_set=v["token"].combine_chunks())
+        return pa.table({
+            id_col: t[id_col],
+            "token": t["token"],
+            "tf": t["tf"],
+            "df": pc.take(v["df"].combine_chunks(), idx),
+        })
+
+    return tf.map_batches(join_df, batch_format="pyarrow")

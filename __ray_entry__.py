@@ -75,6 +75,32 @@ FROM u WHERE NOT malformed
 """
 
 
+def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
+                  rank_scale: int = 1_000_000) -> str:
+    """Unrolled integer-PageRank oracle over the fact-quad entity graph —
+    the same floor-division arithmetic as stages/graph.pagerank, so the
+    distributed result compares bit-for-bit."""
+    base = (rank_scale * (100 - damping_pct)) // 100
+    sql = (_U_CTE
+           + ", f AS (" + _FACT_QUADS_SQL + ")"
+           + ", e AS (SELECT DISTINCT subj, obj FROM f)"
+           + ", nodes AS (SELECT DISTINCT node FROM ("
+             "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
+           + ", deg AS (SELECT subj, count(*)::BIGINT AS d FROM e GROUP BY subj)"
+           + f", r0 AS (SELECT node, {rank_scale}::BIGINT AS r FROM nodes)")
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT n.node,
+         ({base} + ({damping_pct} * COALESCE(s.inc, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.obj AS node, SUM(p.r // d.d)::BIGINT AS inc
+    FROM e JOIN r{k - 1} p ON e.subj = p.node
+           JOIN deg d ON d.subj = e.subj
+    GROUP BY e.obj) s ON n.node = s.node)"""
+    return sql + f"\nSELECT node, r AS rank_micro FROM r{iters}"
+
+
 def entry() -> Any:
     """Flagship pipeline (pages → canonical deduplicated quads) at sf0.001."""
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
@@ -479,6 +505,54 @@ def _q_mm_frame_sample(sf_dir: str):
     return frames.map_batches(numeric_surface, batch_format="pyarrow")
 
 
+def _q_rel_rolling(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rolling_user_spend)
+
+    return rolling_user_spend(sf_dir)
+
+
+def _q_rel_anti_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        customers_without_orders)
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_rel_topk_group(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        top_orders_per_priority)
+
+    return top_orders_per_priority(sf_dir)
+
+
+def _q_rel_pivot(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import event_type_pivot
+
+    return event_type_pivot(sf_dir)
+
+
+def _q_rel_approx_distinct(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        approx_distinct_users)
+
+    return approx_distinct_users(sf_dir)
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """Integer PageRank (5 iterations) over the canonical entity graph —
+    the iterative Dataset-join workload; oracle = 5 unrolled SQL rounds
+    with identical integer arithmetic."""
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return pagerank(edges, iters=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -517,6 +591,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_props_sum": _q_rel_props_sum,
         "rel_asof": _q_rel_asof,
         "rel_range_join": _q_rel_range_join,
+        "rel_rolling": _q_rel_rolling,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_topk_group": _q_rel_topk_group,
+        "rel_pivot": _q_rel_pivot,
+        "rel_approx_distinct": _q_rel_approx_distinct,
+        "kg_pagerank": _q_kg_pagerank,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
         "ta_tf_df": _q_ta_tf_df,
@@ -800,6 +880,41 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
              JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE 1000000.0 * i.c / (sa.n + sb.n - i.c) >= 500000.0
 """,
+        "rel_rolling": """
+SELECT event_id, user_id, ts,
+       sum(round(value * 100)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS roll_cents
+FROM events
+""",
+        "rel_anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+""",
+        "rel_topk_group": """
+SELECT o_orderpriority, rnk, o_orderkey, total_cents FROM (
+  SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice * 100)::BIGINT AS total_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                                     o_orderkey)::BIGINT AS rnk
+  FROM orders) r WHERE rnk <= 3
+""",
+        "rel_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view,
+       sum(round(value * 100)::BIGINT)::BIGINT           AS value_cents
+FROM events GROUP BY user_id
+""",
+        "kg_pagerank": _pagerank_sql(),
+        # rel_approx_distinct: HyperLogLog sketch — approximate by
+        # construction; accuracy asserted vs exact counts in pytest.
         # mm_image_features: stubbed codec, no SQL equivalent — rows-only.
         "mm_frame_sample": """
 WITH p AS (

@@ -84,7 +84,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_simhash", "dedup_jaccard", "sim_knn_brute",
                  "sim_knn_ivf", "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions", "rel_asof",
-                 "rel_range_join", "prep_corpus",
+                 "rel_range_join", "rel_rolling", "rel_pivot",
+                 "rel_approx_distinct", "kg_pagerank", "prep_corpus",
                  "mm_image_features", "mm_frame_sample"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)

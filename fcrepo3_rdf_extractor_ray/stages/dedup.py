@@ -676,27 +676,23 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
                   file=sys.stderr)
             df = df[~hot]
         df = df[df.groupby("ng")["doc_id"].transform("size") >= 2]
-        df = df.sort_values(["ng", "doc_id"])
-        a_chunks, b_chunks, na_chunks, nb_chunks = [], [], [], []
-        for _, sub in df.groupby("ng"):
-            ids = sub["doc_id"].to_numpy()
-            ns = sub["n"].to_numpy()
-            ia, ja = np.triu_indices(len(ids), k=1)
-            a_chunks.append(ids[ia])
-            b_chunks.append(ids[ja])
-            na_chunks.append(ns[ia])
-            nb_chunks.append(ns[ja])
-        if not a_chunks:
+        if not len(df):
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "c": pd.Series([], dtype="int64"),
                                  "na": pd.Series([], dtype="int64"),
                                  "nb": pd.Series([], dtype="int64")})
+        # vectorized intra-gram pair generation: self-merge on the k-gram
+        # (C-speed hash join; output bounded by the df-cap above), keep
+        # the ordered half a < b — no Python loop over gram groups
+        side = df[["ng", "doc_id", "n"]]
+        m = side.merge(side, on="ng", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
         out = pd.DataFrame({
-            "doc_a": np.concatenate(a_chunks),
-            "doc_b": np.concatenate(b_chunks),
-            "na": np.concatenate(na_chunks),
-            "nb": np.concatenate(nb_chunks),
+            "doc_a": m["doc_id_a"].to_numpy(),
+            "doc_b": m["doc_id_b"].to_numpy(),
+            "na": m["n_a"].to_numpy(),
+            "nb": m["n_b"].to_numpy(),
         })
         # partial combiner: co-occurrence count within this partition
         g = out.groupby(["doc_a", "doc_b"], as_index=False).agg(

@@ -1,0 +1,66 @@
+"""Integer PageRank — distributed result must be bit-identical to a
+sequential dict-based reference (integer arithmetic is order-free)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _seq_pagerank(edges, iters=5, damping_pct=85, scale=1_000_000):
+    """Obviously-correct sequential reference (same integer semantics)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    base = (scale * (100 - damping_pct)) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for u, v in edges:
+            inc[v] += r[u] // deg[u]
+        r = {n: base + (damping_pct * inc[n]) // 100 for n in nodes}
+    return r
+
+
+def _edges_ds(edges):
+    return rd.from_arrow(pa.table({
+        "subj": pa.array([u for u, _ in edges], pa.string()),
+        "obj": pa.array([v for _, v in edges], pa.string()),
+    }))
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
+
+    # cycle + chain + a sink and a dangling source, with duplicate edges
+    # that the distinct stage must collapse
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("d", "e"), ("x", "a"), ("a", "b")]
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(_edges_ds(edges), iters=5).take_all()}
+    want = _seq_pagerank(edges, iters=5)
+    assert got == want
+
+
+def test_pagerank_sink_gets_base_only(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
+
+    # u -> v : v has in-links, u has none (rank = base + damped share)
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(_edges_ds([("u", "v")]), iters=1).take_all()}
+    assert got["u"] == 150_000
+    assert got["v"] == 150_000 + (85 * 1_000_000) // 100
+
+
+def test_pagerank_iteration_count_changes_result(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
+
+    # asymmetric: a splits rank between b and c, so ranks keep moving
+    edges = [("a", "b"), ("a", "c"), ("b", "a")]
+    one = {r["node"]: r["rank_micro"]
+           for r in pagerank(_edges_ds(edges), iters=1).take_all()}
+    five = {r["node"]: r["rank_micro"]
+            for r in pagerank(_edges_ds(edges), iters=5).take_all()}
+    assert one != five
+    assert five == _seq_pagerank(edges, iters=5)

@@ -1,0 +1,104 @@
+"""Rolling window, anti-join, grouped top-k, pivot, HLL sketch — unit
+tests against DuckDB oracles / exact references (the layer-1 pattern of
+SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from conftest import assert_frames_equivalent, to_pandas
+
+
+def test_rolling_user_spend_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rolling_user_spend)
+
+    expected = duck.execute("""
+        SELECT event_id, user_id, ts,
+               sum(round(value * 100)::BIGINT)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT
+                   AS roll_cents
+        FROM events""").df()
+    assert_frames_equivalent(rolling_user_spend(sf_dir), expected)
+
+
+def test_rolling_window_size_one_is_identity(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rolling_user_spend)
+
+    out = to_pandas(rolling_user_spend(sf_dir, window=1))
+    expected = duck.execute(
+        "SELECT event_id, round(value * 100)::BIGINT AS cents "
+        "FROM events").df().set_index("event_id")
+    got = out.set_index("event_id")["roll_cents"]
+    assert (got == expected.loc[got.index, "cents"]).all()
+
+
+def test_customers_without_orders_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        customers_without_orders)
+
+    expected = duck.execute("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')""").df()
+    assert len(expected) > 0  # the fixture must exercise the op
+    assert_frames_equivalent(customers_without_orders(sf_dir), expected)
+
+
+def test_top_orders_per_priority_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        top_orders_per_priority)
+
+    expected = duck.execute("""
+        SELECT o_orderpriority, rnk, o_orderkey, total_cents FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 round(o_totalprice * 100)::BIGINT AS total_cents,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                            o_orderkey)::BIGINT AS rnk
+          FROM orders) r WHERE rnk <= 3""").df()
+    assert_frames_equivalent(top_orders_per_priority(sf_dir, k=3), expected)
+
+
+def test_event_type_pivot_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        event_type_pivot)
+
+    expected = duck.execute("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+               count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+               count(*) FILTER (event_type = 'view')::BIGINT     AS n_view,
+               sum(round(value * 100)::BIGINT)::BIGINT           AS value_cents
+        FROM events GROUP BY user_id""").df()
+    assert_frames_equivalent(event_type_pivot(sf_dir), expected)
+
+
+def test_hll_approx_distinct_within_tolerance(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        approx_distinct_users)
+
+    got = to_pandas(approx_distinct_users(sf_dir)).set_index("event_type")
+    exact = duck.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events GROUP BY 1").df().set_index("event_type")
+    for ty, n in exact["n"].items():
+        est = got.loc[ty, "n_users_approx"]
+        # 1.04/sqrt(m) ≈ 1.6% standard error at p=12; allow 4 sigma
+        assert abs(est - n) <= max(3, 0.065 * n), (ty, est, n)
+
+
+def test_hll_deterministic(sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        approx_distinct_users)
+
+    a = to_pandas(approx_distinct_users(sf_dir)).sort_values(
+        "event_type").reset_index(drop=True)
+    b = to_pandas(approx_distinct_users(sf_dir)).sort_values(
+        "event_type").reset_index(drop=True)
+    assert a.equals(b)

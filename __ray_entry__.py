@@ -75,6 +75,26 @@ FROM u WHERE NOT malformed
 """
 
 
+_MENTIONS_SQL = """
+SELECT url AS src_url,
+  CASE doc_id % 3 WHEN 0 THEN 'Entity' || (doc_id % 41)::VARCHAR
+                  WHEN 1 THEN 'Entity ' || (doc_id % 41)::VARCHAR
+                  ELSE 'ENTITY-' || (doc_id % 41)::VARCHAR END AS surface,
+  'entity' || (doc_id % 41)::VARCHAR AS norm
+FROM u WHERE NOT malformed
+UNION ALL
+SELECT url,
+  CASE WHEN doc_id % 17 = 0 THEN 'Widget-' || (doc_id % 29)::VARCHAR
+       ELSE CASE (doc_id // 3) % 3
+            WHEN 0 THEN 'Entity' || ((7 * doc_id + 3) % 41)::VARCHAR
+            WHEN 1 THEN 'Entity ' || ((7 * doc_id + 3) % 41)::VARCHAR
+            ELSE 'ENTITY-' || ((7 * doc_id + 3) % 41)::VARCHAR END END,
+  CASE WHEN doc_id % 17 = 0 THEN 'widget' || (doc_id % 29)::VARCHAR
+       ELSE 'entity' || ((7 * doc_id + 3) % 41)::VARCHAR END
+FROM u WHERE NOT malformed
+"""
+
+
 def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
                   rank_scale: int = 1_000_000) -> str:
     """Unrolled integer-PageRank oracle over the fact-quad entity graph —
@@ -553,6 +573,21 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, iters=5)
 
 
+def _q_kg_cooccurrence(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.ner import (detect_mentions,
+                                                      mention_cooccurrence)
+
+    return mention_cooccurrence(detect_mentions(pages_for_sf(sf_dir)))
+
+
+def _q_ta_stratified(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        stratified_sample)
+
+    return stratified_sample(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -597,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": _q_rel_pivot,
         "rel_approx_distinct": _q_rel_approx_distinct,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_cooccurrence": _q_kg_cooccurrence,
+        "ta_stratified": _q_ta_stratified,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
         "ta_tf_df": _q_ta_tf_df,
@@ -636,24 +673,17 @@ def oracle_sql() -> dict[str, str]:
             + _FACT_QUADS_SQL
             + ") q GROUP BY 1, 2, 3, 4, 5, 6"
         ),
-        "kg_mentions": _U_CTE + """
-SELECT url AS src_url,
-  CASE doc_id % 3 WHEN 0 THEN 'Entity' || (doc_id % 41)::VARCHAR
-                  WHEN 1 THEN 'Entity ' || (doc_id % 41)::VARCHAR
-                  ELSE 'ENTITY-' || (doc_id % 41)::VARCHAR END AS surface,
-  'entity' || (doc_id % 41)::VARCHAR AS norm
-FROM u WHERE NOT malformed
-UNION ALL
-SELECT url,
-  CASE WHEN doc_id % 17 = 0 THEN 'Widget-' || (doc_id % 29)::VARCHAR
-       ELSE CASE (doc_id // 3) % 3
-            WHEN 0 THEN 'Entity' || ((7 * doc_id + 3) % 41)::VARCHAR
-            WHEN 1 THEN 'Entity ' || ((7 * doc_id + 3) % 41)::VARCHAR
-            ELSE 'ENTITY-' || ((7 * doc_id + 3) % 41)::VARCHAR END END,
-  CASE WHEN doc_id % 17 = 0 THEN 'widget' || (doc_id % 29)::VARCHAR
-       ELSE 'entity' || ((7 * doc_id + 3) % 41)::VARCHAR END
-FROM u WHERE NOT malformed
-""",
+        "kg_mentions": _U_CTE + _MENTIONS_SQL,
+        "kg_cooccurrence": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + ", d AS (SELECT DISTINCT src_url, norm FROM m)\n"
+            + "SELECT a.norm AS norm_a, b.norm AS norm_b,\n"
+            + "       count(*)::BIGINT AS n_pages\n"
+            + "FROM d a JOIN d b ON a.src_url = b.src_url"
+            + " AND a.norm < b.norm\n"
+            + "GROUP BY 1, 2"
+        ),
         "kg_adjacency_stats": (
             _U_CTE
             + "SELECT subj, count(*) AS n_edges FROM (\n"
@@ -804,6 +834,11 @@ FROM events GROUP BY event_type
         "ta_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) < '20'"
         ),
+        "ta_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(text), 1, 2) <
+      CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '20' ELSE '10' END
+""",
         "ta_quantiles": """
 SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25,
        quantile_disc(n_chars, 0.50)::BIGINT AS p50,

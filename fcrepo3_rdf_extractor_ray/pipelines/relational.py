@@ -313,6 +313,29 @@ def deterministic_sample(sf_dir: str, pct_bucket: int = 32):
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
+def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
+                      default_bucket: int = 16):
+    """STRATIFIED deterministic sampling: per-stratum (language) keep
+    rates, content-hash stable — the "rebalance the training mix"
+    op (e.g. keep more high-resource-language docs). Same cluster-size-
+    invariant md5 predicate as ``deterministic_sample``, with the
+    threshold looked up per row from the stratum map (tiny dict captured
+    by closure — effectively broadcast)."""
+    import hashlib
+
+    rates = rates if rates is not None else {"en": 64, "de": 32}
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(s.encode("utf-8")).digest()[0]
+                < rates.get(lang, default_bucket)
+                for s, lang in zip(t["text"].to_pylist(),
+                                   t["lang"].to_pylist())]
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
 def chars_quantiles(sf_dir: str):
     """Exact discrete quantiles of a bounded-cardinality int column via a
     distributed value histogram (groupby count) + tiny driver cumsum —
@@ -471,10 +494,11 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     values (current row included), ordered by (ts, event_id).
 
     Ray shape: one user-hash exchange, then a vectorized per-partition
-    pass — grouped cumulative sums on integer cents (cum - cum.shift(w)
-    within user), so the result is exact and order-independent and the
-    DuckDB window-function oracle compares bit-for-bit. Rolling windows
-    only ever need per-key time-locality, never a global sort."""
+    pass — grouped cumulative sums on integer cents (cum minus
+    cum.shift(w) within user), so the result is exact and
+    order-independent and the DuckDB window-function oracle compares
+    bit-for-bit. Rolling windows only ever need per-key time-locality,
+    never a global sort."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -576,10 +600,11 @@ def event_type_pivot(sf_dir: str):
     event counts as wide columns plus total spend in cents. The pivot is
     a vectorized per-batch projection to indicator ints + the standard
     combiner → small-groupby pattern (shuffle carries ≤ one row per user
-    per block, 7 ints wide)."""
-    from ray.data.aggregate import Sum
-
+    per block, 7 ints wide); the final reduce is one vectorized Arrow
+    group_by per hash partition, not a per-group Python aggregate."""
     types = ("click", "error", "purchase", "signup", "view")
+    val_cols = [f"n_{ty}" for ty in types] + ["value_cents"]
+    n_parts = 16
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def widen(t: pa.Table) -> pa.Table:
@@ -590,16 +615,20 @@ def event_type_pivot(sf_dir: str):
         cols["value_cents"] = pc.cast(
             pc.round(pc.multiply(t["value"], 100)), pa.int64())
         w = pa.table(cols)
-        aggs = [(f"n_{ty}", "sum") for ty in types] + [("value_cents", "sum")]
-        g = w.group_by(["user_id"]).aggregate(aggs)
-        return g.rename_columns(["user_id"] + [f"n_{ty}" for ty in types]
-                                + ["value_cents"])
+        g = w.group_by(["user_id"]).aggregate(
+            [(c, "sum") for c in val_cols])
+        g = g.rename_columns(["user_id"] + val_cols)
+        part = pc.cast(pc.bit_wise_and(g["user_id"], n_parts - 1), pa.int32())
+        return g.append_column("part", part)
 
-    ds = ds.map_batches(widen, batch_format="pyarrow")
-    g = ds.groupby("user_id").aggregate(
-        *[Sum(f"n_{ty}") for ty in types], Sum("value_cents"))
-    return _rename(g, {**{f"sum(n_{ty})": f"n_{ty}" for ty in types},
-                       "sum(value_cents)": "value_cents"})
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["part", "user_id"]).aggregate(
+            [(c, "sum") for c in val_cols])
+        g = g.rename_columns(["part", "user_id"] + val_cols)
+        return g.drop_columns(["part"])
+
+    return (ds.map_batches(widen, batch_format="pyarrow")
+            .groupby("part").map_groups(part_sum, batch_format="pyarrow"))
 
 
 def approx_distinct_users(sf_dir: str, p: int = 12):

@@ -82,6 +82,15 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
             "r", pa.array(np.full(t.num_rows, rank_scale, dtype=np.int64))),
         batch_format="pyarrow").materialize()
 
+    # nodes re-expressed as zero contributions: unioned into each round's
+    # aggregate so in-link-less nodes keep their base rank without a
+    # second (left-outer) join — one join + one groupby per iteration
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "obj": t["node"],
+            "inc": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+
     for _ in range(iters):
         side = e3.join(ranks, join_type="inner", num_partitions=n_join,
                        on=("subj",), right_on=("node",))
@@ -93,25 +102,20 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
             return g.rename_columns(["obj", "inc"])
 
         inc = (side.map_batches(contrib, batch_format="pyarrow")
+               .union(zero_rows)
                .groupby("obj").aggregate(Sum("inc")))
-        inc = inc.map_batches(
-            lambda t: t.rename_columns(["obj", "inc"]),
-            batch_format="pyarrow")
-        joined = nodes.join(inc, join_type="left_outer",
-                            num_partitions=n_join,
-                            on=("node",), right_on=("obj",))
 
         def apply_rank(t: pa.Table) -> pa.Table:
-            s = pc.coalesce(t["inc"], pa.scalar(0, pa.int64()))
             r = pc.add(pa.scalar(base, pa.int64()),
                        pc.divide(pc.multiply(pa.scalar(damping_pct,
-                                                       pa.int64()), s),
+                                                       pa.int64()),
+                                             t["sum(inc)"]),
                                  pa.scalar(100, pa.int64())))
-            return pa.table({"node": t["node"],
+            return pa.table({"node": t["obj"],
                              "r": pc.cast(r, pa.int64())})
 
-        ranks = joined.map_batches(apply_rank,
-                                   batch_format="pyarrow").materialize()
+        ranks = inc.map_batches(apply_rank,
+                                batch_format="pyarrow").materialize()
 
     return ranks.map_batches(
         lambda t: t.rename_columns(["node", "rank_micro"]),

@@ -93,6 +93,55 @@ def test_hll_approx_distinct_within_tolerance(sf_dir, duck):
         assert abs(est - n) <= max(3, 0.065 * n), (ty, est, n)
 
 
+def test_stratified_sample_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        stratified_sample)
+
+    expected = duck.execute("""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(text), 1, 2) <
+              CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '20'
+                        ELSE '10' END""").df()
+    assert len(expected) > 0
+    assert_frames_equivalent(stratified_sample(sf_dir), expected)
+
+
+def test_stratified_sample_rates_shift_mix(sf_dir):
+    """Raising a stratum's rate must strictly grow that stratum only."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        stratified_sample)
+
+    low = to_pandas(stratified_sample(sf_dir, rates={"en": 16},
+                                      default_bucket=16))
+    high = to_pandas(stratified_sample(sf_dir, rates={"en": 128},
+                                       default_bucket=16))
+    n_en_low = (low["lang"] == "en").sum()
+    n_en_high = (high["lang"] == "en").sum()
+    assert n_en_high > n_en_low
+    assert (low[low["lang"] != "en"]["doc_id"].sort_values().tolist()
+            == high[high["lang"] != "en"]["doc_id"].sort_values().tolist())
+
+
+def test_mention_cooccurrence_tiny_fixture(ray_session):
+    """Two pages: (a,b,c) and (a,b) → pair counts {ab:2, ac:1, bc:1};
+    duplicate mentions on one page must not inflate counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.ner import mention_cooccurrence
+
+    rows = [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "a"),
+            ("u2", "a"), ("u2", "b")]
+    ds = rd.from_arrow(pa.table({
+        "src_url": pa.array([r[0] for r in rows]),
+        "surface": pa.array([r[1].upper() for r in rows]),
+        "norm": pa.array([r[1] for r in rows]),
+    }))
+    got = {(r["norm_a"], r["norm_b"]): r["n_pages"]
+           for r in mention_cooccurrence(ds).take_all()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
 def test_hll_deterministic(sf_dir):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         approx_distinct_users)

@@ -588,6 +588,19 @@ def _q_ta_stratified(sf_dir: str):
     return stratified_sample(sf_dir)
 
 
+def _q_ta_normalize(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import normalize_texts
+
+    return normalize_texts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_grouped_quantiles(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        grouped_quantiles)
+
+    return grouped_quantiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -634,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "ta_stratified": _q_ta_stratified,
+        "ta_normalize": _q_ta_normalize,
+        "ta_grouped_quantiles": _q_ta_grouped_quantiles,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
         "ta_tf_df": _q_ta_tf_df,
@@ -838,6 +853,16 @@ FROM events GROUP BY event_type
 SELECT doc_id, lang FROM documents
 WHERE substring(md5(text), 1, 2) <
       CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '20' ELSE '10' END
+""",
+        "ta_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+           AS text_norm
+FROM documents
+""",
+        "ta_grouped_quantiles": """
+SELECT source, quantile_disc(n_chars, 0.5)::BIGINT AS p50
+FROM documents GROUP BY source
 """,
         "ta_quantiles": """
 SELECT quantile_disc(n_chars, 0.25)::BIGINT AS p25,

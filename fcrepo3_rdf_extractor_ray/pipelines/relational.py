@@ -357,6 +357,33 @@ def chars_quantiles(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def grouped_quantiles(sf_dir: str, q: float = 0.5):
+    """Exact per-group discrete quantile (median chars per source) via a
+    distributed per-(group, value) histogram — the grouped form of
+    ``chars_quantiles``: the first groupby bounds the exchange to
+    #groups × #distinct-values rows, the second co-locates each group's
+    histogram for a tiny vectorized cumsum. No global sort, no per-row
+    shuffle."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    hist = ds.groupby(["source", "n_chars"]).aggregate(Count())
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars").reset_index(drop=True)
+        total = df["count()"].sum()
+        cum = df["count()"].cumsum()
+        # DuckDB quantile_disc: element at floor(q·(n-1)), 0-based
+        idx = math.floor(q * (total - 1))
+        val = int(df.loc[cum >= idx + 1, "n_chars"].iloc[0])
+        return pd.DataFrame({"source": [df["source"].iloc[0]],
+                             "p50": np.array([val], dtype="int64")})
+
+    return hist.groupby("source").map_groups(pick, batch_format="pandas")
+
+
 def urgent_or_large_orders(sf_dir: str, min_cents: int = 30_000_00):
     """Set operation: (urgent orders) ∪ (large orders), distinct — two
     filtered streams united with ``Dataset.union`` and deduplicated by

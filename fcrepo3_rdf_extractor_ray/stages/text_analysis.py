@@ -118,6 +118,29 @@ def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+def normalize_texts(docs_ds, text_col="text", id_col="doc_id"):
+    """Text CLEANING / canonicalization: Unicode NFC + lowercase +
+    ASCII-whitespace collapse + trim — the standard pre-tokenization
+    normalizer of a training-data pipeline. Stateless map_batches; the
+    ASCII ``\\s`` class (``re.ASCII``) mirrors DuckDB/RE2 semantics so
+    the SQL oracle (nfc_normalize + lower + regexp_replace) compares
+    byte-for-byte."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "text_norm": [
+                ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+                for t in df[text_col]],
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
 def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
                     n_parts: int = 64):
     """Distributed word count → global top-k terms: the vocabulary /

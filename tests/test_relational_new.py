@@ -142,6 +142,46 @@ def test_mention_cooccurrence_tiny_fixture(ray_session):
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
 
+def test_normalize_texts_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import normalize_texts
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    expected = duck.execute(
+        "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+        "'\\s+', ' ', 'g')) AS text_norm FROM documents").df()
+    assert_frames_equivalent(normalize_texts(docs), expected)
+
+
+def test_normalize_texts_edge_cases(ray_session):
+    """NFC recomposition, case fold, tab/newline collapse, trim."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import normalize_texts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # "é" as e + combining acute must NFC-compose to single é
+        "text": pa.array(["  Héllo\t WORLD \n", ""]),
+    }))
+    out = {r["doc_id"]: r["text_norm"]
+           for r in normalize_texts(docs).take_all()}
+    assert out == {1: "héllo world", 2: ""}
+
+
+def test_grouped_quantiles_oracle(sf_dir, duck):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        grouped_quantiles)
+
+    expected = duck.execute(
+        "SELECT source, quantile_disc(n_chars, 0.5)::BIGINT AS p50 "
+        "FROM documents GROUP BY source").df()
+    assert len(expected) > 1
+    assert_frames_equivalent(grouped_quantiles(sf_dir), expected)
+
+
 def test_hll_deterministic(sf_dir):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         approx_distinct_users)

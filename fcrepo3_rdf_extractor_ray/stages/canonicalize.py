@@ -184,8 +184,15 @@ def _safe_join_partitions(small_side_count: int, cap: int = 64) -> int:
     side stays non-empty with overwhelming probability — Ray 2.49's hash
     join materializes empty partitions as schema-less blocks and the
     pyarrow join then fails ("No match for key field on right side").
-    ≥64 uniformly-hashed keys per partition keeps P(empty) ≪ 1e-20."""
-    return max(1, min(cap, small_side_count // 64))
+    ≥64 uniformly-hashed keys per partition keeps P(empty) ≪ 1e-20.
+
+    Also capped at 2× the session's CPUs: the hash-join operator spawns
+    an aggregator actor per partition, and a partition count far above
+    the CPU count over-subscribes the node (observed: 64 partitions on
+    an 8-CPU session thrash 100+ worker processes and stall)."""
+    from ..runtime import cluster_cpus
+
+    return max(1, min(cap, 2 * cluster_cpus(), small_side_count // 64))
 
 
 def union_find_labels_ds(edges_ds, max_iters: int = 16,

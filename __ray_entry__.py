@@ -563,8 +563,6 @@ def _q_kg_pagerank(sf_dir: str):
     """Integer PageRank (5 iterations) over the canonical entity graph —
     the iterative Dataset-join workload; oracle = 5 unrolled SQL rounds
     with identical integer arithmetic."""
-    import pyarrow.compute as pc
-
     from fcrepo3_rdf_extractor_ray.stages.graph import pagerank
 
     facts = _q_kg_fact_quads(sf_dir)

@@ -349,10 +349,10 @@ def chars_quantiles(sf_dir: str):
     cum = hist["count()"].cumsum()
     out = {}
     for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
-        # DuckDB quantile_disc semantics: element at floor(q·(n-1)), 0-based
+        # DuckDB quantile_disc semantics: element at ceil(q·n)-1, 0-based
         import math
 
-        idx = math.floor(q * (total - 1))
+        idx = max(0, math.ceil(q * total) - 1)
         out[name] = int(hist.loc[cum >= idx + 1, "n_chars"].iloc[0])
     return pd.DataFrame([out])
 
@@ -371,15 +371,18 @@ def grouped_quantiles(sf_dir: str, q: float = 0.5):
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
     hist = ds.groupby(["source", "n_chars"]).aggregate(Count())
 
+    col = f"p{int(round(q * 100))}"
+
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("n_chars").reset_index(drop=True)
         total = df["count()"].sum()
         cum = df["count()"].cumsum()
-        # DuckDB quantile_disc: element at floor(q·(n-1)), 0-based
-        idx = math.floor(q * (total - 1))
+        # DuckDB quantile_disc: element at ceil(q·n)-1, 0-based (equals
+        # floor(q·(n-1)) at the quartiles but not at general q)
+        idx = max(0, math.ceil(q * total) - 1)
         val = int(df.loc[cum >= idx + 1, "n_chars"].iloc[0])
         return pd.DataFrame({"source": [df["source"].iloc[0]],
-                             "p50": np.array([val], dtype="int64")})
+                             col: np.array([val], dtype="int64")})
 
     return hist.groupby("source").map_groups(pick, batch_format="pandas")
 
@@ -561,15 +564,17 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
 
     def distinct_batch(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["o_orderpriority"], priority))
-        g = t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
-        return g.append_column(
-            "seen", pa.array(np.ones(g.num_rows, dtype=np.int64)))
+        return t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
 
     okeys = (orders.map_batches(distinct_batch, batch_format="pyarrow")
              .groupby("o_custkey").aggregate(Count()))
     okeys = _rename(okeys, {"count()": "seen"}).materialize()
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    if okeys.count() == 0:
+        # no order matches the priority → every customer qualifies; the
+        # join would crash on the schema-less blocks of an empty Dataset
+        return cust
     n_parts = _safe_join_partitions(okeys.count())
     joined = cust.join(okeys, join_type="left_outer",
                        num_partitions=n_parts,
@@ -670,6 +675,10 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     kilobytes. Deterministic (fixed hash, no sampling); accuracy
     ~1.04/√2^p ≈ 1.6 % at p=12, asserted against the exact counts in
     pytest. Approximate by construction → no SQL oracle (rows-only)."""
+    if not 12 <= p <= 18:
+        # below p=12 the (64-p)-bit suffix exceeds float64's 53-bit
+        # mantissa and the exponent-based rank silently corrupts
+        raise ValueError(f"p must be in [12, 18], got {p}")
     m = 1 << p
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 

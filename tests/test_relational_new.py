@@ -182,6 +182,39 @@ def test_grouped_quantiles_oracle(sf_dir, duck):
     assert_frames_equivalent(grouped_quantiles(sf_dir), expected)
 
 
+def test_grouped_quantiles_nondefault_q(sf_dir, duck):
+    """ceil(q·n)-1 convention must hold away from the quartile
+    coincidence points (q=0.3 diverges from floor(q·(n-1)))."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        grouped_quantiles)
+
+    for q in (0.3, 0.9):
+        expected = duck.execute(
+            f"SELECT source, quantile_disc(n_chars, {q})::BIGINT "
+            f"AS p{int(q * 100)} FROM documents GROUP BY source").df()
+        assert_frames_equivalent(grouped_quantiles(sf_dir, q=q), expected)
+
+
+def test_anti_join_no_matching_orders_returns_all_customers(sf_dir, duck):
+    """Empty filtered-order side must not crash the join — every
+    customer qualifies (the reviewed empty-Dataset edge case)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        customers_without_orders)
+
+    out = to_pandas(customers_without_orders(
+        sf_dir, priority="NO-SUCH-PRIORITY"))
+    n_cust = duck.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert len(out) == n_cust
+
+
+def test_hll_rejects_unsafe_precision(sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        approx_distinct_users)
+
+    with pytest.raises(ValueError):
+        approx_distinct_users(sf_dir, p=10)
+
+
 def test_hll_deterministic(sf_dir):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         approx_distinct_users)

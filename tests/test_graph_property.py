@@ -1,0 +1,73 @@
+"""Property-style verification of the iterative/window operators on
+random inputs: PageRank vs the sequential integer reference on random
+graphs (both execution modes), rolling sums vs a naive O(n·w) window."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from test_graph import _edges_ds, _seq_pagerank
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,iters,mode", [
+    (0, 8, 20, 3, "broadcast"),
+    (1, 30, 60, 5, "broadcast"),
+    (2, 12, 40, 4, "join"),
+    (3, 5, 5, 2, "join"),
+])
+def test_pagerank_random_graphs(ray_session, seed, n_nodes, n_edges,
+                                iters, mode):
+    rng = np.random.RandomState(seed)
+    edges = [(f"n{rng.randint(n_nodes)}", f"n{rng.randint(n_nodes)}")
+             for _ in range(n_edges)]
+    got = {r["node"]: r["rank_micro"]
+           for r in __import__(
+               "fcrepo3_rdf_extractor_ray.stages.graph",
+               fromlist=["pagerank"]).pagerank(
+                   _edges_ds(edges), iters=iters, mode=mode).take_all()}
+    assert got == _seq_pagerank(edges, iters=iters)
+
+
+@pytest.mark.parametrize("seed,n_users,n_events,window", [
+    (0, 3, 40, 4), (1, 1, 25, 1), (2, 7, 120, 10)])
+def test_rolling_matches_naive_window(ray_session, tmp_path, seed,
+                                      n_users, n_events, window):
+    import datetime as dt
+
+    import pandas as pd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rolling_user_spend)
+
+    rng = np.random.RandomState(seed)
+    base = dt.datetime(2024, 1, 1)
+    df = pd.DataFrame({
+        "event_id": np.arange(n_events, dtype="int64"),
+        "user_id": rng.randint(n_users, size=n_events).astype("int64"),
+        # duplicate timestamps on purpose — the (ts, event_id) tie-break
+        # must keep the result deterministic
+        "ts": [base + dt.timedelta(minutes=int(m))
+               for m in rng.randint(n_events // 2 + 1, size=n_events)],
+        "event_type": ["view"] * n_events,
+        "value": np.round(rng.uniform(0, 50, n_events), 2),
+        "props": ["{}"] * n_events,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = rolling_user_spend(str(tmp_path), window=window).to_pandas()
+    got = got.set_index("event_id")["roll_cents"]
+
+    # naive O(n·w) reference
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    cents = (df["value"] * 100).round().astype("int64")
+    want = {}
+    for uid, sub in df.groupby("user_id"):
+        vals = cents[sub.index].tolist()
+        ids = sub["event_id"].tolist()
+        for i, eid in enumerate(ids):
+            want[eid] = sum(vals[max(0, i - window + 1):i + 1])
+    for eid, expected in want.items():
+        assert got[eid] == expected, (eid, got[eid], expected)

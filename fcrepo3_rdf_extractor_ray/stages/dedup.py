@@ -371,11 +371,59 @@ def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
+    """Dataset-native near-dup clustering — the 100-TB path: thresholded
+    candidate pairs feed the distributed min-label fixpoint
+    (``union_find_labels_ds``) with NO driver-side pair collection.
+
+    Encoding: each undirected pair (a, b) becomes the bipartite edges
+    (norm=a, cand=b) and (norm=b, cand=b) plus a self-edge per member,
+    so pair connectivity is exactly bipartite connectivity; doc ids are
+    zero-padded to 20 digits so the string min-label IS the numeric
+    min-ID rule. Returns a (doc_id, cluster_id) Dataset — equivalence
+    with the driver path is pytest-asserted."""
+    from .canonicalize import union_find_labels_ds
+
+    pairs = minhash_candidate_pairs(docs_ds, **kw)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["est_jaccard"], threshold)
+        t = t.filter(keep)
+        da = t["doc_a"].to_pylist()
+        db = t["doc_b"].to_pylist()
+        norms, cands = [], []
+        for a, b in zip(da, db):
+            ka, kb = f"{a:020d}", f"{b:020d}"
+            norms.extend((ka, kb, ka, kb))
+            cands.extend((kb, kb, ka, kb))  # pair edges + self-edges
+        return pa.table({"norm": pa.array(norms, pa.string()),
+                         "candidate_id": pa.array(cands, pa.string())})
+
+    edges = pairs.map_batches(to_edges,
+                              batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    labels = union_find_labels_ds(edges)
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["norm"], pa.int64()),
+            "cluster_id": pc.cast(t["label"], pa.int64()),
+        })
+
+    return labels.map_batches(decode, batch_format="pyarrow")
+
+
 def minhash_clusters(docs_ds, threshold=0.7, **kw):
     """Near-dup clusters: candidate pairs ≥ threshold (estimated Jaccard)
     → connected components (min-ID representative). Pair set is near-dup
     scale (small); components resolved driver-side, as with entity
-    canonicalization (SURVEY.md §7.4)."""
+    canonicalization (SURVEY.md §7.4). ``minhash_clusters_ds`` is the
+    driver-free Dataset path for when the pair list itself is large."""
     pairs = minhash_candidate_pairs(docs_ds, **kw)
     rows = pairs.take_all()
     parent: dict[int, int] = {}

@@ -55,6 +55,39 @@ def test_minhash_clusters_find_near_dups():
     assert 3 not in got and 4 not in got
 
 
+def test_minhash_clusters_ds_equivalent_to_driver_path():
+    """The Dataset-native clustering (distributed min-label fixpoint)
+    must produce exactly the driver union-find's (doc_id, cluster_id)
+    assignment."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import minhash_clusters_ds
+
+    ds = rd.from_arrow(_docs_table()).repartition(2)
+    drv = minhash_clusters(ds, threshold=0.5)
+    got = minhash_clusters_ds(ds, threshold=0.5).to_pandas()
+    a = dict(zip(drv["doc_id"], drv["cluster_id"]))
+    b = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert a == b and a  # non-trivial clusters, identical assignment
+
+
+def test_minhash_clusters_ds_empty_when_no_neardups():
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import minhash_clusters_ds
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["totally unrelated words here on one side",
+                          "different vocabulary over there entirely now"]),
+    })
+    out = minhash_clusters_ds(rd.from_arrow(t), threshold=0.5)
+    # schema asserted on the Dataset: Ray's to_pandas drops columns on
+    # an empty dataset
+    assert out.schema().names == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+
+
 def test_simhash_pairs():
     import ray.data as rd
 

@@ -379,12 +379,29 @@ def resolve_quads_join_ds(quads_ds, mapping_ds, num_partitions: int | None = Non
     mapping entry (always true when the mapping was built from the same
     quads — tested for equivalence).
 
-    Partition count defaults to a count-derived value so every hash
-    partition of the (small) mapping side stays non-empty — see
-    ``_safe_join_partitions`` for the Ray 2.49 caveat."""
-    mapping_ds = mapping_ds.materialize()  # consumed twice (subj + obj join)
+    Join parallelism scales with the CPU budget, not the mapping size:
+    the quads side is the big stream, so a tiny entity map must not
+    serialize the join (a 70-key map at num_partitions=1 drags millions
+    of quads through one task — measured 6× slower at ×100). Ray 2.49's
+    hash join crashes when a partition of the mapping side is EMPTY
+    (schema-less block), so the mapping is padded with sentinel keys
+    that can never match a quad (no ``surf:`` prefix) — left-outer join
+    semantics make the pads invisible in the output."""
+    import ray.data as rd
+
+    from ..runtime import cluster_cpus
+
     if num_partitions is None:
-        num_partitions = _safe_join_partitions(mapping_ds.count())
+        # two cascaded joins each spawn num_partitions aggregator actors;
+        # half the CPU budget per join keeps the node un-thrashed
+        num_partitions = max(1, min(32, cluster_cpus() // 2))
+    pad = pa.table({
+        "norm": pa.array([f"\x00pad{i}" for i in range(64 * num_partitions)],
+                         pa.string()),
+        "label": pa.array([""] * (64 * num_partitions), pa.string()),
+    })
+    mapping_ds = mapping_ds.select_columns(["norm", "label"]).union(
+        rd.from_arrow(pad)).materialize()  # consumed twice (subj + obj)
 
     def as_subj(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -424,7 +441,5 @@ def resolve_quads_join(quads_ds, mapping: dict[str, str],
         "norm": pa.array([k for k, _ in items], pa.string()),
         "label": pa.array([v for _, v in items], pa.string()),
     }))
-    if num_partitions is None:
-        num_partitions = _safe_join_partitions(len(mapping))
     return resolve_quads_join_ds(quads_ds, mapping_ds,
                                  num_partitions=num_partitions)

@@ -525,6 +525,37 @@ def _q_mm_frame_sample(sf_dir: str):
     return frames.map_batches(numeric_surface, batch_format="pyarrow")
 
 
+def _q_mm_image_decode(sf_dir: str):
+    """REAL image decode under oracle check: each doc gets a deterministic
+    uncompressed P6 PPM (pixel byte i = (doc_id*K + i) mod 256, per-doc
+    dims) which the engine DECODES — numpy header/pixel-plane parse, no
+    generator knowledge — into exact integer channel sums. The oracle
+    recomputes those sums from the generator formula alone, so encoder →
+    decoder → stats is what's being verified."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        PpmStatsStage, synthetic_ppm)
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_ppm(d, 8 + d % 9, 8 + (d * 3) % 9) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_ppm, batch_format="pyarrow")
+    return items.map_batches(
+        PpmStatsStage,
+        batch_format="pyarrow",
+        batch_size=64,  # binary payloads: small batches
+        concurrency=2,
+    )
+
+
 def _q_rel_rolling(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         rolling_user_spend)
@@ -656,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codec)
         "mm_image_features": _q_mm_image_features,
         "mm_frame_sample": _q_mm_frame_sample,
+        "mm_image_decode": _q_mm_image_decode,
     }
 
 
@@ -973,7 +1005,25 @@ FROM events GROUP BY user_id
         "kg_pagerank": _pagerank_sql(),
         # rel_approx_distinct: HyperLogLog sketch — approximate by
         # construction; accuracy asserted vs exact counts in pytest.
-        # mm_image_features: stubbed codec, no SQL equivalent — rows-only.
+        # mm_image_features: fake-codec plumbing demo over text bytes,
+        # no SQL equivalent — rows-only (the REAL decode is oracle-checked
+        # below as mm_image_decode).
+        "mm_image_decode": """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 9        AS w,
+         8 + (doc_id * 3) % 9  AS h,
+         (doc_id * 2654435761) % 256 AS base
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, base, unnest(range(w * h * 3)) AS i
+  FROM dims)
+SELECT doc_id AS item_id, w::INT AS width, h::INT AS height,
+       sum(CASE WHEN i % 3 = 0 THEN (base + i) % 256 END)::BIGINT AS sum_r,
+       sum(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END)::BIGINT AS sum_g,
+       sum(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END)::BIGINT AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
         "mm_frame_sample": """
 WITH p AS (
   SELECT doc_id AS item_id, octet_length(encode(text)) AS nb,

@@ -1,14 +1,19 @@
 """Multimodal column plumbing (image/audio as opaque binary + metadata).
 
-The decode kernels themselves are STUBBED — the image/audio libraries are
-not in this environment — but the Ray-side plumbing is real and tested:
-schema handling for binary payload columns, small-batch actor-pool stages
-(binary rows are wide — the same sizing concern as the html column,
-SURVEY.md §7.4), deterministic fake features so tests are exact, and a
-typed output layout.
+COMPRESSED-format decode kernels (JPEG/PNG/video codecs) are STUBBED —
+those libraries are not in this environment — but uncompressed P6 PPM
+decode is REAL: `decode_ppm` parses the binary header and pixel plane
+with numpy (no external libs), and `PpmStatsStage` turns payloads into
+exact integer channel statistics (an oracle-checkable surface — the
+generator formula is re-computable in SQL while the engine only ever
+sees the encoded bytes). The Ray-side plumbing is shared by both paths:
+schema handling for binary payload columns, small-batch actor-pool
+stages (binary rows are wide — the same sizing concern as the html
+column, SURVEY.md §7.4), and a typed output layout.
 
-``DecodeImageStage(real_decode=True)`` raises NotImplementedError at
-construction, marking exactly where a PIL/libvips decode would slot in.
+``DecodeImageStage(real_decode=True)`` uses the real PPM decode;
+compressed payloads raise ValueError (contained or fatal per
+``on_error``), marking exactly where a PIL/libvips decode would slot in.
 """
 
 from __future__ import annotations
@@ -28,6 +33,70 @@ IMAGE_FEATURES_SCHEMA = pa.schema([
 ])
 
 
+# ---------------------------------------------------------------------------
+# Real P6 PPM codec (pure numpy — uncompressed RGB, the netpbm format)
+
+_PIXEL_MULT = 2654435761  # Knuth multiplicative constant (public)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """H×W×3 uint8 array → binary P6 PPM bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected an HxWx3 pixel array")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary P6 PPM → (width, height, H×W×3 uint8).
+
+    A real decode: header tokenizer (handles ``#`` comments per the
+    netpbm spec), then a zero-copy ``np.frombuffer`` view of the pixel
+    plane. Raises ValueError on anything malformed (wrong magic, bad
+    dims, truncated plane) so callers can contain per-row."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        try:
+            tokens.append(int(payload[start:pos]))
+        except ValueError:
+            raise ValueError("non-numeric PPM header token") from None
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PPM dimensions")
+    n = width * height * 3
+    pix = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
+    if pix.size < n:
+        raise ValueError("truncated PPM pixel plane")
+    return width, height, pix[:n].reshape(height, width, 3)
+
+
+def synthetic_ppm(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic PPM image for tests/oracles: pixel byte i is
+    ``(seed*_PIXEL_MULT + i) mod 256`` — trivially re-computable in SQL
+    with a generate_series, while the engine only sees encoded bytes."""
+    n = width * height * 3
+    base = (seed * _PIXEL_MULT) % 256
+    vals = ((base + np.arange(n)) % 256).astype(np.uint8)
+    return encode_ppm(vals.reshape(height, width, 3))
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for an image decode: dimensions and an
     8-dim feature derived from the payload's SipHash (bit-stable across
@@ -39,28 +108,41 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return int(width), int(height), rng.rand(8).astype(np.float32)
 
 
+def _real_features(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode → 8-dim feature: per-channel means, gray mean, and a
+    4-bin gray histogram (fractions). Built from integer sums, so the
+    float32 result is bit-stable across processes/nodes."""
+    w, h, pix = decode_ppm(payload)
+    p = pix.reshape(-1, 3).astype(np.int64)
+    n = p.shape[0]
+    means = p.sum(axis=0) / n
+    gray = p.sum(axis=1) // 3  # integer gray, 0..255
+    hist = np.bincount(gray // 64, minlength=4)[:4] / n
+    feat = np.concatenate([means / 255.0, [gray.sum() / n / 255.0], hist])
+    return w, h, feat.astype(np.float32)
+
+
 class DecodeImageStage:
     """binary-payload batch → typed image-feature rows.
 
-    Actor-pool stage: pass ``real_decode=True`` once a real codec is
-    available (raises NotImplementedError until then); the fake path is
-    deterministic so the plumbing is testable end-to-end. Keep
-    ``batch_size`` small for large payloads (binary rows dominate batch
-    memory)."""
+    Actor-pool stage. ``real_decode=True`` parses binary P6 PPM payloads
+    with the numpy codec above (compressed formats — JPEG/PNG — would
+    slot a PIL/libvips call into `_real_features`; those libs are absent
+    here, and such payloads raise ValueError). ``real_decode=False`` is
+    the deterministic fake used when payloads aren't images at all (the
+    plumbing demos over text bytes). Keep ``batch_size`` small for large
+    payloads (binary rows dominate batch memory)."""
 
     def __init__(self, id_col="item_id", payload_col="payload",
                  real_decode: bool = False):
-        if real_decode:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "plug PIL/libvips decode here")
         self.id_col, self.payload_col = id_col, payload_col
+        self._decode = _real_features if real_decode else _fake_decode
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, nb, ws, hs, feats = [], [], [], [], []
         for i, payload in zip(t[self.id_col].to_pylist(),
                               t[self.payload_col].to_pylist()):
-            w, h, f = _fake_decode(payload)
+            w, h, f = self._decode(payload)
             ids.append(i)
             nb.append(len(payload))
             ws.append(w)
@@ -72,6 +154,61 @@ class DecodeImageStage:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "feature": pa.array(feats, pa.list_(pa.float32(), 8)),
+        })
+
+
+PPM_STATS_SCHEMA = pa.schema([
+    ("item_id", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("sum_r", pa.int64()),
+    ("sum_g", pa.int64()),
+    ("sum_b", pa.int64()),
+])
+
+
+class PpmStatsStage:
+    """REAL image decode → exact integer channel sums (oracle surface).
+
+    Parses each binary P6 PPM payload and emits int64 per-channel pixel
+    sums — values a SQL oracle can recompute from the generator formula
+    without ever seeing the bytes, so the decode itself is what's under
+    test. ``on_error="skip"`` drops malformed payloads (counted per-row
+    containment, the reference's ObjectProcessor catch-all semantics);
+    ``"raise"`` makes them task-fatal."""
+
+    def __init__(self, id_col="item_id", payload_col="payload",
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "skip")
+        self.id_col, self.payload_col = id_col, payload_col
+        self.on_error = on_error
+        self.error_count = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs = [], [], []
+        sums: list[list[int]] = []
+        for i, payload in zip(t[self.id_col].to_pylist(),
+                              t[self.payload_col].to_pylist()):
+            try:
+                w, h, pix = decode_ppm(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                self.error_count += 1
+                continue
+            ids.append(i)
+            ws.append(w)
+            hs.append(h)
+            sums.append(pix.reshape(-1, 3).sum(axis=0,
+                                               dtype=np.int64).tolist())
+        s = np.asarray(sums, dtype=np.int64).reshape(-1, 3)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "sum_r": pa.array(s[:, 0]),
+            "sum_g": pa.array(s[:, 1]),
+            "sum_b": pa.array(s[:, 2]),
         })
 
 

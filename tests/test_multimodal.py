@@ -1,6 +1,6 @@
-"""Multimodal plumbing: binary payload columns through actor-pool stages
-with the decode kernel stubbed deterministically (the real codec slot
-raises NotImplementedError, as documented)."""
+"""Multimodal plumbing: binary payload columns through actor-pool stages.
+P6 PPM decode is REAL (pure-numpy codec); compressed formats stay
+stubbed (deterministic fake) since no image libs exist here."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,7 +9,11 @@ import pytest
 from fcrepo3_rdf_extractor_ray.stages.multimodal import (
     DecodeImageStage,
     FrameSampleStage,
+    PpmStatsStage,
+    decode_ppm,
+    encode_ppm,
     image_features,
+    synthetic_ppm,
 )
 
 
@@ -25,9 +29,62 @@ def _items(n=10):
     return rd.from_arrow(t).repartition(2), payloads
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(real_decode=True)
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(5, 9, 3)).astype(np.uint8)
+    w, h, out = decode_ppm(encode_ppm(pix))
+    assert (w, h) == (9, 5)
+    assert np.array_equal(out, pix)
+
+
+def test_ppm_header_comments_and_errors():
+    pix = np.zeros((2, 2, 3), np.uint8)
+    body = encode_ppm(pix)
+    # netpbm comment lines inside the header must be skipped
+    commented = b"P6\n# a comment\n2 2\n# another\n255\n" + body[11:]
+    w, h, out = decode_ppm(commented)
+    assert (w, h) == (2, 2) and np.array_equal(out, pix)
+    for bad in (b"P5\n2 2\n255\n" + bytes(12),     # wrong magic
+                body[:-1],                           # truncated plane
+                b"P6\n2 2\n65535\n" + bytes(24),    # 16-bit maxval
+                b"P6\n2 x\n255\n" + bytes(12)):     # non-numeric dim
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_ppm_stats_real_decode_and_containment():
+    good = [synthetic_ppm(d, 8 + d % 9, 8 + (3 * d) % 9) for d in range(6)]
+    t = pa.table({
+        "item_id": pa.array(range(7), pa.int64()),
+        "payload": pa.array(good + [b"JFIF not a ppm"], pa.binary()),
+    })
+    with pytest.raises(ValueError):
+        PpmStatsStage()(t)                 # on_error="raise" is task-fatal
+    stage = PpmStatsStage(on_error="skip")
+    out = stage(t)
+    assert out.num_rows == 6 and stage.error_count == 1
+    # exact integer sums vs an independent recompute from raw pixels
+    for row, d in zip(out.to_pylist(), range(6)):
+        w, h, pix = decode_ppm(good[d])
+        assert (row["width"], row["height"]) == (w, h)
+        sums = pix.reshape(-1, 3).sum(axis=0)
+        assert [row["sum_r"], row["sum_g"], row["sum_b"]] == sums.tolist()
+
+
+def test_real_decode_image_features():
+    t = pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([synthetic_ppm(1), synthetic_ppm(2)],
+                            pa.binary()),
+    })
+    out = DecodeImageStage(real_decode=True)(t)
+    assert out["width"].to_pylist() == [16, 16]
+    feats = out["feature"].to_pylist()
+    assert all(len(f) == 8 for f in feats)
+    # channel means and histogram fractions are bounded [0, 1]
+    assert all(0.0 <= v <= 1.0 for f in feats for v in f)
+    # histogram fractions (last 4 dims) sum to 1
+    assert all(abs(sum(f[4:]) - 1.0) < 1e-6 for f in feats)
 
 
 def test_image_features_schema_and_determinism():

@@ -556,6 +556,37 @@ def _q_mm_image_decode(sf_dir: str):
     )
 
 
+def _q_mm_audio_windows(sf_dir: str):
+    """REAL audio decode under oracle check: each doc gets a deterministic
+    RIFF/PCM16 WAV (sample i = ((doc_id*K + i) mod 65536) - 32768, per-doc
+    length) which the engine DECODES — RIFF chunk walk + int16 view — and
+    explodes into per-window exact loudness stats. The oracle recomputes
+    from the generator formula alone."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        AudioWindowStage, synthetic_wav)
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_wav(d, 1024 + (d % 5) * 256) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_wav, batch_format="pyarrow")
+    return items.map_batches(
+        AudioWindowStage,
+        fn_constructor_kwargs={"window": 256},
+        batch_format="pyarrow",
+        batch_size=64,  # binary payloads: small batches
+        concurrency=2,
+    )
+
+
 def _q_rel_rolling(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         rolling_user_spend)
@@ -688,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _q_mm_image_features,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
+        "mm_audio_windows": _q_mm_audio_windows,
     }
 
 
@@ -1023,6 +1055,21 @@ SELECT doc_id AS item_id, w::INT AS width, h::INT AS height,
        sum(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END)::BIGINT AS sum_g,
        sum(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END)::BIGINT AS sum_b
 FROM px GROUP BY doc_id, w, h
+""",
+        "mm_audio_windows": """
+WITH dims AS (
+  SELECT doc_id,
+         1024 + (doc_id % 5) * 256 AS n,
+         (doc_id * 2654435761) % 65536 AS base
+  FROM documents),
+s AS (
+  SELECT doc_id, base, unnest(range(n)) AS i
+  FROM dims)
+SELECT doc_id AS item_id, (i // 256)::INT AS window_no,
+       count(*)::BIGINT AS n_samples,
+       sum(abs((base + i) % 65536 - 32768))::BIGINT AS sum_abs,
+       max(abs((base + i) % 65536 - 32768))::BIGINT AS peak
+FROM s GROUP BY doc_id, i // 256
 """,
         "mm_frame_sample": """
 WITH p AS (

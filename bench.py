@@ -86,7 +86,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "rel_events_hourly", "rel_sessions", "rel_asof",
                  "rel_range_join", "rel_rolling", "rel_pivot",
                  "rel_approx_distinct", "kg_pagerank", "prep_corpus",
-                 "mm_image_features", "mm_frame_sample", "mm_image_decode"):
+                 "mm_image_features", "mm_frame_sample", "mm_image_decode",
+                 "mm_audio_windows"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -97,6 +97,118 @@ def synthetic_ppm(seed: int, width: int = 16, height: int = 16) -> bytes:
     return encode_ppm(vals.reshape(height, width, 3))
 
 
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF / PCM16 mono) codec — pure struct+numpy
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → canonical RIFF/WAVE bytes (PCM16)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    import struct
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE bytes → (sample_rate, int16 mono samples).
+
+    A real parse: walks the chunk list (skipping unknown chunks, as the
+    RIFF spec requires — metadata chunks like LIST are common), reads the
+    fmt chunk, and views the data chunk as little-endian int16 with
+    ``np.frombuffer``. Only PCM16 mono is supported; anything else (or a
+    truncated/malformed file) raises ValueError for per-row containment."""
+    import struct
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={fmt} ch={ch} bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def synthetic_wav(seed: int, n_samples: int = 2048,
+                  sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 audio for tests/oracles: sample i is
+    ``((seed*_PIXEL_MULT + i) mod 65536) - 32768`` — SQL-recomputable
+    while the engine only sees RIFF bytes."""
+    base = (seed * _PIXEL_MULT) % 65536
+    vals = ((base + np.arange(n_samples)) % 65536 - 32768).astype(np.int16)
+    return encode_wav(vals, sample_rate)
+
+
+AUDIO_WINDOW_SCHEMA = pa.schema([
+    ("item_id", pa.int64()),
+    ("window_no", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("sum_abs", pa.int64()),
+    ("peak", pa.int64()),
+])
+
+
+class AudioWindowStage:
+    """REAL audio decode → per-window integer loudness stats (explode:
+    1 item → n windows). Parses each RIFF/PCM16 payload, splits the
+    sample stream into fixed windows, and emits exact int64 sum-of-|s|
+    and peak per window — an oracle-recomputable surface. Same per-row
+    containment contract as ``PpmStatsStage``."""
+
+    def __init__(self, window: int = 256, id_col="item_id",
+                 payload_col="payload", on_error: str = "raise"):
+        assert on_error in ("raise", "skip")
+        self.window = window
+        self.id_col, self.payload_col = id_col, payload_col
+        self.on_error = on_error
+        self.error_count = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, wins, ns, sums, peaks = [], [], [], [], []
+        for i, payload in zip(t[self.id_col].to_pylist(),
+                              t[self.payload_col].to_pylist()):
+            try:
+                _, samples = decode_wav(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                self.error_count += 1
+                continue
+            # int16 abs overflows at -32768 — widen BEFORE abs
+            a = np.abs(samples.astype(np.int64))
+            for w0 in range(0, max(len(a), 1), self.window):
+                seg = a[w0:w0 + self.window]
+                ids.append(i)
+                wins.append(w0 // self.window)
+                ns.append(len(seg))
+                sums.append(int(seg.sum()) if len(seg) else 0)
+                peaks.append(int(seg.max()) if len(seg) else 0)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "window_no": pa.array(wins, pa.int32()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sum_abs": pa.array(sums, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
+        })
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for an image decode: dimensions and an
     8-dim feature derived from the payload's SipHash (bit-stable across

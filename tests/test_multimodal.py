@@ -7,13 +7,17 @@ import pyarrow as pa
 import pytest
 
 from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+    AudioWindowStage,
     DecodeImageStage,
     FrameSampleStage,
     PpmStatsStage,
     decode_ppm,
+    decode_wav,
     encode_ppm,
+    encode_wav,
     image_features,
     synthetic_ppm,
+    synthetic_wav,
 )
 
 
@@ -99,6 +103,63 @@ def test_image_features_schema_and_determinism():
     out2 = image_features(ds, batch_size=4).to_pandas().sort_values("item_id")
     assert out["width"].tolist() == out2["width"].tolist()
     assert [list(f) for f in out["feature"]] == [list(f) for f in out2["feature"]]
+
+
+def test_wav_roundtrip_and_chunk_skip():
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-32768, 32768, size=777).astype(np.int16)
+    rate, out = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000 and np.array_equal(out, samples)
+    # unknown metadata chunks before data must be skipped (RIFF spec);
+    # odd-sized chunks are word-aligned with a pad byte
+    import struct
+    wav = encode_wav(samples)
+    meta = b"LIST" + struct.pack("<I", 5) + b"hello" + b"\x00"
+    spliced = wav[:36] + meta + wav[36:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    rate, out = decode_wav(spliced)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_errors():
+    good = encode_wav(np.zeros(4, np.int16))
+    import struct
+    stereo = good[:22] + struct.pack("<H", 2) + good[24:]
+    eightbit = good[:34] + struct.pack("<H", 8) + good[36:]
+    for bad in (b"OggS" + good[4:],          # wrong magic
+                good[:-3],                    # truncated data chunk
+                stereo, eightbit,
+                good[:12]):                   # no chunks at all
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_window_stats_and_containment():
+    # includes the int16 abs-overflow pitfall: a -32768 sample
+    samples = np.array([-32768, 100, -5, 32767, 1, 2, 3, 4, 9],
+                       np.int16)
+    t = pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_wav(samples), b"not audio"],
+                            pa.binary()),
+    })
+    with pytest.raises(ValueError):
+        AudioWindowStage(window=4)(t)
+    stage = AudioWindowStage(window=4, on_error="skip")
+    out = stage(t)
+    assert stage.error_count == 1
+    assert out["window_no"].to_pylist() == [0, 1, 2]
+    assert out["n_samples"].to_pylist() == [4, 4, 1]
+    assert out["sum_abs"].to_pylist() == [32768 + 100 + 5 + 32767, 10, 9]
+    assert out["peak"].to_pylist() == [32768, 4, 9]
+
+
+def test_synthetic_wav_matches_formula():
+    d = 37
+    rate, s = decode_wav(synthetic_wav(d, 1024))
+    expect = ((d * 2654435761) % 65536 + np.arange(1024)) % 65536 - 32768
+    assert np.array_equal(s.astype(np.int64), expect)
 
 
 def test_frame_sample_explode():

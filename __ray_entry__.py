@@ -556,6 +556,13 @@ def _q_mm_image_decode(sf_dir: str):
     )
 
 
+def _q_rel_global_rank(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        global_rank_orders)
+
+    return global_rank_orders(sf_dir)
+
+
 def _q_mm_audio_windows(sf_dir: str):
     """REAL audio decode under oracle check: each doc gets a deterministic
     RIFF/PCM16 WAV (sample i = ((doc_id*K + i) mod 65536) - 32768, per-doc
@@ -720,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
+        "rel_global_rank": _q_rel_global_rank,
     }
 
 
@@ -1055,6 +1063,13 @@ SELECT doc_id AS item_id, w::INT AS width, h::INT AS height,
        sum(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END)::BIGINT AS sum_g,
        sum(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END)::BIGINT AS sum_b
 FROM px GROUP BY doc_id, w, h
+""",
+        "rel_global_rank": """
+SELECT o_orderkey,
+       row_number() OVER (
+         ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
+       )::BIGINT AS rnk
+FROM orders
 """,
         "mm_audio_windows": """
 WITH dims AS (

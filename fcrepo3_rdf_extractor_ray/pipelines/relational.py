@@ -663,6 +663,85 @@ def event_type_pivot(sf_dir: str):
             .groupby("part").map_groups(part_sum, batch_format="pyarrow"))
 
 
+def global_rank_orders(sf_dir: str, n_buckets: int | None = None):
+    """TeraSort-style distributed total-order rank: every order gets its
+    exact global row number under (price DESC, orderkey ASC).
+
+    A global sort that must also EMIT positions can't be a plain
+    ``ds.sort`` (blocks don't know their global offset), so this uses
+    the classic range-partition shape: key-range bucketing from one
+    min/max pass, per-bucket sort + local rank inside ``map_groups``
+    (one task per bucket — no task ever holds more than ~1/n_buckets of
+    the data), then a per-bucket offset add. The only driver-side state
+    is the n_buckets-sized count vector — bounded by configuration, not
+    by data, so the shape holds at 100 TB with n_buckets scaled to the
+    cluster. Prices are ranked in integer cents (exact; ties broken by
+    orderkey, so the total order is unique and deterministic)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..runtime import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * cluster_cpus())
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_c": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                               pa.int64()),
+        })
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    mm = ds.aggregate(Min("price_c"), Max("price_c"))
+    if not mm or mm.get("min(price_c)") is None:  # empty input
+        return ds.map_batches(
+            lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                                "rnk": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    lo, hi = int(mm["min(price_c)"]), int(mm["max(price_c)"])
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # DESC rank order → bucket 0 holds the highest prices
+        b = ((hi - t["price_c"].to_numpy()) * n_buckets) // span
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+
+    # per-bucket counts: a combiner per block, then an n_buckets-sized
+    # exchange — the prefix-sum offsets are the bounded driver state
+    def count_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"bucket": t["bucket"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by("bucket").aggregate([("n", "sum")]).rename_columns(
+            ["bucket", "n"])
+
+    from ray.data.aggregate import Sum
+    counts = (bucketed.map_batches(count_part, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n")).take_all())
+    counts.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["sum(n)"]
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g["bucket"][0].as_py()]
+        pr = g["price_c"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, -pr))  # price DESC, orderkey ASC
+        rnk = np.empty(len(order), np.int64)
+        rnk[order] = off + 1 + np.arange(len(order))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rnk": pa.array(rnk)})
+
+    return bucketed.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pyarrow")
+
+
 def approx_distinct_users(sf_dir: str, p: int = 12):
     """HYPERLOGLOG sketch: approximate distinct users per event type.
 

@@ -64,3 +64,37 @@ def test_range_join_attribution(events_dir, sf_dir):
     assert out.loc[1, "n_clicks"] == 0  # nothing before the first purchase
     assert out.loc[4, "n_clicks"] == 2  # clicks @2,5min inside (−10m, 9m)
     assert out.loc[7, "n_clicks"] == 0  # click @0 outside the 10-min window
+
+
+@pytest.fixture()
+def orders_dir(tmp_path):
+    rng = np.random.RandomState(42)
+    n = 400
+    # few distinct prices -> heavy ties; rank must break them by orderkey
+    prices = rng.choice([10.00, 10.00, 25.50, 99.99, 0.01], size=n)
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(n, 0, -1), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_global_rank_total_order_and_bucket_invariance(orders_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        global_rank_orders)
+
+    out = global_rank_orders(orders_dir, n_buckets=7).to_pandas()
+    assert sorted(out["rnk"]) == list(range(1, 401))  # exact permutation
+    df = pq.read_table(str(orders_dir) + "/orders.parquet").to_pandas()
+    df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+    expect = df.sort_values(["price_c", "o_orderkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+    expect["rnk"] = np.arange(1, 401)
+    merged = out.merge(expect[["o_orderkey", "rnk"]], on="o_orderkey",
+                       suffixes=("", "_exp"))
+    assert (merged["rnk"] == merged["rnk_exp"]).all()
+    # rank is a property of the data, not of the partitioning knob
+    out2 = global_rank_orders(orders_dir, n_buckets=64).to_pandas()
+    m2 = out.merge(out2, on="o_orderkey", suffixes=("", "_b64"))
+    assert (m2["rnk"] == m2["rnk_b64"]).all()

@@ -661,6 +661,13 @@ def _q_ta_normalize(sf_dir: str):
     return normalize_texts(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ta_regex_extract(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        regex_extract_stats)
+
+    return regex_extract_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_grouped_quantiles(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         grouped_quantiles)
@@ -715,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _q_kg_cooccurrence,
         "ta_stratified": _q_ta_stratified,
         "ta_normalize": _q_ta_normalize,
+        "ta_regex_extract": _q_ta_regex_extract,
         "ta_grouped_quantiles": _q_ta_grouped_quantiles,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
@@ -1063,6 +1071,12 @@ SELECT doc_id AS item_id, w::INT AS width, h::INT AS height,
        sum(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END)::BIGINT AS sum_g,
        sum(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END)::BIGINT AS sum_b
 FROM px GROUP BY doc_id, w, h
+""",
+        "ta_regex_extract": """
+SELECT doc_id,
+       regexp_extract(text, 's[a-z]+') AS first_match,
+       len(regexp_extract_all(text, 'table'))::BIGINT AS n_count
+FROM documents
 """,
         "rel_global_rank": """
 SELECT o_orderkey,

@@ -80,7 +80,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["kg_quads_all"] = round(kg_sec, 3)
 
     for name in ("kg_extracted_text", "kg_mentions", "ta_quality",
-                 "ta_lang_id", "ta_vocab", "dedup_exact", "dedup_minhash",
+                 "ta_lang_id", "ta_vocab", "ta_regex_extract",
+                 "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "dedup_jaccard", "sim_knn_brute",
                  "sim_knn_ivf", "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions", "rel_asof",

@@ -141,6 +141,31 @@ def normalize_texts(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+def regex_extract_stats(docs_ds, text_col="text", id_col="doc_id",
+                        extract_pat: str = r"(?P<m>s[a-z]+)",
+                        count_pat: str = "table"):
+    """Vectorized REGEX extraction over the corpus — the
+    pattern-mining / PII-scrub / structured-field-pull primitive.
+    Pure Arrow kernels (`pc.extract_regex` + `pc.count_substring_regex`,
+    both RE2) — zero Python per row; no shuffle at all. Null (no match)
+    is canonicalized to '' to mirror DuckDB's regexp_extract."""
+    import pyarrow.compute as pc
+
+    group = extract_pat.split("?P<", 1)[1].split(">", 1)[0]
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[text_col], pa.string())
+        first = pc.struct_field(pc.extract_regex(s, extract_pat), group)
+        return pa.table({
+            id_col: t[id_col],
+            "first_match": pc.fill_null(first, ""),
+            "n_count": pc.cast(pc.count_substring_regex(s, count_pat),
+                               pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
                     n_parts: int = 64):
     """Distributed word count → global top-k terms: the vocabulary /

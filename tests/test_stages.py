@@ -107,3 +107,22 @@ def test_extract_quads_stage_skips_empty_description():
     assert "kg:description" not in out["pred"].to_pylist()
     out2 = ExtractQuadsStage(skip_empty_literals=False)(t)
     assert "kg:description" in out2["pred"].to_pylist()
+
+
+def test_regex_extract_stats_no_match_and_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        regex_extract_stats)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["big sort and slow scan", "NO MATCHES HERE",
+                          "table tabletable"]),
+    })
+    out = (regex_extract_stats(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # first match only; '' (not null) when nothing matches — DuckDB parity
+    assert out["first_match"].tolist() == ["sort", "", ""]
+    assert out["n_count"].tolist() == [0, 0, 3]

@@ -556,6 +556,13 @@ def _q_mm_image_decode(sf_dir: str):
     )
 
 
+def _q_rel_outer_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        full_outer_customer_orders)
+
+    return full_outer_customer_orders(sf_dir)
+
+
 def _q_rel_global_rank(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         global_rank_orders)
@@ -736,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
         "rel_global_rank": _q_rel_global_rank,
+        "rel_outer_join": _q_rel_outer_join,
     }
 
 
@@ -1084,6 +1092,18 @@ SELECT o_orderkey,
          ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
        )::BIGINT AS rnk
 FROM orders
+""",
+        "rel_outer_join": """
+WITH a AS (
+  SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS acctbal_c
+  FROM customer WHERE c_acctbal >= 5000)
+SELECT coalesce(a.custkey, b.c_custkey) AS custkey,
+       coalesce(a.n_orders, 0)::BIGINT  AS n_orders,
+       coalesce(b.acctbal_c, -1)::BIGINT AS acctbal_c
+FROM a FULL OUTER JOIN b ON a.custkey = b.c_custkey
 """,
         "mm_audio_windows": """
 WITH dims AS (

@@ -86,7 +86,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "sim_knn_ivf", "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions", "rel_asof",
                  "rel_range_join", "rel_rolling", "rel_pivot",
-                 "rel_approx_distinct", "rel_global_rank", "kg_pagerank",
+                 "rel_approx_distinct", "rel_global_rank", "rel_outer_join",
+                 "kg_pagerank",
                  "prep_corpus",
                  "mm_image_features", "mm_frame_sample", "mm_image_decode",
                  "mm_audio_windows"):

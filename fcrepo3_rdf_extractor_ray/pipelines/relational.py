@@ -663,6 +663,61 @@ def event_type_pivot(sf_dir: str):
             .groupby("part").map_groups(part_sum, batch_format="pyarrow"))
 
 
+def full_outer_customer_orders(sf_dir: str, min_acctbal: float = 5000.0,
+                               num_partitions: int | None = None):
+    """FULL OUTER join: per-customer order stats ⟗ the high-balance
+    customer roster. Both null directions occur (orders whose customer
+    is below the balance cutoff; rich customers with no orders) and are
+    canonicalized with sentinel fills so the oracle compares exactly.
+    Shape: per-batch combiner pre-aggregates orders to one row per
+    custkey per block BEFORE the join, so the all-to-all moves
+    aggregate-sized rows, not raw orders."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import _safe_join_partitions
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "custkey": t["o_custkey"],
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("custkey").aggregate([("n_orders", "sum")])
+        return g.rename_columns(["custkey", "n_orders"])
+
+    a = (orders.map_batches(combine, batch_format="pyarrow")
+         .groupby("custkey").aggregate(Sum("n_orders")))
+    a = _rename(a, {"sum(n_orders)": "n_orders"})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c_acctbal"], min_acctbal))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "acctbal_c": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                                 pa.int64()),
+        })
+
+    b = cust.map_batches(rich, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _safe_join_partitions(
+            min(a.count(), b.count()))
+    joined = a.join(b, join_type="full_outer", num_partitions=num_partitions,
+                    on=("custkey",), right_on=("c_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's outer join merges left/right keys into the left key column
+        return pa.table({
+            "custkey": t["custkey"],
+            "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+            "acctbal_c": pc.fill_null(pc.cast(t["acctbal_c"], pa.int64()),
+                                      -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def global_rank_orders(sf_dir: str, n_buckets: int | None = None):
     """TeraSort-style distributed total-order rank: every order gets its
     exact global row number under (price DESC, orderkey ASC).

@@ -98,3 +98,23 @@ def test_global_rank_total_order_and_bucket_invariance(orders_dir):
     out2 = global_rank_orders(orders_dir, n_buckets=64).to_pandas()
     m2 = out.merge(out2, on="o_orderkey", suffixes=("", "_b64"))
     assert (m2["rnk"] == m2["rnk_b64"]).all()
+
+
+def test_full_outer_join_both_null_directions(tmp_path):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        full_outer_customer_orders)
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([2, 3], pa.int64()),
+        "c_acctbal": pa.array([9000.0, 8000.0], pa.float64()),
+    }), str(tmp_path / "customer.parquet"))
+    out = (full_outer_customer_orders(str(tmp_path)).to_pandas()
+           .sort_values("custkey").reset_index(drop=True))
+    # 1: orders only (below-cutoff side absent) -> acctbal sentinel
+    # 2: both sides; 3: rich customer with no orders -> n_orders 0
+    assert out["custkey"].tolist() == [1, 2, 3]
+    assert out["n_orders"].tolist() == [2, 1, 0]
+    assert out["acctbal_c"].tolist() == [-1, 900000, 800000]

@@ -556,6 +556,13 @@ def _q_mm_image_decode(sf_dir: str):
     )
 
 
+def _q_ta_group_concat(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        group_concat_docs)
+
+    return group_concat_docs(sf_dir)
+
+
 def _q_rel_outer_join(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         full_outer_customer_orders)
@@ -744,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_windows": _q_mm_audio_windows,
         "rel_global_rank": _q_rel_global_rank,
         "rel_outer_join": _q_rel_outer_join,
+        "ta_group_concat": _q_ta_group_concat,
     }
 
 
@@ -1092,6 +1100,14 @@ SELECT o_orderkey,
          ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
        )::BIGINT AS rnk
 FROM orders
+""",
+        "ta_group_concat": """
+SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS first_ids
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 8
+GROUP BY lang
 """,
         "rel_outer_join": """
 WITH a AS (

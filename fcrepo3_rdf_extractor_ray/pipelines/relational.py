@@ -663,6 +663,31 @@ def event_type_pivot(sf_dir: str):
             .groupby("part").map_groups(part_sum, batch_format="pyarrow"))
 
 
+def group_concat_docs(sf_dir: str, k: int = 8):
+    """Grouped ordered string-agg, BOUNDED: the first k doc_ids per
+    language concatenated in order — the "collect sample rows per
+    group" inspection op. Unbounded per-group collects are an
+    anti-pattern at scale, so the per-batch combiner keeps only the
+    k smallest ids per group before the exchange (≤ k rows per group
+    per block shuffle) and the final per-group task re-sorts ≤
+    k × n_blocks ids."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id").groupby("lang", sort=False)
+                .head(k).reset_index(drop=True))
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())[:k]
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "first_ids": [",".join(str(i) for i in ids)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(concat, batch_format="pandas"))
+
+
 def full_outer_customer_orders(sf_dir: str, min_acctbal: float = 5000.0,
                                num_partitions: int | None = None):
     """FULL OUTER join: per-customer order stats ⟗ the high-balance

@@ -337,6 +337,25 @@ def _q_sim_knn_brute(sf_dir: str):
     return knn_bruteforce(ds, _query_vectors(sf_dir), k=5)
 
 
+def _q_sim_knn_filtered(sf_dir: str):
+    """HYBRID search: metadata predicate + exact cosine top-k. The
+    label filter is pushed into the Parquet read (row-group pruning —
+    filtered rows never leave storage), then the brute-force broadcast
+    top-k runs over the survivors only."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import knn_bruteforce
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filter=(pads.field("label") == 1),
+                         override_num_blocks=_blocks())
+    return knn_bruteforce(ds, _query_vectors(sf_dir), k=5)
+
+
 def _q_sim_knn_ivf(sf_dir: str):
     import os
 
@@ -713,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         # similarity search
         "sim_knn_brute": _q_sim_knn_brute,
+        "sim_knn_filtered": _q_sim_knn_filtered,
         "sim_knn_ivf": _q_sim_knn_ivf,
         # relational operators
         "rel_pricing_summary": _q_rel_pricing,
@@ -859,6 +879,24 @@ pairs AS (
           sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
          AS cos
   FROM q, embeddings e WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, nid, floor(cos * 1000000)::BIGINT AS cos_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(cos * 1000000) DESC, nid) AS rn
+  FROM pairs)
+SELECT qid AS query_id, nid AS neighbor_id, cos_micro
+FROM ranked WHERE rn <= 5
+""",
+        "sim_knn_filtered": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qe, q.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+         AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label = 1),
 ranked AS (
   SELECT qid, nid, floor(cos * 1000000)::BIGINT AS cos_micro,
          row_number() OVER (PARTITION BY qid

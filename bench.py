@@ -84,7 +84,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "ta_group_concat",
                  "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "dedup_jaccard", "sim_knn_brute",
-                 "sim_knn_ivf", "rel_pricing_summary", "rel_top_customers",
+                 "sim_knn_filtered", "sim_knn_ivf",
+                 "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions", "rel_asof",
                  "rel_range_join", "rel_rolling", "rel_pivot",
                  "rel_approx_distinct", "rel_global_rank", "rel_outer_join",

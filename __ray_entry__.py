@@ -627,6 +627,13 @@ def _q_mm_audio_windows(sf_dir: str):
     )
 
 
+def _q_rel_time_window(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        time_window_spend)
+
+    return time_window_spend(sf_dir)
+
+
 def _q_rel_rolling(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         rolling_user_spend)
@@ -748,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof": _q_rel_asof,
         "rel_range_join": _q_rel_range_join,
         "rel_rolling": _q_rel_rolling,
+        "rel_time_window": _q_rel_time_window,
         "rel_anti_join": _q_rel_anti_join,
         "rel_topk_group": _q_rel_topk_group,
         "rel_pivot": _q_rel_pivot,
@@ -1138,6 +1146,14 @@ SELECT o_orderkey,
          ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
        )::BIGINT AS rnk
 FROM orders
+""",
+        "rel_time_window": """
+SELECT event_id, user_id, ts,
+       sum(round(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING AND CURRENT ROW
+       )::BIGINT AS win_cents
+FROM events
 """,
         "ta_group_concat": """
 SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS first_ids

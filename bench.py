@@ -87,7 +87,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "sim_knn_filtered", "sim_knn_ivf",
                  "rel_pricing_summary", "rel_top_customers",
                  "rel_events_hourly", "rel_sessions", "rel_asof",
-                 "rel_range_join", "rel_rolling", "rel_pivot",
+                 "rel_range_join", "rel_rolling", "rel_time_window",
+                 "rel_pivot",
                  "rel_approx_distinct", "rel_global_rank", "rel_outer_join",
                  "kg_pagerank",
                  "prep_corpus",

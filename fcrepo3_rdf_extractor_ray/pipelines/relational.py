@@ -551,6 +551,49 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int = 32):
+    """TIME-RANGE windowed aggregate (RANGE frame, not row frame): each
+    event gains the sum of the same user's event values inside the
+    trailing ``minutes`` interval — SQL's ``RANGE BETWEEN INTERVAL ...
+    PRECEDING AND CURRENT ROW``, peers (equal timestamps) included.
+
+    Ray shape: one user-hash exchange, then a fully vectorized
+    per-partition pass — a global cumsum plus two ``searchsorted`` calls
+    on timestamps offset by a per-user stride (the stride exceeds any
+    real time span, so range probes can never cross a user boundary).
+    Exact integer cents; no per-user Python loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"], "cents": cents, "part": part,
+        })
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+    delta = np.int64(minutes) * 60 * 1_000_000  # µs
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(
+            drop=True)
+        tsv = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        gid = df.groupby("user_id", sort=False).ngroup().values
+        if len(tsv):
+            tsv = tsv - tsv.min()  # rebase so gid*stride can't overflow
+        stride = (tsv.max() + delta + 1) if len(tsv) else 1
+        key = tsv + gid * stride
+        cum = np.cumsum(df["cents"].values)
+        lo = np.searchsorted(key, key - delta, side="left")
+        hi = np.searchsorted(key, key, side="right")  # last peer included
+        s = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        df["win_cents"] = s.astype(np.int64)
+        return df[["event_id", "user_id", "ts", "win_cents"]]
+
+    return ds.groupby("part").map_groups(win, batch_format="pandas")
+
+
 def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
     """ANTI-JOIN: customers that placed no ``priority`` order. Scale
     shape: filter + distinct order custkeys via a per-batch combiner

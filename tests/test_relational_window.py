@@ -118,3 +118,37 @@ def test_full_outer_join_both_null_directions(tmp_path):
     assert out["custkey"].tolist() == [1, 2, 3]
     assert out["n_orders"].tolist() == [2, 1, 0]
     assert out["acctbal_c"].tolist() == [-1, 900000, 800000]
+
+
+def test_time_window_peers_and_boundaries(tmp_path):
+    """RANGE-frame semantics: equal timestamps are peers (all included,
+    even 'later' rows); the window edge at exactly -60min is inclusive."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        time_window_spend)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, 1.0),
+        (2, 1, base + dt.timedelta(minutes=30), 2.0),
+        # two peers at the same instant: each must see both
+        (3, 1, base + dt.timedelta(minutes=90), 4.0),
+        (4, 1, base + dt.timedelta(minutes=90), 8.0),
+        # exactly 60min after the peers: they are still in range
+        (5, 1, base + dt.timedelta(minutes=150), 16.0),
+        # other user: isolated
+        (6, 2, base + dt.timedelta(minutes=90), 32.0),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = (time_window_spend(str(tmp_path)).to_pandas()
+           .set_index("event_id")["win_cents"])
+    assert out[1] == 100
+    assert out[2] == 300            # 0 and 30min both inside
+    assert out[3] == 1400           # 30min + both peers (2+4+8)
+    assert out[4] == 1400           # identical frame for the peer
+    assert out[5] == 2800           # peers at exactly -60min inclusive
+    assert out[6] == 3200           # other user unaffected

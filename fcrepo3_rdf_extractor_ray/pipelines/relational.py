@@ -767,10 +767,16 @@ def full_outer_customer_orders(sf_dir: str, min_acctbal: float = 5000.0,
                                  pa.int64()),
         })
 
-    b = cust.map_batches(rich, batch_format="pyarrow")
+    # materialize both sides ONCE: .count() below would otherwise run
+    # each aggregate pipeline a first time and the join a second time
+    a = a.materialize()
+    b = cust.map_batches(rich, batch_format="pyarrow").materialize()
     if num_partitions is None:
-        num_partitions = _safe_join_partitions(
-            min(a.count(), b.count()))
+        from ..runtime import cluster_cpus
+
+        # one join → one aggregator-actor pool; don't exceed the CPUs
+        num_partitions = min(_safe_join_partitions(min(a.count(), b.count())),
+                             max(1, cluster_cpus() // 2))
     joined = a.join(b, join_type="full_outer", num_partitions=num_partitions,
                     on=("custkey",), right_on=("c_custkey",))
 

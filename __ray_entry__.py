@@ -715,6 +715,13 @@ def _q_ta_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(sf_dir)
 
 
+def _q_ta_quantiles_cont(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        grouped_quantiles_cont)
+
+    return grouped_quantiles_cont(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -766,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_normalize": _q_ta_normalize,
         "ta_regex_extract": _q_ta_regex_extract,
         "ta_grouped_quantiles": _q_ta_grouped_quantiles,
+        "ta_quantiles_cont": _q_ta_quantiles_cont,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
         "ta_tf_df": _q_ta_tf_df,
@@ -1146,6 +1154,13 @@ SELECT o_orderkey,
          ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
        )::BIGINT AS rnk
 FROM orders
+""",
+        "ta_quantiles_cont": """
+SELECT lang,
+       floor(quantile_cont(n_chars, 0.25) * 1000000)::BIGINT AS p25_micro,
+       floor(quantile_cont(n_chars, 0.5)  * 1000000)::BIGINT AS p50_micro,
+       floor(quantile_cont(n_chars, 0.75) * 1000000)::BIGINT AS p75_micro
+FROM documents GROUP BY lang
 """,
         "rel_time_window": """
 SELECT event_id, user_id, ts,

@@ -387,6 +387,42 @@ def grouped_quantiles(sf_dir: str, q: float = 0.5):
     return hist.groupby("source").map_groups(pick, batch_format="pandas")
 
 
+def grouped_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75)):
+    """CONTINUOUS (interpolated) per-group quantiles — SQL
+    ``quantile_cont`` / ``percentile_cont`` semantics: rank position
+    h = (n-1)·q with linear interpolation between the bracketing
+    values. Same scale shape as ``grouped_quantiles``: a
+    per-(group, value) histogram bounds the exchange, and the per-group
+    finish is two searchsorted probes into the cumulative counts — no
+    global sort, no per-row shuffle. Emitted in micro-units: at
+    quartile q the interpolation fraction is an exact binary float, so
+    float64 arithmetic is bit-exact vs the SQL oracle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    hist = ds.groupby(["lang", "n_chars"]).aggregate(Count())
+
+    def interp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars").reset_index(drop=True)
+        c = df["count()"].cumsum().values
+        n = int(c[-1])
+        vals = df["n_chars"].values.astype(np.float64)
+        out = {"lang": [df["lang"].iloc[0]]}
+        for q in qs:
+            h = (n - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            # 0-based rank r lives in the value-bucket j with
+            # c[j-1] <= r < c[j]
+            vlo = vals[np.searchsorted(c, lo, side="right")]
+            vhi = vals[np.searchsorted(c, hi, side="right")]
+            val = vlo + (vhi - vlo) * (h - lo)
+            out[f"p{int(round(q * 100))}_micro"] = np.array(
+                [np.floor(val * 1e6)], dtype="int64")
+        return pd.DataFrame(out)
+
+    return hist.groupby("lang").map_groups(interp, batch_format="pandas")
+
+
 def urgent_or_large_orders(sf_dir: str, min_cents: int = 30_000_00):
     """Set operation: (urgent orders) ∪ (large orders), distinct — two
     filtered streams united with ``Dataset.union`` and deduplicated by

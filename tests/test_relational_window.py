@@ -152,3 +152,26 @@ def test_time_window_peers_and_boundaries(tmp_path):
     assert out[4] == 1400           # identical frame for the peer
     assert out[5] == 2800           # peers at exactly -60min inclusive
     assert out[6] == 3200           # other user unaffected
+
+
+def test_grouped_quantiles_cont_matches_numpy(tmp_path):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        grouped_quantiles_cont)
+
+    rng = np.random.RandomState(3)
+    langs = ["en"] * 101 + ["de"] * 64   # odd and even group sizes
+    chars = np.concatenate([rng.randint(10, 500, 101),
+                            rng.randint(10, 500, 64)])
+    pq.write_table(pa.table({
+        "lang": pa.array(langs),
+        "n_chars": pa.array(chars, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = (grouped_quantiles_cont(str(tmp_path)).to_pandas()
+           .set_index("lang"))
+    for lang, n in (("en", 101), ("de", 64)):
+        vals = chars[:101] if lang == "en" else chars[101:]
+        for q, col in ((0.25, "p25_micro"), (0.5, "p50_micro"),
+                       (0.75, "p75_micro")):
+            expect = int(np.floor(np.percentile(vals, q * 100,
+                                                method="linear") * 1e6))
+            assert out.loc[lang, col] == expect, (lang, col)

@@ -708,6 +708,12 @@ def _q_ta_regex_extract(sf_dir: str):
     return regex_extract_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ta_chunks(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_grouped_quantiles(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         grouped_quantiles)
@@ -774,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_regex_extract": _q_ta_regex_extract,
         "ta_grouped_quantiles": _q_ta_grouped_quantiles,
         "ta_quantiles_cont": _q_ta_quantiles_cont,
+        "ta_chunks": _q_ta_chunks,
         "prep_corpus": _q_prep_corpus,
         "ta_vocab": _q_ta_vocab,
         "ta_tf_df": _q_ta_tf_df,
@@ -1154,6 +1161,25 @@ SELECT o_orderkey,
          ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey
        )::BIGINT AS rnk
 FROM orders
+""",
+        "ta_chunks": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS m0, greatest(len(tk), 1) AS m
+      FROM toks),
+c AS (SELECT doc_id, tk, m0,
+             unnest(range((m + 23) // 24)) AS chunk_no
+      FROM d)
+SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       array_to_string(tk[chunk_no * 24 + 1 :
+                          least(chunk_no * 24 + 32, m0)], ' ')
+           AS chunk_text,
+       greatest(least(chunk_no * 24 + 32, m0) - chunk_no * 24, 0)::BIGINT
+           AS n_tokens
+FROM c
 """,
         "ta_quantiles_cont": """
 SELECT lang,

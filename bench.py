@@ -81,7 +81,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     for name in ("kg_extracted_text", "kg_mentions", "ta_quality",
                  "ta_lang_id", "ta_vocab", "ta_regex_extract",
-                 "ta_group_concat", "ta_quantiles_cont",
+                 "ta_group_concat", "ta_quantiles_cont", "ta_chunks",
                  "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "dedup_jaccard", "sim_knn_brute",
                  "sim_knn_filtered", "sim_knn_ivf",

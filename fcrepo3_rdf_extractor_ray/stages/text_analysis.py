@@ -166,6 +166,38 @@ def regex_extract_stats(docs_ds, text_col="text", id_col="doc_id",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def chunk_documents(docs_ds, chunk_tokens: int = 32, stride: int = 24,
+                    text_col="text", id_col="doc_id"):
+    """Sliding-window document CHUNKING — the context-window splitter of
+    an LLM training pipeline: each doc explodes into overlapping chunks
+    of ≤ ``chunk_tokens`` whitespace tokens, windows starting every
+    ``stride`` tokens (overlap = chunk_tokens − stride). Deterministic
+    boundaries (token index arithmetic, no model), so the chunk text is
+    SQL-reconstructable. Stateless explode; chunk rows carry their token
+    count so downstream packing can bin-pack without re-tokenizing."""
+    assert 0 < stride <= chunk_tokens
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nos, texts, ntok = [], [], [], []
+        for i, text in zip(df[id_col], df[text_col]):
+            toks = text.split()
+            m = len(toks)
+            for c, s in enumerate(range(0, max(m, 1), stride)):
+                window = toks[s:s + chunk_tokens]
+                ids.append(i)
+                nos.append(c)
+                texts.append(" ".join(window))
+                ntok.append(len(window))
+        return pd.DataFrame({
+            id_col: pd.array(ids, dtype="int64"),
+            "chunk_no": pd.array(nos, dtype="int64"),
+            "chunk_text": texts,
+            "n_tokens": pd.array(ntok, dtype="int64"),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
 def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
                     n_parts: int = 64):
     """Distributed word count → global top-k terms: the vocabulary /

@@ -126,3 +126,30 @@ def test_regex_extract_stats_no_match_and_counts():
     # first match only; '' (not null) when nothing matches — DuckDB parity
     assert out["first_match"].tolist() == ["sort", "", ""]
     assert out["n_count"].tolist() == [0, 0, 3]
+
+
+def test_chunk_documents_overlap_and_edges():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(50))  # 50 tokens
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([toks, "one two", ""]),
+    })
+    out = (chunk_documents(rd.from_arrow(t), chunk_tokens=32, stride=24)
+           .to_pandas().sort_values(["doc_id", "chunk_no"])
+           .reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    # 50 tokens, stride 24 -> starts at 0, 24, 48 = 3 chunks
+    assert d1["chunk_no"].tolist() == [0, 1, 2]
+    assert d1["n_tokens"].tolist() == [32, 26, 2]
+    # overlap: chunk 1 starts at token 24, inside chunk 0's [0, 32)
+    assert d1["chunk_text"].iloc[1].split()[0] == "t24"
+    assert d1["chunk_text"].iloc[0].split()[-1] == "t31"
+    # short doc -> one chunk; empty doc -> one empty chunk (0 tokens)
+    assert out[out["doc_id"] == 2]["n_tokens"].tolist() == [2]
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == [""]
+    assert out[out["doc_id"] == 3]["n_tokens"].tolist() == [0]

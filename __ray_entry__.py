@@ -728,6 +728,74 @@ def _q_ta_quantiles_cont(sf_dir: str):
     return grouped_quantiles_cont(sf_dir)
 
 
+def _q_rel_funnel(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import funnel_steps
+
+    return funnel_steps(sf_dir)
+
+
+def _q_rel_rollup(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rollup_order_stats)
+
+    return rollup_order_stats(sf_dir)
+
+
+def _q_rel_except(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import except_custkeys
+
+    return except_custkeys(sf_dir)
+
+
+def _q_rel_gaps(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import user_gap_stats
+
+    return user_gap_stats(sf_dir)
+
+
+def _q_rel_corr_stats(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        corr_sufficient_stats)
+
+    return corr_sufficient_stats(sf_dir)
+
+
+def _q_rel_histogram(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import orders_histogram
+
+    return orders_histogram(sf_dir)
+
+
+def _q_ta_repetition(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_bigrams(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bigram_top
+
+    return bigram_top(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_redact(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import redact_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+    return redact_column(ev)
+
+
+def _q_ta_sources(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import source_stats
+
+    return source_stats(_docs(sf_dir, ["source", "lang", "n_chars"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -795,6 +863,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_global_rank": _q_rel_global_rank,
         "rel_outer_join": _q_rel_outer_join,
         "ta_group_concat": _q_ta_group_concat,
+        # sequential / rollup / set / window / stats / binning
+        "rel_funnel": _q_rel_funnel,
+        "rel_rollup": _q_rel_rollup,
+        "rel_except": _q_rel_except,
+        "rel_gaps": _q_rel_gaps,
+        "rel_corr_stats": _q_rel_corr_stats,
+        "rel_histogram": _q_rel_histogram,
+        # corpus text statistics
+        "ta_repetition": _q_ta_repetition,
+        "ta_bigrams": _q_ta_bigrams,
+        "ta_redact": _q_ta_redact,
+        "ta_sources": _q_ta_sources,
     }
 
 
@@ -1242,5 +1322,80 @@ SELECT p.item_id, f.frame_no::INT AS frame_no,
        greatest(least(16, p.nb - (f.frame_no * p.n) // 4), 0)::BIGINT
            AS frame_len
 FROM p CROSS JOIN f
+""",
+        "rel_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3,
+       (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::BIGINT AS step
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "rel_rollup": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "rel_except": """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+        "rel_gaps": """
+WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, count(gap_us)::BIGINT AS n_gaps,
+       max(gap_us)::BIGINT AS max_gap_us, sum(gap_us)::BIGINT AS sum_gap_us
+FROM g GROUP BY user_id
+""",
+        "rel_corr_stats": """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_x,
+       sum(round(l_discount * 100)::BIGINT)::BIGINT AS sum_y,
+       sum(round(l_quantity * 100)::BIGINT
+           * round(l_quantity * 100)::BIGINT)::BIGINT AS sum_xx,
+       sum(round(l_quantity * 100)::BIGINT
+           * round(l_discount * 100)::BIGINT)::BIGINT AS sum_xy,
+       sum(round(l_discount * 100)::BIGINT
+           * round(l_discount * 100)::BIGINT)::BIGINT AS sum_yy
+FROM lineitem GROUP BY l_returnflag
+""",
+        "rel_histogram": """
+SELECT round(o_totalprice * 100)::BIGINT // 5000000 AS bucket,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders GROUP BY 1
+""",
+        "ta_repetition": """
+WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+              FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       max(c)::BIGINT AS top_count
+FROM cnt GROUP BY doc_id
+""",
+        "ta_bigrams": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+b AS (SELECT l[i] || ' ' || l[i + 1] AS bigram
+      FROM t, unnest(range(1, len(l))) AS r(i))
+SELECT bigram, count(*)::BIGINT AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+        "ta_redact": """
+SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
+FROM events
+""",
+        "ta_sources": """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
 """,
     }

@@ -964,3 +964,241 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
 
     return partials.groupby("event_type").map_groups(
         merge, batch_format="pandas")
+
+
+def funnel_steps(sf_dir: str, window_hours: int = 24, n_parts: int = 32):
+    """CONVERSION-FUNNEL sequential pattern: per user, first signup →
+    first click within ``window_hours`` of it → first purchase within
+    ``window_hours`` of that click. The classic ordered-sequence /
+    funnel-analysis operator (no single relational primitive expresses
+    it; SQL needs a chain of correlated min-aggregates).
+
+    Shape: filter to the three step types at the read, user-hash
+    partition (ONE exchange), then a fully vectorized pandas pass per
+    partition — three filtered groupby-mins stitched with merges. Scales
+    with users/partition, never materializes on the driver."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["signup", "click", "purchase"]))
+        t = t.filter(keep)
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").repartition(n_parts)
+    win = pd.Timedelta(hours=window_hours)
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        s1 = (df[df["event_type"] == "signup"]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t1"}))
+        c = df[df["event_type"] == "click"].merge(s1, on="user_id")
+        c = c[(c["ts"] >= c["t1"]) & (c["ts"] <= c["t1"] + win)]
+        s2 = (c.groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t2"}))
+        p = df[df["event_type"] == "purchase"].merge(s2, on="user_id")
+        p = p[(p["ts"] >= p["t2"]) & (p["ts"] <= p["t2"] + win)]
+        s3 = (p.groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t3"}))
+        out = (s1.merge(s2, how="left", on="user_id")
+               .merge(s3, how="left", on="user_id"))
+        out["step"] = (1 + out["t2"].notna().astype("int64")
+                       + out["t3"].notna().astype("int64"))
+        return out[["user_id", "t1", "t2", "t3", "step"]]
+
+    g = ds.groupby("part").map_groups(funnel, batch_format="pandas")
+
+    # pandas widens timestamps to [ns]; re-assert [us] to match the oracle
+    def fix_unit(t: pa.Table) -> pa.Table:
+        for col in ("t1", "t2", "t3"):
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, pc.cast(t[col], pa.timestamp("us")))
+        return t
+
+    return g.map_batches(fix_unit, batch_format="pyarrow")
+
+
+def rollup_order_stats(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: order totals at three levels —
+    (priority, status), (priority, ALL), (ALL, ALL) — with 'ALL'
+    sentinels standing in for SQL's NULL subtotal markers.
+
+    Two-phase: per-batch combiner → one small groupby to the leaf grid,
+    then the (tiny) leaf table expands each row into its three rollup
+    levels and a second groupby merges the partials. The wide input is
+    exchanged once; the rollup expansion runs on ≤ |grid| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        g = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "total_cents": cents,
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("total_cents", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus",
+                                 "total_cents", "n_orders"])
+
+    leaf = ds.map_batches(combine, batch_format="pyarrow").groupby(
+        ["o_orderpriority", "o_orderstatus"]).aggregate(
+        Sum("total_cents"), Sum("n_orders"))
+    leaf = _rename(leaf, {"sum(total_cents)": "total_cents",
+                          "sum(n_orders)": "n_orders"})
+
+    def expand(t: pa.Table) -> pa.Table:
+        alls = pa.array(["ALL"] * t.num_rows, pa.string())
+        i_s = t.schema.get_field_index("o_orderstatus")
+        i_p = t.schema.get_field_index("o_orderpriority")
+        lvl1 = t.set_column(i_s, "o_orderstatus", alls)
+        lvl2 = lvl1.set_column(i_p, "o_orderpriority", alls)
+        return pa.concat_tables([t, lvl1, lvl2])
+
+    rolled = leaf.map_batches(expand, batch_format="pyarrow").groupby(
+        ["o_orderpriority", "o_orderstatus"]).aggregate(
+        Sum("total_cents"), Sum("n_orders"))
+    return _rename(rolled, {"sum(total_cents)": "total_cents",
+                            "sum(n_orders)": "n_orders"})
+
+
+def except_custkeys(sf_dir: str, keep_priority: str = "1-URGENT",
+                    drop_priority: str = "5-LOW"):
+    """Distinct set EXCEPT: customers with an order in ``keep_priority``
+    minus those with any order in ``drop_priority``.
+
+    Tag-and-aggregate shape — each side contributes (key, in_a, in_b)
+    indicator partials, combined per batch, then ONE groupby with max()
+    merges the tags and a mask keeps (in_a AND NOT in_b). No broadcast
+    of either side, no join: a set difference as a single exchange."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"]
+        keep = pc.or_(pc.equal(pr, keep_priority), pc.equal(pr, drop_priority))
+        t = t.filter(keep)
+        g = pa.table({
+            "o_custkey": t["o_custkey"],
+            "in_a": pc.cast(pc.equal(t["o_orderpriority"], keep_priority),
+                            pa.int64()),
+            "in_b": pc.cast(pc.equal(t["o_orderpriority"], drop_priority),
+                            pa.int64()),
+        }).group_by("o_custkey").aggregate([("in_a", "max"), ("in_b", "max")])
+        return g.rename_columns(["o_custkey", "in_a", "in_b"])
+
+    g = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "o_custkey").aggregate(Max("in_a"), Max("in_b"))
+
+    def fil(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["max(in_a)"], 1), pc.equal(t["max(in_b)"], 0))
+        return t.filter(mask).select(["o_custkey"])
+
+    return g.map_batches(fil, batch_format="pyarrow")
+
+
+def user_gap_stats(sf_dir: str, n_parts: int = 32):
+    """LAG-window analytics: per-user inter-event gap statistics
+    (count / max / sum of the gap to the previous event, microseconds).
+
+    User-hash partition then a vectorized sort + diff per partition —
+    the lag() window needs only user-locality, one exchange. Gaps are
+    integer microseconds end-to-end (exact vs the SQL epoch_us oracle);
+    users with a single event report NULL max/sum exactly like SQL
+    aggregates over an empty window."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "ts_us": us, "part": part})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").repartition(n_parts)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        same = df["user_id"].eq(df["user_id"].shift())
+        gap = df["ts_us"].diff().where(same)
+        g = df.assign(gap_us=gap).groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            n_gaps=("gap_us", "count"),
+            max_gap_us=("gap_us", "max"),
+            sum_gap_us=("gap_us", lambda s: s.sum(min_count=1)),
+        )
+        g["max_gap_us"] = g["max_gap_us"].astype("Int64")
+        g["sum_gap_us"] = g["sum_gap_us"].astype("Int64")
+        g["n_gaps"] = g["n_gaps"].astype("int64")
+        return g
+
+    return ds.groupby("part").map_groups(gaps, batch_format="pandas")
+
+
+def corr_sufficient_stats(sf_dir: str):
+    """Distributed correlation/covariance kernel: per return-flag the
+    EXACT integer sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) of
+    (quantity, discount) in cent units. Any moment-based statistic
+    (corr, covar, OLS slope) is a driver-side O(groups) formula over
+    these — the classic one-pass parallel pattern; sums are associative
+    so the per-batch combiner → small groupby is exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100)), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "sum_x": x,
+            "sum_y": y,
+            "sum_xx": pc.multiply(x, x),
+            "sum_xy": pc.multiply(x, y),
+            "sum_yy": pc.multiply(y, y),
+        }).group_by("l_returnflag").aggregate(
+            [("n_rows", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xx", "sum"), ("sum_xy", "sum"), ("sum_yy", "sum")])
+        return g.rename_columns(["l_returnflag", "n_rows", "sum_x", "sum_y",
+                                 "sum_xx", "sum_xy", "sum_yy"])
+
+    g = ds.map_batches(combine, batch_format="pyarrow").groupby(
+        "l_returnflag").aggregate(
+        Sum("n_rows"), Sum("sum_x"), Sum("sum_y"), Sum("sum_xx"),
+        Sum("sum_xy"), Sum("sum_yy"))
+    return _rename(g, {"sum(n_rows)": "n_rows", "sum(sum_x)": "sum_x",
+                       "sum(sum_y)": "sum_y", "sum(sum_xx)": "sum_xx",
+                       "sum(sum_xy)": "sum_xy", "sum(sum_yy)": "sum_yy"})
+
+
+def orders_histogram(sf_dir: str, bin_cents: int = 5_000_000):
+    """Fixed-width HISTOGRAM / binning: order totals bucketed into
+    $50k-wide bins (integer floor-division on cents — exact), count and
+    mass per bin. Per-batch combiner → tiny groupby: the exchange
+    carries one row per (bin, block)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        bucket = pc.divide(cents, pa.scalar(bin_cents, pa.int64()))
+        g = pa.table({
+            "bucket": bucket,
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "total_cents": cents,
+        }).group_by("bucket").aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")])
+        return g.rename_columns(["bucket", "n_orders", "total_cents"])
+
+    g = ds.map_batches(combine, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("n_orders"), Sum("total_cents"))
+    return _rename(g, {"sum(n_orders)": "n_orders",
+                       "sum(total_cents)": "total_cents"})

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 
@@ -292,3 +293,123 @@ def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
         })
 
     return tf.map_batches(join_df, batch_format="pyarrow")
+
+
+def repetition_stats(docs_ds, text_col="text", id_col="doc_id"):
+    """Gopher-style REPETITION quality signals: per document the total
+    token count, distinct token count, and the frequency of the most
+    repeated token — the inputs to duplicate-fraction filters
+    (n_tokens - n_distinct)/n_tokens and top-token-fraction gates.
+
+    Tokenization is str.split(' ') — byte-identical to the oracle's
+    str_split(text, ' ') on ANY input (empty tokens preserved), so the
+    engine and SQL can never drift on pathological whitespace. Fully
+    vectorized: one repeat+concat explode per batch, one two-level
+    groupby; no shuffle (per-doc stats stay in their block)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        vc = (pd.DataFrame({"d": ids, "t": flat})
+              .groupby(["d", "t"], sort=False).size())
+        g = vc.groupby(level=0, sort=False).agg(["sum", "size", "max"])
+        g.columns = ["n_tokens", "n_distinct", "top_count"]
+        g = g.reset_index().rename(columns={"d": id_col})
+        return g.astype({c: "int64" for c in
+                         ("n_tokens", "n_distinct", "top_count")})
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def bigram_top(docs_ds, k: int = 20, text_col="text"):
+    """Corpus-wide top-k BIGRAMS: the n-gram language-model / collocation
+    statistic. Per-batch combiner counts bigrams vectorized (one flat
+    token array per batch; document boundaries masked out of the
+    adjacent-pair join, so no cross-document bigrams) → global groupby
+    sum → tiny sort+limit over the bigram vocabulary. The shuffle moves
+    one row per distinct bigram per batch — never one per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        n = len(flat)
+        if n < 2:
+            return pd.DataFrame({"bigram": pd.array([], dtype=object),
+                                 "n": pd.array([], dtype="int64")})
+        valid = np.ones(n - 1, dtype=bool)
+        # last token of each doc does not pair with the next doc's first
+        ends = np.cumsum(lens)[:-1] - 1
+        valid[ends[ends < n - 1]] = False
+        big = np.char.add(np.char.add(
+            flat[:-1][valid].astype("U"), " "), flat[1:][valid].astype("U"))
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy().astype("int64")})
+
+    ds = docs_ds.map_batches(combine, batch_format="pandas")
+    g = ds.groupby("bigram").aggregate(Sum("n"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bigram", "n"])
+
+    return (g.map_batches(rn, batch_format="pyarrow")
+             .sort(["n", "bigram"], descending=[True, False]).limit(k))
+
+
+def redact_column(ds, col="props", id_col="event_id",
+                  pattern=r"[0-9]+", repl="#"):
+    """PII-style REDACTION: regex-replace every match in a column with a
+    placeholder (digit runs → '#' by default — the phone/ID-number
+    scrub). Pure Arrow RE2 kernel (`replace_substring_regex`) — zero
+    Python per row, no shuffle, byte-exact vs the SQL regexp_replace
+    oracle (both are RE2 dialects)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(t[col], pattern=pattern,
+                                         replacement=repl)
+        return pa.table({id_col: t[id_col], "redacted": red})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def source_stats(docs_ds):
+    """Per-source corpus composition: document count, total characters,
+    and DISTINCT language count — the mix report a crawl pipeline emits
+    per ingest feed. Distinct-per-group without a distinct operator:
+    per-batch combiner to (source, lang) partials → groupby sum → the
+    (source, lang) grid is tiny, so the per-source rollup (count rows =
+    distinct langs) is a second cheap groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": t["source"],
+            "lang": t["lang"],
+            "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "total_chars": t["n_chars"],
+        }).group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")])
+        return g.rename_columns(["source", "lang", "n_docs", "total_chars"])
+
+    grid = docs_ds.map_batches(combine, batch_format="pyarrow").groupby(
+        ["source", "lang"]).aggregate(Sum("n_docs"), Sum("total_chars"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["source", "lang", "n_docs", "total_chars"])
+
+    g = (grid.map_batches(rn, batch_format="pyarrow")
+         .groupby("source").aggregate(Sum("n_docs"), Sum("total_chars"),
+                                      Count()))
+
+    def rn2(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["source", "n_docs", "total_chars", "n_langs"])
+        i = t.schema.get_field_index("n_langs")
+        return t.set_column(i, "n_langs", pc.cast(t["n_langs"], pa.int64()))
+
+    return g.map_batches(rn2, batch_format="pyarrow")

@@ -46,6 +46,13 @@ def duck(sf_dir):
     return con
 
 
+@pytest.fixture()
+def docs_ds(sf_dir, ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
 def to_pandas(result):
     """Normalize a Dataset / pyarrow Table / pandas DataFrame to pandas."""
     import pandas as pd

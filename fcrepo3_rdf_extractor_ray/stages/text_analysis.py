@@ -326,12 +326,18 @@ def repetition_stats(docs_ds, text_col="text", id_col="doc_id"):
 
 def bigram_top(docs_ds, k: int = 20, text_col="text"):
     """Corpus-wide top-k BIGRAMS: the n-gram language-model / collocation
-    statistic. Per-batch combiner counts bigrams vectorized (one flat
-    token array per batch; document boundaries masked out of the
-    adjacent-pair join, so no cross-document bigrams) → global groupby
-    sum → tiny sort+limit over the bigram vocabulary. The shuffle moves
-    one row per distinct bigram per batch — never one per occurrence."""
-    from ray.data.aggregate import Sum
+    statistic. Same shape as ``vocab_top_terms``: per-batch combiner
+    counts bigrams vectorized (one flat token array per batch; document
+    boundaries masked out of the adjacent-pair join, so no
+    cross-document bigrams) → bigram-hash partition → one vectorized
+    Arrow group_by per partition (hash partitioning colocates every
+    copy of a bigram, so per-partition sums are GLOBAL) → per-partition
+    top-k prune → tiny global sort+limit. The shuffle moves one row per
+    distinct bigram per batch — never one per occurrence — and only k
+    rows per partition reach the final sort."""
+    from ..functions.hashing import siphash64_batch
+
+    n_parts = 32
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.split(" ")
@@ -341,7 +347,8 @@ def bigram_top(docs_ds, k: int = 20, text_col="text"):
         n = len(flat)
         if n < 2:
             return pd.DataFrame({"bigram": pd.array([], dtype=object),
-                                 "n": pd.array([], dtype="int64")})
+                                 "n": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int32")})
         valid = np.ones(n - 1, dtype=bool)
         # last token of each doc does not pair with the next doc's first
         ends = np.cumsum(lens)[:-1] - 1
@@ -349,17 +356,23 @@ def bigram_top(docs_ds, k: int = 20, text_col="text"):
         big = np.char.add(np.char.add(
             flat[:-1][valid].astype("U"), " "), flat[1:][valid].astype("U"))
         vc = pd.Series(big).value_counts()
-        return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object),
-                             "n": vc.to_numpy().astype("int64")})
+        bigrams = vc.index.to_numpy(dtype=object)
+        part = (siphash64_batch(list(bigrams)) % n_parts).astype(np.int32)
+        return pd.DataFrame({"bigram": bigrams,
+                             "n": vc.to_numpy().astype("int64"),
+                             "part": part})
 
     ds = docs_ds.map_batches(combine, batch_format="pandas")
-    g = ds.groupby("bigram").aggregate(Sum("n"))
 
-    def rn(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["bigram", "n"])
+    def part_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("n", "sum")])
+        g = g.rename_columns(["bigram", "n"])
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("bigram", "ascending")])
+        return g.take(order[:k])
 
-    return (g.map_batches(rn, batch_format="pyarrow")
-             .sort(["n", "bigram"], descending=[True, False]).limit(k))
+    g = ds.groupby("part").map_groups(part_topk, batch_format="pyarrow")
+    return g.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
 def redact_column(ds, col="props", id_col="event_id",

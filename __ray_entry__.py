@@ -796,6 +796,35 @@ def _q_ta_sources(sf_dir: str):
     return source_stats(_docs(sf_dir, ["source", "lang", "n_chars"]))
 
 
+def _q_rel_ntile(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import ntile_orders
+
+    return ntile_orders(sf_dir)
+
+
+def _q_kg_degree(sf_dir: str):
+    """Degree histogram of the extracted entity graph (out-degree of the
+    fact-quad subject column)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import degree_distribution
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(lambda t: t.select(["subj"]),
+                              batch_format="pyarrow")
+    return degree_distribution(edges)
+
+
+def _q_ta_postings(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_feature_hash(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import feature_hash
+
+    return feature_hash(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -875,6 +904,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bigrams": _q_ta_bigrams,
         "ta_redact": _q_ta_redact,
         "ta_sources": _q_ta_sources,
+        # ranking / graph profiling / retrieval-index / featurization
+        "rel_ntile": _q_rel_ntile,
+        "kg_degree": _q_kg_degree,
+        "ta_postings": _q_ta_postings,
+        "ta_feature_hash": _q_ta_feature_hash,
     }
 
 
@@ -1397,5 +1431,48 @@ FROM events
 SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        count(DISTINCT lang)::BIGINT AS n_langs
 FROM documents GROUP BY source
+""",
+        "rel_ntile": """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                          o_orderkey)::BIGINT AS rnk,
+       ntile(4) OVER (ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                      o_orderkey)::BIGINT AS tile
+FROM orders
+""",
+        "kg_degree": (
+            _U_CTE
+            + ", f AS (" + _FACT_QUADS_SQL + ")"
+            + ", d AS (SELECT subj, count(*) AS c FROM f GROUP BY subj)\n"
+            + "SELECT c::BIGINT AS degree, count(*)::BIGINT AS n_nodes\n"
+            + "FROM d GROUP BY c"
+        ),
+        "ta_postings": """
+WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+           FROM documents),
+d AS (SELECT DISTINCT tok, doc_id FROM t),
+r AS (SELECT tok, doc_id,
+             row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      FROM d)
+SELECT tok AS token,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings,
+       count(*)::BIGINT AS n_docs_in_list
+FROM r WHERE rn <= 8 GROUP BY tok
+""",
+        # the bucket is md5's first byte mod 64, recomputed in SQL from
+        # the two leading hex digits (ascii arithmetic) — byte-exact
+        "ta_feature_hash": """
+WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+           FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+v AS (SELECT doc_id,
+             ((16 * (ascii(substr(hx, 1, 1)) - 48
+                     - CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+                            THEN 39 ELSE 0 END)
+               + (ascii(substr(hx, 2, 1)) - 48
+                  - CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+                         THEN 39 ELSE 0 END)) % 64)::BIGINT AS bucket
+      FROM h)
+SELECT doc_id, bucket, count(*)::BIGINT AS n FROM v GROUP BY doc_id, bucket
 """,
     }

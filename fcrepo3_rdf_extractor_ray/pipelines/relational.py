@@ -1202,3 +1202,39 @@ def orders_histogram(sf_dir: str, bin_cents: int = 5_000_000):
         "bucket").aggregate(Sum("n_orders"), Sum("total_cents"))
     return _rename(g, {"sum(n_orders)": "n_orders",
                        "sum(total_cents)": "total_cents"})
+
+
+def ntile_orders(sf_dir: str, k: int = 4, n_buckets: int | None = None):
+    """NTILE(k) quantile-bucket assignment under a global total order
+    (price DESC, orderkey ASC) — the "split the corpus into quality
+    quartiles" operator.
+
+    Rides on the TeraSort-shape ``global_rank_orders`` (range-partition
+    rank, no task holds more than ~1/n_buckets of the data); the tile is
+    then a pure per-row formula from (rank, total): SQL ntile semantics
+    — the first n % k tiles get one extra row. The total row count comes
+    from Parquet metadata (no extra data pass)."""
+    import pyarrow.dataset as pads
+
+    total = pads.dataset(
+        os.path.join(sf_dir, "orders.parquet")).count_rows()
+    ranked = global_rank_orders(sf_dir, n_buckets=n_buckets)
+    if total == 0:
+        return ranked.map_batches(
+            lambda t: t.append_column("tile", pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    size, rem = divmod(total, k)
+    boundary = rem * (size + 1)
+
+    def tile(t: pa.Table) -> pa.Table:
+        r = pc.subtract(t["rnk"], 1)
+        in_head = pc.less(r, boundary)
+        head_tile = pc.add(pc.divide(r, size + 1), 1)
+        tail_tile = (pc.add(pc.divide(pc.subtract(r, boundary),
+                                      max(size, 1)), rem + 1)
+                     if size else head_tile)
+        return t.append_column(
+            "tile", pc.cast(pc.if_else(in_head, head_tile, tail_tile),
+                            pa.int64()))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")

@@ -217,3 +217,39 @@ def _pagerank_join(e3, nodes, n_join, iters, damping_pct, rank_scale,
         ranks = inc.map_batches(apply_rank,
                                 batch_format="pyarrow").materialize()
     return ranks
+
+
+def degree_distribution(edges_ds, node_col: str = "subj"):
+    """Graph DEGREE DISTRIBUTION: out-degree per node, then the
+    histogram of degrees — the first profiling query over any extracted
+    knowledge graph (power-law check, supernode detection for salt
+    planning). Two chained partial/final aggregations: the edge stream
+    is combined per batch before each exchange, and the second exchange
+    carries at most one row per distinct degree per block — bytes, not
+    edges, regardless of graph size."""
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            node_col: t[node_col],
+            "deg": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(node_col).aggregate([("deg", "sum")])
+        return g.rename_columns([node_col, "deg"])
+
+    degrees = (edges_ds.map_batches(count_part, batch_format="pyarrow")
+               .groupby(node_col).aggregate(Sum("deg")))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "degree": t["sum(deg)"],
+            "n_nodes": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("degree").aggregate([("n_nodes", "sum")])
+        return g.rename_columns(["degree", "n_nodes"])
+
+    g = (degrees.map_batches(hist_part, batch_format="pyarrow")
+         .groupby("degree").aggregate(Sum("n_nodes")))
+    return g.map_batches(
+        lambda t: t.rename_columns(["degree", "n_nodes"]),
+        batch_format="pyarrow")

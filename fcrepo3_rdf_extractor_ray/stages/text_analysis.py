@@ -426,3 +426,83 @@ def source_stats(docs_ds):
         return t.set_column(i, "n_langs", pc.cast(t["n_langs"], pa.int64()))
 
     return g.map_batches(rn2, batch_format="pyarrow")
+
+
+def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
+                   n_parts: int = 32):
+    """INVERTED-INDEX construction: per token, the sorted posting list of
+    the first ``k`` documents containing it plus the capped list length —
+    the retrieval-index build of a search/RAG pipeline.
+
+    Unbounded per-token collects are the classic scale trap, so the
+    per-batch combiner dedupes (token, doc) pairs and keeps only the k
+    smallest doc ids per token BEFORE the exchange; the token-hash
+    partition then colocates every partial list and the per-partition
+    final re-sorts ≤ k × n_blocks ids per token. The posting string is
+    bounded by construction."""
+    from ..functions.hashing import siphash64_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        pairs = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(np.int64), lens),
+            "token": (np.concatenate(toks.to_numpy()) if len(df)
+                      else np.array([], dtype=object)),
+        }).drop_duplicates()
+        pairs = (pairs.sort_values(id_col).groupby("token", sort=False)
+                 .head(k).reset_index(drop=True))
+        part = (siphash64_batch(list(pairs["token"].to_numpy(dtype=object)))
+                % n_parts).astype(np.int32)
+        return pairs.assign(part=part)
+
+    ds = docs_ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["token", id_col]).sort_values(
+            ["token", id_col])
+        df = df.groupby("token", sort=False).head(k)
+        g = df.groupby("token", sort=False)[id_col].agg(
+            postings=lambda s: ",".join(map(str, s)), n_docs_in_list="size")
+        g = g.reset_index()
+        g["n_docs_in_list"] = g["n_docs_in_list"].astype("int64")
+        return g[["token", "postings", "n_docs_in_list"]]
+
+    return ds.groupby("part").map_groups(final, batch_format="pandas")
+
+
+def feature_hash(docs_ds, n_buckets: int = 64, text_col="text",
+                 id_col="doc_id"):
+    """HASHING-TRICK feature vectors: every token maps to
+    ``md5(token) % n_buckets`` and each document emits its sparse
+    (bucket, count) rows — the fixed-width featurizer that needs no
+    vocabulary build, no global pass, no shuffle at all.
+
+    The bucket is the first md5 byte mod n_buckets (n_buckets ≤ 256),
+    chosen so the SQL oracle can recompute it from md5's hex digits —
+    engine and oracle agree byte-for-byte on any input. Per batch the
+    md5 runs once per DISTINCT token (memoized via unique + take)."""
+    import hashlib
+
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        ub = np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).digest()[0] % n_buckets
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        out = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(np.int64), lens),
+            "bucket": ub[inv] if len(flat) else np.array([], np.int64),
+        })
+        g = out.groupby([id_col, "bucket"], sort=False).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

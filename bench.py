@@ -93,7 +93,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "kg_pagerank",
                  "prep_corpus",
                  "mm_image_features", "mm_frame_sample", "mm_image_decode",
-                 "mm_audio_windows"):
+                 "mm_audio_windows",
+                 "rel_funnel", "rel_gaps", "rel_ntile", "kg_degree",
+                 "ta_repetition", "ta_bigrams", "ta_postings",
+                 "ta_feature_hash"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

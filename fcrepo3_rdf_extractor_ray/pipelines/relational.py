@@ -773,12 +773,20 @@ def full_outer_customer_orders(sf_dir: str, min_acctbal: float = 5000.0,
     customer roster. Both null directions occur (orders whose customer
     is below the balance cutoff; rich customers with no orders) and are
     canonicalized with sentinel fills so the oracle compares exactly.
-    Shape: per-batch combiner pre-aggregates orders to one row per
-    custkey per block BEFORE the join, so the all-to-all moves
-    aggregate-sized rows, not raw orders."""
-    from ray.data.aggregate import Sum
 
-    from ..stages.canonicalize import _safe_join_partitions
+    Shape: TAG-UNION co-partitioned merge — each side contributes rows
+    to one union stream (orders pre-combined per batch, so the exchange
+    moves aggregate-sized rows), the custkey-hash ``groupby(part)``
+    colocates both sides in ONE exchange, and a vectorized pandas outer
+    merge finishes per partition. No join-actor pools, no second
+    aggregation exchange: the per-partition step both completes the
+    order counts and performs the outer merge. (Ray's native ``join``
+    API is exercised by the kg_quads_join_resolve path.)"""
+    from ..runtime import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(8, cluster_cpus() // 2)
+    n_parts = num_partitions
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
@@ -787,45 +795,43 @@ def full_outer_customer_orders(sf_dir: str, min_acctbal: float = 5000.0,
             "custkey": t["o_custkey"],
             "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
         }).group_by("custkey").aggregate([("n_orders", "sum")])
-        return g.rename_columns(["custkey", "n_orders"])
-
-    a = (orders.map_batches(combine, batch_format="pyarrow")
-         .groupby("custkey").aggregate(Sum("n_orders")))
-    a = _rename(a, {"sum(n_orders)": "n_orders"})
+        g = g.rename_columns(["custkey", "n_orders"])
+        return pa.table({
+            "custkey": g["custkey"],
+            "n_orders": g["n_orders"],
+            "acctbal_c": pa.nulls(g.num_rows, pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(g["custkey"], n_parts - 1),
+                            pa.int32()),
+        })
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
     def rich(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["c_acctbal"], min_acctbal))
         return pa.table({
-            "c_custkey": t["c_custkey"],
+            "custkey": t["c_custkey"],
+            "n_orders": pa.nulls(t.num_rows, pa.int64()),
             "acctbal_c": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
                                  pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(t["c_custkey"], n_parts - 1),
+                            pa.int32()),
         })
 
-    # materialize both sides ONCE: .count() below would otherwise run
-    # each aggregate pipeline a first time and the join a second time
-    a = a.materialize()
-    b = cust.map_batches(rich, batch_format="pyarrow").materialize()
-    if num_partitions is None:
-        from ..runtime import cluster_cpus
+    both = (orders.map_batches(combine, batch_format="pyarrow")
+            .union(cust.map_batches(rich, batch_format="pyarrow")))
 
-        # one join → one aggregator-actor pool; don't exceed the CPUs
-        num_partitions = min(_safe_join_partitions(min(a.count(), b.count())),
-                             max(1, cluster_cpus() // 2))
-    joined = a.join(b, join_type="full_outer", num_partitions=num_partitions,
-                    on=("custkey",), right_on=("c_custkey",))
-
-    def finish(t: pa.Table) -> pa.Table:
-        # Ray's outer join merges left/right keys into the left key column
-        return pa.table({
-            "custkey": t["custkey"],
-            "n_orders": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
-            "acctbal_c": pc.fill_null(pc.cast(t["acctbal_c"], pa.int64()),
-                                      -1),
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df[df["acctbal_c"].isna()]
+             .groupby("custkey", as_index=False)["n_orders"].sum())
+        b = df.loc[df["acctbal_c"].notna(), ["custkey", "acctbal_c"]]
+        m = a.merge(b, how="outer", on="custkey")
+        return pd.DataFrame({
+            "custkey": m["custkey"].astype("int64"),
+            "n_orders": m["n_orders"].fillna(0).astype("int64"),
+            "acctbal_c": m["acctbal_c"].fillna(-1).astype("int64"),
         })
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return both.groupby("part").map_groups(merge, batch_format="pandas")
 
 
 def global_rank_orders(sf_dir: str, n_buckets: int | None = None):

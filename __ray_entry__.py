@@ -825,6 +825,33 @@ def _q_ta_feature_hash(sf_dir: str):
     return feature_hash(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_rel_semi_join_bloom(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        semi_join_orders_bloom)
+
+    return semi_join_orders_bloom(sf_dir)
+
+
+def _q_rel_heavy_hitters(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import heavy_hitters
+
+    return heavy_hitters(sf_dir)
+
+
+def _q_rel_latest_event(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        latest_event_per_user)
+
+    return latest_event_per_user(sf_dir)
+
+
+def _q_rel_hopping_window(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        hopping_window_counts)
+
+    return hopping_window_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -909,6 +936,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree": _q_kg_degree,
         "ta_postings": _q_ta_postings,
         "ta_feature_hash": _q_ta_feature_hash,
+        # scale-path joins / sketch-verify / CDC compaction / windows
+        "rel_semi_join_bloom": _q_rel_semi_join_bloom,
+        "rel_heavy_hitters": _q_rel_heavy_hitters,
+        "rel_latest_event": _q_rel_latest_event,
+        "rel_hopping_window": _q_rel_hopping_window,
     }
 
 
@@ -1474,5 +1506,36 @@ v AS (SELECT doc_id,
                          THEN 39 ELSE 0 END)) % 64)::BIGINT AS bucket
       FROM h)
 SELECT doc_id, bucket, count(*)::BIGINT AS n FROM v GROUP BY doc_id, bucket
+""",
+        # identical result contract to rel_semi_join — the engine-side
+        # bloom-prefilter + co-partitioned verify must not change values
+        "rel_semi_join_bloom": """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice * 100)::BIGINT AS total_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+""",
+        "rel_heavy_hitters": """
+SELECT event_type, count(*)::BIGINT AS n_events FROM events
+GROUP BY event_type
+HAVING count(*) > (SELECT count(*) // 5 FROM events)
+""",
+        "rel_latest_event": """
+SELECT user_id, ts, event_id, event_type,
+       round(value * 100)::BIGINT AS value_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+        "rel_hopping_window": """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+                  round(value * 100)::BIGINT AS cents FROM events),
+x AS (SELECT event_type, cents,
+             (us // 3600000000) * 3600000000 - i * 3600000000 AS win_us
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i))
+SELECT event_type, make_timestamp(win_us) AS win_start,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+FROM x GROUP BY event_type, win_us
 """,
     }

@@ -1244,3 +1244,252 @@ def ntile_orders(sf_dir: str, k: int = 4, n_buckets: int | None = None):
                             pa.int64()))
 
     return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def semi_join_orders_bloom(sf_dir: str, min_acctbal: float = 5000.0,
+                           m_bits: int = 1 << 20, n_hashes: int = 4,
+                           n_parts: int = 32):
+    """Semi-join at the scale where the key set is too big to broadcast
+    EXACTLY: a BLOOM-FILTER pre-filter plus a co-partitioned exact
+    verify. Result is identical to ``semi_join_orders`` (same oracle).
+
+    Pass 1 builds the filter distributed: each customer batch sets its
+    bits in a local bitmap (vectorized splitmix64 double-hashing) and the
+    bitmaps OR-merge through a tiny exchange (m_bits/8 bytes per block —
+    KBs regardless of key cardinality, the HLL trick). The broadcast is
+    the bitmap, not the keys. Pass 2 drops every order that cannot match
+    (bloom has no false negatives), then the survivors — already a small
+    fraction — co-partition with the true keys for the exact check that
+    removes bloom's false positives."""
+
+    def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        return h & np.uint64(0xFFFFFFFF), h >> np.uint64(32)
+
+    def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+        h1, h2 = _hash2(keys)
+        ks = np.arange(n_hashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + ks * h2[None, :]) % np.uint64(m_bits))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def bitmap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["c_acctbal"] > min_acctbal, "c_custkey"]
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(keep):
+            pos = _bloom_positions(keep.to_numpy(np.int64)).ravel()
+            np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                             np.uint8(1) << (pos % 8).astype(np.uint8))
+        return pd.DataFrame({"one": [1], "bits": [bits]})
+
+    def bitmap_merge(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.bitwise_or.reduce(
+            [np.asarray(b, dtype=np.uint8) for b in df["bits"]])
+        return pd.DataFrame({"one": [1], "bits": [bits]})
+
+    bloom = (cust.map_batches(bitmap_partial, batch_format="pandas")
+             .groupby("one").map_groups(bitmap_merge, batch_format="pandas")
+             .take_all())
+    bits_ref = ray.put(np.asarray(bloom[0]["bits"], dtype=np.uint8))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = t["o_custkey"].to_numpy()
+        pos = _bloom_positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for k in range(n_hashes):
+            p = pos[k]
+            hit &= (bits[(p // 8).astype(np.int64)]
+                    >> (p % 8).astype(np.uint8)) & 1 == 1
+        t = t.filter(pa.array(hit))
+        part = pc.cast(pc.bit_wise_and(t["o_custkey"], n_parts - 1),
+                       pa.int32())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "total_cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                        100)), pa.int64()),
+            "is_key": pa.nulls(t.num_rows, pa.bool_()),
+            "part": part,
+        })
+
+    def keyrows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], min_acctbal))
+        part = pc.cast(pc.bit_wise_and(t["c_custkey"], n_parts - 1),
+                       pa.int32())
+        return pa.table({
+            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "o_custkey": t["c_custkey"],
+            "total_cents": pa.nulls(t.num_rows, pa.int64()),
+            "is_key": pa.array(np.ones(t.num_rows, dtype=bool)),
+            "part": part,
+        })
+
+    both = (orders.map_batches(prefilter, batch_format="pyarrow")
+            .union(cust.map_batches(keyrows, batch_format="pyarrow")))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        true_keys = df.loc[df["is_key"].notna(), "o_custkey"].unique()
+        o = df[df["is_key"].isna()]
+        o = o[o["o_custkey"].isin(true_keys)]
+        return pd.DataFrame({
+            "o_orderkey": o["o_orderkey"].astype("int64"),
+            "o_custkey": o["o_custkey"].astype("int64"),
+            "total_cents": o["total_cents"].astype("int64"),
+        })
+
+    return both.groupby("part").map_groups(verify, batch_format="pandas")
+
+
+def heavy_hitters(sf_dir: str, key: str = "event_type", k: int = 5,
+                  ds=None):
+    """EXACT heavy hitters (keys with > n/k of all events) by the
+    two-pass sketch-then-verify pattern — the skew diagnostic that
+    decides which keys need salting before a wide shuffle.
+
+    Pass 1: a Misra-Gries summary per batch (at most k counters — the
+    exchange carries ≤ k rows per block no matter how many keys), whose
+    merged candidate set provably CONTAINS every true heavy hitter.
+    Pass 2: the candidate set (≤ k×blocks ids, bounded by configuration)
+    broadcasts, and exact counts for candidates only flow through a tiny
+    groupby. The output is exact — sketch error never reaches it.
+
+    ``ds`` lets tests inject a synthetic dataset (must carry ``key``);
+    the default reads the events table."""
+    from ray.data.aggregate import Sum
+
+    if ds is None:
+        ds = _read(sf_dir, "events", [key])
+    total = ds.count()
+    threshold = total // k
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts()
+        if len(vc) > k:
+            # Misra-Gries decrement: subtract the (k+1)-th largest count
+            # from everyone and drop the non-positive — a summary with
+            # ≤ k survivors whose counts are within n_batch/k of truth
+            cut = vc.iloc[k]
+            vc = (vc - cut)[lambda s: s > 0]
+        return pd.DataFrame({key: vc.index.to_numpy(),
+                             "mg": vc.to_numpy().astype("int64")})
+
+    cands = (ds.map_batches(mg_partial, batch_format="pandas")
+             .groupby(key).aggregate(Sum("mg")))
+    cand_ids = pa.array([r[key] for r in cands.take_all()])
+    cand_ref = ray.put(cand_ids)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ref)
+        t = t.filter(pc.is_in(t[key], value_set=ids))
+        g = pa.table({
+            key: t[key],
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(key).aggregate([("n_events", "sum")])
+        return g.rename_columns([key, "n_events"])
+
+    g = (ds.map_batches(exact_partial, batch_format="pyarrow")
+         .groupby(key).aggregate(Sum("n_events")))
+
+    def fil(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([key, "n_events"])
+        return t.filter(pc.greater(t["n_events"], threshold))
+
+    return g.map_batches(fil, batch_format="pyarrow")
+
+
+def latest_event_per_user(sf_dir: str):
+    """LAST-VALUE-WINS compaction (the CDC / upsert / SCD-1 snapshot):
+    per user, the value and type of their most recent event, ties broken
+    by highest event_id — deterministic total order.
+
+    Argmax is associative, so a per-batch combiner keeps one candidate
+    row per user per block and the exchange moves candidates, not
+    events; the final per-group pick runs on ≤ one row per block."""
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pick_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        g = df.groupby("user_id", as_index=False).tail(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "ts": g["ts"],
+            "event_id": g["event_id"].astype("int64"),
+            "event_type": g["event_type"],
+            "value_cents": (g["value"] * 100).round().astype("int64"),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        return df.groupby("user_id", as_index=False).tail(1)
+
+    combined = ds.map_batches(
+        lambda df: pick_latest(df), batch_format="pandas")
+    g = combined.groupby("user_id").map_groups(finish, batch_format="pandas")
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("ts")
+        return t.set_column(i, "ts", pc.cast(t["ts"], pa.timestamp("us")))
+
+    return g.map_batches(fix_unit, batch_format="pyarrow")
+
+
+def hopping_window_counts(sf_dir: str, size_hours: int = 2,
+                          stride_hours: int = 1):
+    """HOPPING (sliding) window aggregate: event counts + cent sums per
+    (event_type, 2h window starting every 1h) — each event belongs to
+    size/stride overlapping windows and is EXPLODED into them by pure
+    column arithmetic (no per-row Python), then an ordinary combiner →
+    groupby finishes. The tumbling window is the stride==size special
+    case of this operator."""
+    from ray.data.aggregate import Sum
+
+    assert size_hours % stride_hours == 0
+    fan = size_hours // stride_hours
+    stride_us = stride_hours * 3_600_000_000
+    size_us = size_hours * 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                        pa.int64()).to_numpy()
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        # window starts: the fan strides ending at the event's stride slot
+        last = (us // stride_us) * stride_us
+        starts = last[None, :] - (np.arange(fan, dtype=np.int64)[:, None]
+                                  * stride_us)
+        keep = (us[None, :] - starts) < size_us  # guard partial first slots
+        g = pa.table({
+            "event_type": pa.array(np.tile(ty, fan)[keep.ravel()]),
+            "win_start_us": pa.array(starts.ravel()[keep.ravel()]),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "value_cents": pa.array(np.tile(cents, fan)[keep.ravel()]),
+        }).group_by(["event_type", "win_start_us"]).aggregate(
+            [("n", "sum"), ("value_cents", "sum")])
+        return g.rename_columns(["event_type", "win_start_us", "n",
+                                 "value_cents"])
+
+    g = (ds.map_batches(explode, batch_format="pyarrow")
+         .groupby(["event_type", "win_start_us"]).aggregate(
+             Sum("n"), Sum("value_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["event_type", "win_start_us", "n_events",
+                              "value_cents"])
+        i = t.schema.get_field_index("win_start_us")
+        win = pc.cast(t["win_start_us"], pa.timestamp("us"))
+        t = t.remove_column(i)
+        return t.add_column(1, "win_start", win)
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -1255,9 +1255,12 @@ def semi_join_orders_bloom(sf_dir: str, min_acctbal: float = 5000.0,
 
     Pass 1 builds the filter distributed: each customer batch sets its
     bits in a local bitmap (vectorized splitmix64 double-hashing) and the
-    bitmaps OR-merge through a tiny exchange (m_bits/8 bytes per block —
-    KBs regardless of key cardinality, the HLL trick). The broadcast is
-    the bitmap, not the keys. Pass 2 drops every order that cannot match
+    fixed-size partials (m_bits/8 bytes each, independent of key
+    cardinality — the HLL trick) OR-merge on the driver. Driver memory is
+    bounded by #partials × m/8 bytes (one partial per 8192-row batch,
+    not per row); at cluster scale the same commutative merge nests into
+    a tree reduce. The broadcast is the bitmap, not the keys. Pass 2
+    drops every order that cannot match
     (bloom has no false negatives), then the survivors — already a small
     fraction — co-partition with the true keys for the exact check that
     removes bloom's false positives."""
@@ -1276,24 +1279,22 @@ def semi_join_orders_bloom(sf_dir: str, min_acctbal: float = 5000.0,
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
-    def bitmap_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df.loc[df["c_acctbal"] > min_acctbal, "c_custkey"]
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater(t["c_acctbal"], min_acctbal))["c_custkey"].to_numpy()
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
         if len(keep):
-            pos = _bloom_positions(keep.to_numpy(np.int64)).ravel()
+            pos = _bloom_positions(keep.astype(np.int64)).ravel()
             np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
                              np.uint8(1) << (pos % 8).astype(np.uint8))
-        return pd.DataFrame({"one": [1], "bits": [bits]})
+        # one Arrow binary cell per batch — no per-element list conversion
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    def bitmap_merge(df: pd.DataFrame) -> pd.DataFrame:
-        bits = np.bitwise_or.reduce(
-            [np.asarray(b, dtype=np.uint8) for b in df["bits"]])
-        return pd.DataFrame({"one": [1], "bits": [bits]})
-
-    bloom = (cust.map_batches(bitmap_partial, batch_format="pandas")
-             .groupby("one").map_groups(bitmap_merge, batch_format="pandas")
-             .take_all())
-    bits_ref = ray.put(np.asarray(bloom[0]["bits"], dtype=np.uint8))
+    partials = cust.map_batches(bitmap_partial, batch_format="pyarrow",
+                                batch_size=8192).take_all()
+    merged = np.bitwise_or.reduce(
+        [np.frombuffer(p["bits"], dtype=np.uint8) for p in partials])
+    bits_ref = ray.put(merged)
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])

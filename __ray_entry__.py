@@ -852,6 +852,27 @@ def _q_rel_hopping_window(sf_dir: str):
     return hopping_window_counts(sf_dir)
 
 
+def _q_ta_decontam(sf_dir: str):
+    """Benchmark decontamination: the eval set is the doc_id % 20 == 0
+    slice (a deterministic stand-in for a fixed benchmark suite); flag
+    every other document sharing a 4-token shingle with it."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import decontaminate
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _slice(is_bench: bool):
+        def fn(t):
+            m = (t["doc_id"].to_numpy() % 20) == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+        return fn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -941,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_heavy_hitters": _q_rel_heavy_hitters,
         "rel_latest_event": _q_rel_latest_event,
         "rel_hopping_window": _q_rel_hopping_window,
+        "ta_decontam": _q_ta_decontam,
     }
 
 
@@ -1537,5 +1559,19 @@ x AS (SELECT event_type, cents,
 SELECT event_type, make_timestamp(win_us) AS win_start,
        count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
 FROM x GROUP BY event_type, win_us
+""",
+        # split on single space (str_split keeps empties) = engine's
+        # split(" "); shingles re-join with ' ' so the string compare is
+        # byte-exact on any input
+        "ta_decontam": """
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS s
+       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3))
+                          AS i) g
+       WHERE len(ts) >= 4),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+hits AS (SELECT DISTINCT sh.doc_id, sh.s FROM sh JOIN bench USING (s)
+         WHERE sh.doc_id % 20 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY doc_id
 """,
     }

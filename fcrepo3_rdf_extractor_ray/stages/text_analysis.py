@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..functions.hashing import rolling_fingerprint
 
@@ -506,3 +507,88 @@ def feature_hash(docs_ds, n_buckets: int = 64, text_col="text",
         return g
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def _shingle_hashes(texts: pd.Series, n: int):
+    """Vectorized n-gram shingle hashing over a batch of texts.
+
+    Returns ``(doc_pos, shingle_hash)``: for every n-token window that
+    stays inside one document, the document's position within the batch
+    and a 64-bit polynomial hash of the window's token-hash sequence.
+    Tokenization is ``split(" ")`` — byte-parity with SQL
+    ``str_split(text, ' ')`` on any input (empties kept), matching the
+    convention of every other token op in this module. Token hashes run
+    once per DISTINCT token per batch (factorize), and the window
+    polynomial is n vectorized passes — no per-row Python."""
+    from ..functions.hashing import siphash64_batch
+
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+    if not len(texts):
+        return empty
+    toks = texts.str.split(" ")
+    lens = toks.map(len).to_numpy(np.int64)
+    flat = np.concatenate(toks.to_numpy())
+    m = len(flat)
+    if m < n:
+        return empty
+    codes, uniques = pd.factorize(flat)
+    H = siphash64_batch(list(uniques)).astype(np.uint64)[codes]
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    starts = np.arange(m - n + 1)
+    valid = doc_idx[starts] == doc_idx[starts + n - 1]
+    P = np.uint64(1099511628211)  # FNV prime; uint64 wraparound intended
+    sh = np.zeros(m - n + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            sh = sh * P + H[starts + j]
+    return doc_idx[starts[valid]], sh[valid]
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 4, id_col="doc_id",
+                  text_col="text"):
+    """Benchmark DECONTAMINATION: flag corpus documents sharing any
+    n-token shingle with an evaluation/benchmark set — the train-set
+    hygiene pass every LLM data pipeline runs before training
+    (n-gram-overlap family, as popularized by public web-corpus
+    pipelines). Output: ``(doc_id, n_hits)`` with the count of DISTINCT
+    contaminated shingles per flagged document; clean docs emit nothing.
+
+    Scale shape: the benchmark side is by definition small and fixed
+    (eval suites, not corpus-sized), so its distinct shingle-hash set
+    builds distributed (per-batch dedupe, vectorized) and broadcasts
+    once via ``ray.put`` — driver memory is bounded by the benchmark's
+    distinct-shingle count, never the corpus. The corpus pass is a
+    single streaming ``map_batches`` with a binary-search membership
+    probe per batch; no shuffle at all. If the benchmark side ever
+    outgrew broadcast, the fallback is a shingle-hash-partition
+    semi-join (the ``semi_join_orders_bloom`` shape)."""
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, sh = _shingle_hashes(df[text_col], n)
+        return pd.DataFrame({"h": np.unique(sh).view(np.int64)})
+
+    rows = bench_ds.map_batches(bench_partial,
+                                batch_format="pandas").take_all()
+    bench = np.unique(np.array([r["h"] for r in rows],
+                               dtype=np.int64).view(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        dpos, sh = _shingle_hashes(df[text_col], n)
+        out_schema = {id_col: pd.array([], dtype="int64"),
+                      "n_hits": pd.array([], dtype="int64")}
+        if not len(sh) or not len(b):
+            return pd.DataFrame(out_schema)
+        idx = np.searchsorted(b, sh).clip(max=len(b) - 1)
+        member = b[idx] == sh
+        if not member.any():
+            return pd.DataFrame(out_schema)
+        hits = pd.DataFrame({"d": dpos[member],
+                             "h": sh[member].view(np.int64)})
+        cnt = hits.drop_duplicates().groupby("d").size()
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame({id_col: ids[cnt.index.to_numpy()],
+                             "n_hits": cnt.to_numpy().astype("int64")})
+
+    return docs_ds.map_batches(probe, batch_format="pandas")

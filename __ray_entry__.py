@@ -873,6 +873,13 @@ def _q_ta_decontam(sf_dir: str):
     return decontaminate(corpus, bench, n=4)
 
 
+def _q_ta_pack(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import pack_documents
+
+    return pack_documents(_docs(sf_dir, ["doc_id", "source", "text"]),
+                          budget=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -963,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_latest_event": _q_rel_latest_event,
         "rel_hopping_window": _q_rel_hopping_window,
         "ta_decontam": _q_ta_decontam,
+        "ta_pack": _q_ta_pack,
     }
 
 
@@ -1573,5 +1581,26 @@ bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
 hits AS (SELECT DISTINCT sh.doc_id, sh.s FROM sh JOIN bench USING (s)
          WHERE sh.doc_id % 20 <> 0)
 SELECT doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY doc_id
+""",
+        # greedy sequential fill per source replayed as a recursive CTE;
+        # a doc that would overflow the 256-token budget starts the next
+        # pack (oversized docs become singleton packs)
+        "ta_pack": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, len(str_split(text, ' '))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT source, rn, doc_id, n_tokens, 0::BIGINT AS pack_id,
+         n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.fill + t.n_tokens > 256 THEN r.pack_id + 1
+              ELSE r.pack_id END,
+         CASE WHEN r.fill + t.n_tokens > 256 THEN t.n_tokens
+              ELSE r.fill + t.n_tokens END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+SELECT doc_id, source, n_tokens, pack_id FROM r
 """,
     }

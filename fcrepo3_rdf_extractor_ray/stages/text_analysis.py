@@ -592,3 +592,42 @@ def decontaminate(docs_ds, bench_ds, n: int = 4, id_col="doc_id",
                              "n_hits": cnt.to_numpy().astype("int64")})
 
     return docs_ds.map_batches(probe, batch_format="pandas")
+
+
+def pack_documents(docs_ds, budget: int = 256, group_col="source",
+                   id_col="doc_id", text_col="text"):
+    """SEQUENCE PACKING: greedily pack documents into fixed token-budget
+    context windows — the batch-construction step of an LLM training
+    pipeline. Within each group (the shard key — packing is inherently
+    sequential, so groups ARE the parallelism unit), documents in
+    ``id_col`` order fill a pack until adding the next one would exceed
+    ``budget``; that document starts the next pack. A document larger
+    than the whole budget gets a singleton pack. Output:
+    ``(doc_id, group, n_tokens, pack_id)``.
+
+    One groupby exchange; the per-group fill runs in O(#packs · log n)
+    vectorized passes (binary search for each pack boundary on the
+    token-count prefix sum), never a per-document Python loop.
+    Tokenization is ``split(" ")`` — ``str_split`` parity, as
+    everywhere in this module."""
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col).reset_index(drop=True)
+        tok = df[text_col].str.split(" ").map(len).to_numpy(np.int64)
+        cum = np.cumsum(tok)
+        packs = np.zeros(len(df), dtype=np.int64)
+        start, base, p = 0, 0, 0
+        while start < len(df):
+            j = int(np.searchsorted(cum, base + budget, side="right"))
+            j = max(j, start + 1)  # oversized doc -> singleton pack
+            packs[start:j] = p
+            base, p, start = int(cum[j - 1]), p + 1, j
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            group_col: df[group_col],
+            "n_tokens": tok,
+            "pack_id": packs,
+        })
+
+    return docs_ds.groupby(group_col).map_groups(pack_group,
+                                                 batch_format="pandas")

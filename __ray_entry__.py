@@ -880,6 +880,13 @@ def _q_ta_pack(sf_dir: str):
                           budget=256)
 
 
+def _q_ta_classifier(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        classifier_scores)
+
+    return classifier_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -971,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hopping_window": _q_rel_hopping_window,
         "ta_decontam": _q_ta_decontam,
         "ta_pack": _q_ta_pack,
+        "ta_classifier": _q_ta_classifier,
     }
 
 
@@ -1602,5 +1610,24 @@ r AS (
               ELSE r.fill + t.n_tokens END
   FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
 SELECT doc_id, source, n_tokens, pack_id FROM r
+""",
+        # same md5-hex bucket recompute as ta_feature_hash; integer
+        # weight formula replayed exactly
+        "ta_classifier": """
+WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+           FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+v AS (SELECT doc_id,
+             ((16 * (ascii(substr(hx, 1, 1)) - 48
+                     - CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+                            THEN 39 ELSE 0 END)
+               + (ascii(substr(hx, 2, 1)) - 48
+                  - CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+                         THEN 39 ELSE 0 END)) % 64)::BIGINT AS bucket
+      FROM h),
+w AS (SELECT doc_id, (bucket * 2654435761) % 97 - 48 AS wgt FROM v)
+SELECT doc_id, sum(wgt)::BIGINT AS score,
+       (sum(wgt) > 0)::BIGINT AS keep
+FROM w GROUP BY doc_id
 """,
     }

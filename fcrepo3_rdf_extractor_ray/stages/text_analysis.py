@@ -631,3 +631,45 @@ def pack_documents(docs_ds, budget: int = 256, group_col="source",
 
     return docs_ds.groupby(group_col).map_groups(pack_group,
                                                  batch_format="pandas")
+
+
+def classifier_scores(docs_ds, n_buckets: int = 64, text_col="text",
+                      id_col="doc_id"):
+    """MODEL-SCORED quality filtering: a linear classifier over
+    hashing-trick features scores every document and thresholds it —
+    the fasttext/logreg web-text filter shape (CCNet-family pipelines).
+    No learned-model libraries exist in this container, so the weights
+    are a deterministic stand-in (``w_b = (b*2654435761) % 97 - 48``,
+    exact integers so the SQL oracle replays them bit-for-bit); the
+    Ray-side plumbing — per-batch distinct-token hashing, vectorized
+    per-doc reduce, zero shuffle, streaming end-to-end — is the real
+    path a learned weight vector would ride (swap the formula for a
+    broadcast ``ray.put`` weight array).
+
+    Output: ``(doc_id, score, keep)`` with keep = score > 0."""
+    import hashlib
+
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        ub = np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).digest()[0] % n_buckets
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        w = (ub * 2654435761) % 97 - 48
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        score = np.bincount(
+            doc_idx, weights=(w[inv] if len(flat) else None),
+            minlength=len(df)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "score": score,
+            "keep": (score > 0).astype("int64"),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

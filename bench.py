@@ -96,7 +96,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "mm_audio_windows",
                  "rel_funnel", "rel_gaps", "rel_ntile", "kg_degree",
                  "ta_repetition", "ta_bigrams", "ta_postings",
-                 "ta_feature_hash"):
+                 "ta_feature_hash", "rel_semi_join_bloom",
+                 "rel_heavy_hitters", "rel_latest_event",
+                 "rel_hopping_window", "ta_decontam", "ta_pack",
+                 "ta_classifier"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -1354,17 +1354,20 @@ def heavy_hitters(sf_dir: str, key: str = "event_type", k: int = 5,
     two-pass sketch-then-verify pattern — the skew diagnostic that
     decides which keys need salting before a wide shuffle.
 
-    Pass 1: a Misra-Gries summary per batch (at most k counters — the
-    exchange carries ≤ k rows per block no matter how many keys), whose
-    merged candidate set provably CONTAINS every true heavy hitter.
-    Pass 2: the candidate set (≤ k×blocks ids, bounded by configuration)
-    broadcasts, and exact counts for candidates only flow through a tiny
-    groupby. The output is exact — sketch error never reaches it.
+    Pass 1: a Misra-Gries summary per batch (at most k counters). The
+    UNION of per-batch survivors provably contains every true heavy
+    hitter (a key with global count c has Σ_b residual_b ≥ c − n/k, so
+    c > n/k forces a positive residual in some batch) — so no merge
+    exchange is needed at all; the driver unions ≤ k×blocks candidate
+    ids columnar.
+    Pass 2: the candidate set broadcasts, each batch pre-aggregates
+    exact counts for candidates only (≤ |cands| rows per block), and
+    the driver sums the ≤ |cands|×blocks partials — bounded by
+    configuration, never by key cardinality or row count. Zero shuffle
+    end to end; the output is exact — sketch error never reaches it.
 
     ``ds`` lets tests inject a synthetic dataset (must carry ``key``);
     the default reads the events table."""
-    from ray.data.aggregate import Sum
-
     if ds is None:
         ds = _read(sf_dir, "events", [key])
     total = ds.count()
@@ -1381,9 +1384,9 @@ def heavy_hitters(sf_dir: str, key: str = "event_type", k: int = 5,
         return pd.DataFrame({key: vc.index.to_numpy(),
                              "mg": vc.to_numpy().astype("int64")})
 
-    cands = (ds.map_batches(mg_partial, batch_format="pandas")
-             .groupby(key).aggregate(Sum("mg")))
-    cand_ids = pa.array([r[key] for r in cands.take_all()])
+    cand_df = ds.map_batches(mg_partial, batch_format="pandas").to_pandas()
+    cand_ids = (pa.array(pd.unique(cand_df[key])) if len(cand_df)
+                else pa.array([], type=pa.string()))
     cand_ref = ray.put(cand_ids)
 
     def exact_partial(t: pa.Table) -> pa.Table:
@@ -1395,14 +1398,14 @@ def heavy_hitters(sf_dir: str, key: str = "event_type", k: int = 5,
         }).group_by(key).aggregate([("n_events", "sum")])
         return g.rename_columns([key, "n_events"])
 
-    g = (ds.map_batches(exact_partial, batch_format="pyarrow")
-         .groupby(key).aggregate(Sum("n_events")))
-
-    def fil(t: pa.Table) -> pa.Table:
-        t = t.rename_columns([key, "n_events"])
-        return t.filter(pc.greater(t["n_events"], threshold))
-
-    return g.map_batches(fil, batch_format="pyarrow")
+    parts = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({key: pd.array([], dtype=object),
+                             "n_events": pd.array([], dtype="int64")})
+    g = parts.groupby(key, as_index=False)["n_events"].sum()
+    g["n_events"] = g["n_events"].astype("int64")
+    return g[g["n_events"] > threshold].reset_index(drop=True)
 
 
 def latest_event_per_user(sf_dir: str):

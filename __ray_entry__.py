@@ -887,6 +887,20 @@ def _q_ta_classifier(sf_dir: str):
     return classifier_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ta_resample(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        temperature_resample)
+
+    return temperature_resample(sf_dir)
+
+
+def _q_rel_intervals(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        interval_coverage)
+
+    return interval_coverage(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG construction (flagship)
@@ -979,6 +993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_decontam": _q_ta_decontam,
         "ta_pack": _q_ta_pack,
         "ta_classifier": _q_ta_classifier,
+        # corpus rebalancing / interval analytics
+        "ta_resample": _q_ta_resample,
+        "rel_intervals": _q_rel_intervals,
     }
 
 
@@ -1629,5 +1646,34 @@ w AS (SELECT doc_id, (bucket * 2654435761) % 97 - 48 AS wgt FROM v)
 SELECT doc_id, sum(wgt)::BIGINT AS score,
        (sum(wgt) > 0)::BIGINT AS keep
 FROM w GROUP BY doc_id
+""",
+        # sqrt-law temperature resampling: rate = sqrt(n_min/n_source);
+        # the engine replays floor(rate * 2^32) bit-identically (divide,
+        # sqrt, power-of-two multiply and floor are all IEEE-exact)
+        "ta_resample": """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+           GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+t AS (SELECT lang,
+             CAST(floor(sqrt(nmin / n) * 4294967296) AS BIGINT) AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t USING (lang)
+WHERE CAST('0x' || substring(md5(d.text), 1, 8) AS BIGINT) < t.thr
+""",
+        # gaps-and-islands interval union: [ts, ts+5min) per event,
+        # overlaps merged via the running-max-end window
+        "rel_intervals": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts + INTERVAL 5 MINUTE) AS e FROM events),
+w AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM e)
+SELECT user_id,
+       sum(greatest(0, e - greatest(s, coalesce(pmax, s))))::BIGINT
+           AS covered_us
+FROM w GROUP BY user_id
 """,
     }

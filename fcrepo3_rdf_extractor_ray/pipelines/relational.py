@@ -1497,3 +1497,82 @@ def hopping_window_counts(sf_dir: str, size_hours: int = 2,
         return t.add_column(1, "win_start", win)
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def temperature_resample(sf_dir: str):
+    """Temperature-flattened domain mix (alpha = 0.5): per-language keep
+    probability sqrt(n_min / n_lang), so the over-represented language are
+    down-sampled toward the square-root of their skew — the standard
+    multi-corpus rebalancing step before LLM pre-training.
+
+    Two phases, both scale-safe: a tiny per-language count groupby (one
+    row per language crosses the exchange after per-batch combining —
+    Ray's groupby pre-aggregates Count partials), then an embarrassingly
+    parallel deterministic filter. The keep decision hashes CONTENT
+    (md5), not position, so the sample is stable across cluster sizes
+    and re-runs; the per-language thresholds are a handful of ints shipped
+    by closure (broadcast).
+
+    Float exactness contract with the SQL oracle: the rate formula uses
+    only IEEE-754 correctly-rounded ops (divide, sqrt, multiply by a
+    power of two, floor), so Python and DuckDB produce bit-identical
+    thresholds."""
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "documents", ["lang"])
+              .groupby("lang").aggregate(Count()).to_pandas())
+    counts.columns = ["lang", "n"]
+    n_min = float(counts["n"].min())
+    thr = {s: int(math.floor(math.sqrt(n_min / float(n)) * 4294967296.0))
+           for s, n in zip(counts["lang"], counts["n"])}
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        keep = [int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4],
+                               "big") < thr[src]
+                for s, src in zip(t["text"].to_pylist(),
+                                  t["lang"].to_pylist())]
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def interval_coverage(sf_dir: str, span_minutes: int = 5):
+    """Interval-union coverage (the gaps-and-islands merge): each event
+    covers [ts, ts + span); report the total UNION length per user in
+    microseconds, overlaps merged.
+
+    Same single-exchange shape as ``sessionize_events``: partition by
+    user hash, then one vectorized pandas pass per partition — sort by
+    (user, ts, end), running cummax of interval end, each row
+    contributes max(0, end - max(start, prev_cummax)). Per-user ordering
+    only needs user-locality, never a global sort."""
+    n_parts = 32
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        return t.append_column("part", part)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+    span = pd.Timedelta(minutes=span_minutes)
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        start_us = df["ts"].astype("int64")
+        end_us = start_us + int(span / pd.Timedelta(microseconds=1))
+        cmax_us = end_us.groupby(df["user_id"]).cummax()
+        # previous row's running max end; epoch-us values are < 2^53 so
+        # the float64 NaN round-trip from shift() is exact
+        prev_us = (cmax_us.groupby(df["user_id"]).shift()
+                   .fillna(start_us).astype("int64"))
+        contrib = (end_us - np.maximum(start_us, prev_us)).clip(lower=0)
+        out = contrib.groupby(df["user_id"]).sum().astype("int64")
+        return pd.DataFrame({"user_id": out.index.to_numpy(),
+                             "covered_us": out.to_numpy()})
+
+    return ds.groupby("part").map_groups(cover, batch_format="pandas")

@@ -1,0 +1,76 @@
+"""Temperature resampling and interval-union coverage — oracle tests
+plus hand-computed edge cases (nested / adjacent / disjoint intervals,
+sqrt-law keep rates) the sf tables can't pin down precisely."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from conftest import assert_frames_equivalent, to_pandas
+
+
+def test_ta_resample_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["ta_resample"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ta_resample"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_ta_resample_flattens_mix(sf_dir):
+    """The dominant language must be down-sampled at ≈ sqrt(n_min/n)
+    while the smallest language keeps every document (rate 1)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        temperature_resample)
+
+    before = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["lang"])["lang"].value_counts()
+    after = to_pandas(temperature_resample(sf_dir))["lang"].value_counts()
+    n_min = before.min()
+    assert after[before.idxmin()] == n_min  # rate-1 stratum untouched
+    big = before.idxmax()
+    expect = np.sqrt(n_min / before[big])
+    # md5 is uniform; 4 sigma of a binomial around the target rate
+    sd = np.sqrt(expect * (1 - expect) / before[big])
+    assert abs(after[big] / before[big] - expect) < 4 * sd + 1e-9
+
+
+def test_rel_intervals_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_intervals"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_intervals"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_interval_coverage_merge_semantics(ray_session, tmp_path):
+    """Hand-built stream: overlapping, nested, exactly-adjacent and
+    disjoint 5-minute spans; union lengths computed by hand."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: [0,5) ∪ [3,8) ∪ [5,10) → [0,10) = 10 min
+        (1, base), (1, base + 3 * m), (1, base + 5 * m),
+        # user 2: [0,5) with [1,6)?? no — nested [0,5) ∪ [2,7) ∪ [2,7)
+        # (duplicate event) → [0,7) = 7 min
+        (2, base), (2, base + 2 * m), (2, base + 2 * m),
+        # user 3: disjoint [0,5) and [20,25) → 10 min
+        (3, base), (3, base + 20 * m),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    path = tmp_path / "events.parquet"
+    df.to_parquet(path)
+
+    import pyarrow.parquet  # noqa: F401  (parquet written above)
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        interval_coverage)
+
+    out = to_pandas(interval_coverage(str(tmp_path))).set_index("user_id")[
+        "covered_us"]
+    MIN_US = 60_000_000
+    assert out[1] == 10 * MIN_US
+    assert out[2] == 7 * MIN_US
+    assert out[3] == 10 * MIN_US

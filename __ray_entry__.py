@@ -887,6 +887,12 @@ def _q_ta_classifier(sf_dir: str):
     return classifier_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dedup_spans(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_resample(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         temperature_resample)
@@ -993,9 +999,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_decontam": _q_ta_decontam,
         "ta_pack": _q_ta_pack,
         "ta_classifier": _q_ta_classifier,
-        # corpus rebalancing / interval analytics
+        # corpus rebalancing / interval analytics / span-level dedup
         "ta_resample": _q_ta_resample,
         "rel_intervals": _q_rel_intervals,
+        "dedup_spans": _q_dedup_spans,
     }
 
 
@@ -1675,5 +1682,18 @@ SELECT user_id,
        sum(greatest(0, e - greatest(s, coalesce(pmax, s))))::BIGINT
            AS covered_us
 FROM w GROUP BY user_id
+""",
+        # span-level duplicate detection: distinct 4-token shingles per
+        # doc that appear in >= 2 distinct documents (same str_split /
+        # inclusive-slice shingling as ta_decontam)
+        "dedup_spans": """
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS s
+       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3))
+                          AS i) g
+       WHERE len(ts) >= 4),
+d AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2)
+SELECT doc_id, count(*)::BIGINT AS n_dup
+FROM sh JOIN d USING (s) GROUP BY doc_id
 """,
     }

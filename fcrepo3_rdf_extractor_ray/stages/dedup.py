@@ -786,3 +786,54 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         })
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def duplicated_spans(docs_ds, n: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text", n_parts: int = 32):
+    """Duplicated-PASSAGE detection (the span-level dedup signal from the
+    public "Deduplicating Training Data Makes Language Models Better"
+    line of work): per document, count the DISTINCT n-token shingles
+    that also occur in at least one OTHER document. Documents full of
+    boilerplate / mirrored passages light up even when no whole-document
+    near-dup fires. Output: ``(doc_id, n_dup)``; documents with no
+    shared span emit nothing.
+
+    Scale shape: per-batch distinct (doc, shingle-hash64) pairs — a
+    document is one row, so per-doc dedupe is in-batch and the pairs are
+    globally unique without an exchange. Then ONE wide groupby on a
+    small partition key derived from the shingle hash (bounded group
+    count — the per-group pass is vectorized pandas, never per-group
+    Python): inside each partition every occurrence of a hash is
+    co-located, so a transform('size') marks shared shingles exactly.
+    The trailing per-doc sum is a bounded exchange (≤ #docs × #parts
+    partial rows). Shingle identity is the 64-bit hash — string-level
+    parity with the SQL oracle modulo ~2^-64 collisions, same contract
+    as ``decontaminate``."""
+    from .text_analysis import _shingle_hashes
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dpos, sh = _shingle_hashes(df[text_col], n)
+        ids = df[id_col].to_numpy(np.int64)
+        out = pd.DataFrame({id_col: ids[dpos], "h": sh.view(np.int64)})
+        out = out.drop_duplicates()
+        out["part"] = (out["h"].to_numpy(np.uint64)
+                       % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        shared = df.groupby("h")["h"].transform("size") >= 2
+        hit = df.loc[shared]
+        cnt = hit.groupby(id_col).size()
+        return pd.DataFrame({id_col: cnt.index.to_numpy(),
+                             "n_dup": cnt.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (docs_ds.map_batches(pairs, batch_format="pandas")
+                .groupby("part").map_groups(mark, batch_format="pandas"))
+    g = partials.groupby(id_col).aggregate(Sum("n_dup"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, "n_dup"])
+
+    return g.map_batches(finish, batch_format="pyarrow")

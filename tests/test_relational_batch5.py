@@ -74,3 +74,37 @@ def test_interval_coverage_merge_semantics(ray_session, tmp_path):
     assert out[1] == 10 * MIN_US
     assert out[2] == 7 * MIN_US
     assert out[3] == 10 * MIN_US
+
+
+def test_dedup_spans_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["dedup_spans"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["dedup_spans"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_dedup_spans_planted_passage(ray_session):
+    """Three docs share one exact 6-token passage (= three 4-token
+    shingles); a fourth is disjoint. Per-doc counts are exact and the
+    clean doc emits nothing — internal repeats count once (DISTINCT)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import duplicated_spans
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"one two {passage} three",
+            f"{passage} unrelated tail here",
+            # doc 3 contains the passage TWICE — still 3 distinct shingles
+            f"{passage} mid {passage}",
+            "totally different words with no overlap at all",
+        ],
+    })
+    out = to_pandas(duplicated_spans(rd.from_pandas(docs).repartition(3))
+                    ).set_index("doc_id")["n_dup"]
+    assert out[1] == 3 and out[2] == 3 and out[3] == 3
+    assert 4 not in out.index

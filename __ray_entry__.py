@@ -893,6 +893,18 @@ def _q_dedup_spans(sf_dir: str):
     return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ml_kmeans(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import kmeans_lloyd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=4, iters=2)
+
+
 def _q_ta_resample(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         temperature_resample)
@@ -1003,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_resample": _q_ta_resample,
         "rel_intervals": _q_rel_intervals,
         "dedup_spans": _q_dedup_spans,
+        "ml_kmeans": _q_ml_kmeans,
     }
 
 
@@ -1695,5 +1708,33 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS s
 d AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2)
 SELECT doc_id, count(*)::BIGINT AS n_dup
 FROM sh JOIN d USING (s) GROUP BY doc_id
+""",
+        # Lloyd k-means, k=4, 2 update rounds unrolled; init = vectors
+        # with the 4 smallest ids; all arithmetic DOUBLE (assignments
+        # are integers, so ulp-level sum-order drift cannot surface
+        # unless an exact argmin tie occurs)
+        "ml_kmeans": """
+WITH el AS (SELECT vec_id, i, embedding[i+1]::DOUBLE AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) g),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
+       FROM embeddings ORDER BY vec_id LIMIT 4),
+c0e AS (SELECT c0.cl, el.i, el.v FROM c0 JOIN el USING (vec_id)),
+d1 AS (SELECT el.vec_id, c.cl,
+              sum((el.v - c.v) * (el.v - c.v)) AS d2
+       FROM el JOIN c0e c ON el.i = c.i GROUP BY 1, 2),
+a1 AS (SELECT vec_id, arg_min(cl, d2) AS cl FROM d1 GROUP BY vec_id),
+c1e AS (SELECT a1.cl, el.i, avg(el.v) AS v
+        FROM a1 JOIN el USING (vec_id) GROUP BY 1, 2),
+d2_ AS (SELECT el.vec_id, c.cl,
+               sum((el.v - c.v) * (el.v - c.v)) AS d2
+        FROM el JOIN c1e c ON el.i = c.i GROUP BY 1, 2),
+a2 AS (SELECT vec_id, arg_min(cl, d2) AS cl FROM d2_ GROUP BY vec_id),
+c2e AS (SELECT a2.cl, el.i, avg(el.v) AS v
+        FROM a2 JOIN el USING (vec_id) GROUP BY 1, 2),
+d3 AS (SELECT el.vec_id, c.cl,
+              sum((el.v - c.v) * (el.v - c.v)) AS d2
+       FROM el JOIN c2e c ON el.i = c.i GROUP BY 1, 2)
+SELECT vec_id, arg_min(cl, d2)::BIGINT AS cluster FROM d3 GROUP BY vec_id
 """,
     }

@@ -108,3 +108,48 @@ def test_dedup_spans_planted_passage(ray_session):
                     ).set_index("doc_id")["n_dup"]
     assert out[1] == 3 and out[2] == 3 and out[3] == 3
     assert 4 not in out.index
+
+
+def test_ml_kmeans_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["ml_kmeans"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ml_kmeans"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_ml_kmeans_partition_invariant_and_separates(ray_session):
+    """Three tight, well-separated blobs: the assignment must recover
+    the blobs exactly (k=3) and be identical across block layouts
+    (1 block vs 7 blocks) — partial-sum merging must not change the
+    result beyond ulps."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.concatenate([c + 0.1 * rng.randn(40, 2) for c in centers])
+    # interleave the blobs so the deterministic id-order init (3
+    # smallest vec_ids) seeds one centroid per blob; blob of row i is
+    # then i % 3
+    X = X.reshape(3, 40, 2).transpose(1, 0, 2).reshape(120, 2)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in X],
+                              pa.list_(pa.float32())),
+    })
+
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = to_pandas(kmeans_lloyd(ds, k=3, iters=3)).sort_values(
+            "vec_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    lab = outs[0]["cluster"].to_numpy()
+    # each blob is one pure cluster, and the three are distinct
+    for b in range(3):
+        assert len(np.unique(lab[b::3])) == 1
+    assert len(np.unique(lab[:3])) == 3

@@ -893,6 +893,14 @@ def _q_dedup_spans(sf_dir: str):
     return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_kg_reach(sf_dir: str):
+    """3-hop BFS from the subjects of kg:acquired facts over the
+    canonical entity graph; min hop distance per reached node."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bfs_reachability
+
+    return bfs_reachability(_q_kg_fact_quads(sf_dir), max_hops=3)
+
+
 def _q_ml_kmeans(sf_dir: str):
     import os
 
@@ -1016,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_intervals": _q_rel_intervals,
         "dedup_spans": _q_dedup_spans,
         "ml_kmeans": _q_ml_kmeans,
+        "kg_reach": _q_kg_reach,
     }
 
 
@@ -1737,4 +1746,22 @@ d3 AS (SELECT el.vec_id, c.cl,
        FROM el JOIN c2e c ON el.i = c.i GROUP BY 1, 2)
 SELECT vec_id, arg_min(cl, d2)::BIGINT AS cluster FROM d3 GROUP BY vec_id
 """,
+        # bounded BFS: min hop distance (<= 3) from kg:acquired subjects
+        # over the fact-quad entity graph; UNION (not ALL) keeps the
+        # recursion cycle-safe
+        "kg_reach": (
+            _U_CTE.replace("WITH u", "WITH RECURSIVE u", 1)
+            + ", f AS (" + _FACT_QUADS_SQL + ")"
+            + """,
+seeds AS (SELECT DISTINCT subj AS node FROM f
+          WHERE pred = 'kg:acquired'),
+reach(node, hops) AS (
+    SELECT node, 0 FROM seeds
+  UNION
+    SELECT f.obj, r.hops + 1 FROM reach r JOIN f ON f.subj = r.node
+    WHERE r.hops < 3
+)
+SELECT node, min(hops)::BIGINT AS hops FROM reach GROUP BY node
+"""
+        ),
     }

@@ -153,3 +153,33 @@ def test_ml_kmeans_partition_invariant_and_separates(ray_session):
     for b in range(3):
         assert len(np.unique(lab[b::3])) == 1
     assert len(np.unique(lab[:3])) == 3
+
+
+def test_kg_reach_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_reach"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_reach"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_bfs_reach_hop_bound_and_min_distance(ray_session):
+    """Chain a→b→c→d→e plus a shortcut a→c: with max_hops=3 node d is
+    reached (hop 3 via the shortcut would be hop 2+1... the MIN distance
+    must win: c is 1 via the shortcut, d is 2, e is 3), and nothing
+    beyond the bound appears."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import bfs_reachability
+
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+            ("e", "zz")]  # zz is 4 hops from a -> must NOT appear
+    facts = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "obj": pa.array([r[1] for r in rows]),
+        "pred": pa.array(["kg:acquired"] + ["kg:worksWith"] * 5),
+    })
+    out = to_pandas(bfs_reachability(rd.from_arrow(facts).repartition(3),
+                                     max_hops=3)).set_index("node")["hops"]
+    assert out.to_dict() == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}

@@ -893,6 +893,12 @@ def _q_dedup_spans(sf_dir: str):
     return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ta_bm25(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
+
+    return bm25_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_kg_reach(sf_dir: str):
     """3-hop BFS from the subjects of kg:acquired facts over the
     canonical entity graph; min hop distance per reached node."""
@@ -1025,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "ml_kmeans": _q_ml_kmeans,
         "kg_reach": _q_kg_reach,
+        "ta_bm25": _q_ta_bm25,
     }
 
 
@@ -1764,4 +1771,27 @@ reach(node, hops) AS (
 SELECT node, min(hops)::BIGINT AS hops FROM reach GROUP BY node
 """
         ),
+        # BM25, rational-IDF variant (no log — IEEE-exact float ops
+        # only); per-term micro-unit floors summed as integers so the
+        # total is reduce-order-independent. Expression parse tree is
+        # mirrored verbatim in the engine.
+        "ta_bm25": """
+WITH q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sdl FROM dl),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*) AS tf
+       FROM tok t JOIN q ON t.tok = q.term GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             floor((1000000.0 * ((n.n - df.df + 0.5) / (df.df + 0.5)))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * ((1 - 0.75)
+                                        + (0.75 * dl.dl)
+                                          / (n.sdl / n.n)))))::BIGINT
+                 AS sm
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n)
+SELECT doc_id, sum(sm)::BIGINT AS score_micro FROM s GROUP BY doc_id
+""",
     }

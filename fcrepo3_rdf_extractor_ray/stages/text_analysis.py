@@ -676,3 +676,67 @@ def classifier_scores(docs_ds, n_buckets: int = 64, text_col="text",
         })
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def bm25_scores(docs_ds, query_terms=("hash", "join", "vector"),
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 retrieval scoring of the whole corpus against a fixed query
+    — the lexical-search ranking primitive (rational-IDF variant:
+    ``(N - df + 0.5) / (df + 0.5)`` without the log, so every float op
+    is IEEE correctly-rounded and the SQL oracle reproduces scores
+    bit-for-bit). Per-term scores are floored to integer micro-units
+    BEFORE the per-document sum, making the total order-independent
+    (integer addition) under any distributed reduce order. Output:
+    ``(doc_id, score_micro)`` for documents containing ≥1 query term.
+
+    Scale shape: pass 1 streams per-batch (N, Σdl, df-per-term)
+    summary rows — one row per block, merged on the driver (bounded by
+    #blocks) — then the few corpus constants broadcast by closure and
+    pass 2 is an embarrassingly parallel scoring map. No shuffle at
+    all; tokenization is split(' ') (str_split parity), term counting
+    is one flat numpy pass per term."""
+    terms = list(query_terms)
+
+    def _flat(texts: pd.Series):
+        toks = texts.str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(texts)
+                else np.array([], dtype=object))
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        return flat, doc_idx, lens
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_idx, lens = _flat(df[text_col])
+        row = {"n": np.int64(len(df)), "sdl": lens.sum()}
+        for j, term in enumerate(terms):
+            m = flat == term
+            row[f"df{j}"] = np.int64(
+                len(np.unique(doc_idx[m])) if m.any() else 0)
+        return pd.DataFrame([row])
+
+    st = docs_ds.map_batches(stats_partial, batch_format="pandas"
+                             ).to_pandas().sum()
+    N = float(st["n"])
+    avgdl = float(st["sdl"]) / N
+    idf = [(N - float(st[f"df{j}"]) + 0.5) / (float(st[f"df{j}"]) + 0.5)
+           for j in range(len(terms))]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_idx, lens = _flat(df[text_col])
+        dl = lens.astype(np.float64)
+        total = np.zeros(len(df), dtype=np.int64)
+        hit = np.zeros(len(df), dtype=bool)
+        for j, term in enumerate(terms):
+            m = flat == term
+            tf = np.bincount(doc_idx[m], minlength=len(df)
+                             ).astype(np.float64)
+            hit |= tf > 0
+            # parse-tree mirror of the SQL expression — do not refactor
+            tfn = (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * dl) / avgdl))
+            total += np.floor((1000000.0 * idf[j]) * tfn).astype(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame({id_col: ids[hit],
+                             "score_micro": total[hit]})
+
+    return docs_ds.map_batches(score, batch_format="pandas")

@@ -183,3 +183,38 @@ def test_bfs_reach_hop_bound_and_min_distance(ray_session):
     out = to_pandas(bfs_reachability(rd.from_arrow(facts).repartition(3),
                                      max_hops=3)).set_index("node")["hops"]
     assert out.to_dict() == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_ta_bm25_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["ta_bm25"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ta_bm25"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_bm25_ranking_semantics(ray_session):
+    """Hand-built corpus: a doc stuffed with the query term outranks a
+    doc with one mention; longer documents are length-penalized; docs
+    without any query term emit nothing; rarer terms score higher."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "hash hash hash hash",                     # dense, short
+            "hash " + "filler " * 40 + "end",          # one hit, long
+            "no relevant words here",                  # no hit
+            "vector vector",                           # rarer term
+        ],
+    })
+    out = to_pandas(bm25_scores(rd.from_pandas(docs).repartition(2),
+                                query_terms=("hash", "vector"))
+                    ).set_index("doc_id")["score_micro"]
+    assert 3 not in out.index
+    assert out[1] > out[2] > 0
+    # 'vector' has df=1 of N=4 vs 'hash' df=2 -> higher idf for doc 4
+    assert out[4] > out[2]

@@ -893,6 +893,15 @@ def _q_dedup_spans(sf_dir: str):
     return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components of the mention co-occurrence graph; label =
+    min entity id per component (distributed union-find, no driver
+    graph state)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import connected_components
+
+    return connected_components(_q_kg_cooccurrence(sf_dir))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_kmeans": _q_ml_kmeans,
         "kg_reach": _q_kg_reach,
         "ta_bm25": _q_ta_bm25,
+        "kg_components": _q_kg_components,
     }
 
 
@@ -1794,4 +1804,24 @@ s AS (SELECT tf.doc_id,
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n)
 SELECT doc_id, sum(sm)::BIGINT AS score_micro FROM s GROUP BY doc_id
 """,
+        # connected components of the co-occurrence graph: label = min
+        # reachable entity id (cycle-safe recursive reach, UNION dedup)
+        "kg_components": (
+            _U_CTE.replace("WITH u", "WITH RECURSIVE u", 1)
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+ed AS (SELECT a.norm AS na, b.norm AS nb
+       FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm),
+und AS (SELECT na AS src, nb AS dst FROM ed
+        UNION SELECT nb, na FROM ed),
+vs AS (SELECT DISTINCT src AS v FROM und),
+r(v, m2) AS (
+    SELECT v, v FROM vs
+  UNION
+    SELECT r.v, u.dst FROM r JOIN und u ON u.src = r.m2
+)
+SELECT v AS node, min(m2) AS component FROM r GROUP BY v
+"""
+        ),
     }

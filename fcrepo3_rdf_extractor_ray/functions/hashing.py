@@ -80,6 +80,12 @@ def siphash64_batch(strings, memo: dict | None = None) -> np.ndarray:
     same entity surface repeats many times, so this amortizes the
     per-string Python cost; callers holding state (actor stages) can pass a
     cross-batch ``memo`` dict for further reuse.
+
+    PRECONDITION: inputs must not contain embedded NUL (``\\x00``) —
+    pandas' hashtable truncates object strings at the first NUL, so
+    NUL-distinct strings would be merged and take the hash of whichever
+    full string the batch saw first (non-deterministic across batches).
+    Composite keys should join with ``\\x1f``.
     """
     import pandas as pd
 

@@ -197,81 +197,49 @@ def _safe_join_partitions(small_side_count: int, cap: int = 64) -> int:
 
 def union_find_labels_ds(edges_ds, max_iters: int = 16,
                          num_partitions: int | None = None):
-    """Distributed min-ID cluster resolution: iterate-to-fixpoint min-label
-    propagation over the bipartite (norm, candidate) edge Dataset — the
-    at-scale path promised in SURVEY.md §7.4 for when the edge list
-    outgrows the driver. Each round is two Ray hash joins + two
-    vectorized per-partition min-reductions; rounds needed = O(log
-    cluster-diameter). Convergence is checked via a tiny per-round
-    checksum aggregate, never by collecting the edges.
+    """Distributed min-ID cluster resolution over the bipartite
+    (norm, candidate) edge Dataset — the at-scale path promised in
+    SURVEY.md §7.4 for when the edge list outgrows the driver.
+
+    Rides the engine's contraction union-find
+    (``stages.graph.connected_components`` — O(levels) shuffles,
+    independent of graph diameter) with a PREFIX TRICK: norms are tagged
+    ``n:``, candidates ``c:``; since ``"c:" < "n:"`` lexicographically
+    and every component of the bipartite graph contains at least one
+    candidate, the component's min tagged name is always
+    ``c:<min candidate id>`` — exactly the min-ID label the driver-side
+    ``union_find_min_id`` computes (equivalence-tested).
 
     Returns the (norm, label) Dataset — fully driver-free; feed it to
     ``resolve_quads_join_ds`` to keep the whole resolve path streaming.
 
-    ``num_partitions``: join parallelism; defaults to a count-derived
-    value via ``_safe_join_partitions`` (see there for the Ray 2.49
-    empty-partition caveat)."""
+    ``max_iters`` is accepted for API compatibility but unused — the
+    contraction scheme's exactness does not depend on iteration count."""
+    del max_iters  # contraction UF is exact in a fixed number of passes
+    from .graph import connected_components
 
-    def _min_by(ds, key: str, val: str, out: str):
-        def part_min(t: pa.Table) -> pa.Table:
-            g = t.group_by([key]).aggregate([(val, "min")])
-            return g.rename_columns([key, out])
+    def tag(t: pa.Table) -> pa.Table:
+        n = pc.binary_join_element_wise(
+            pa.array(["n:"] * t.num_rows, pa.string()), t["norm"], "")
+        c = pc.binary_join_element_wise(
+            pa.array(["c:"] * t.num_rows, pa.string()),
+            t["candidate_id"], "")
+        return pa.table({"a": n, "b": c})
 
-        # bounded-partition vectorized min (same pattern as dedup)
-        def add_part(t: pa.Table) -> pa.Table:
-            h = siphash64_batch(t[key].to_pylist())
-            part = pa.array((h % 16).astype(np.int32))
-            return t.append_column("uf_part", part)
+    cc = connected_components(
+        edges_ds.map_batches(tag, batch_format="pyarrow"),
+        a_col="a", b_col="b",
+        n_parts=num_partitions if num_partitions else 16)
 
-        ds = ds.map_batches(add_part, batch_format="pyarrow")
-        out_ds = ds.groupby("uf_part").map_groups(
-            lambda t: part_min(t), batch_format="pyarrow"
-        )
-        return out_ds
+    def out(t: pa.Table) -> pa.Table:
+        mask = pc.starts_with(t["node"], "n:")
+        node = t["node"].filter(mask)
+        comp = t["component"].filter(mask)
+        big = 2**31 - 1
+        return pa.table({"norm": pc.utf8_slice_codeunits(node, 2, big),
+                         "label": pc.utf8_slice_codeunits(comp, 2, big)})
 
-    edges = edges_ds.materialize()
-    if num_partitions is None:
-        num_partitions = _safe_join_partitions(edges.count())
-
-    def checksum(label_ds) -> int:
-        def h(t: pa.Table) -> pa.Table:
-            a = siphash64_batch(
-                [f"{x}\x00{y}" for x, y in zip(t.column(0).to_pylist(),
-                                               t.column(1).to_pylist())])
-            return pa.table({"h": pa.array(a.astype(np.int64))})
-
-        from ray.data.aggregate import Sum
-
-        row = label_ds.map_batches(h, batch_format="pyarrow").aggregate(Sum("h"))
-        return row["sum(h)"]
-
-    # labels start as each norm's min direct candidate. Intermediates are
-    # materialized before each join: per-round label tables are
-    # #entities-scale, and a concrete schema sidesteps empty-partition
-    # schema loss inside the hash-join aggregator.
-    norm_lab = _min_by(edges, "norm", "candidate_id", "label").materialize()
-    # seed the convergence baseline with the INITIAL labels: in the common
-    # star-shaped case (every norm linked to exactly one candidate, as
-    # AliasLinkStage emits) labels never change, so the loop exits after
-    # ONE round instead of needing a second confirmation pass
-    prev = checksum(norm_lab.select_columns(["norm", "label"]))
-    for _ in range(max_iters):
-        # candidate's label = min over its norms' labels
-        cand_side = edges.join(norm_lab, join_type="inner",
-                               num_partitions=num_partitions,
-                               on=("norm",))
-        cand_lab = _min_by(cand_side, "candidate_id", "label",
-                           "clabel").materialize()
-        # norm's label = min over its candidates' labels
-        norm_side = edges.join(cand_lab, join_type="inner",
-                               num_partitions=num_partitions,
-                               on=("candidate_id",))
-        norm_lab = _min_by(norm_side, "norm", "clabel", "label").materialize()
-        cs = checksum(norm_lab.select_columns(["norm", "label"]))
-        if cs == prev:
-            break
-        prev = cs
-    return norm_lab.select_columns(["norm", "label"])
+    return cc.map_batches(out, batch_format="pyarrow")
 
 
 def union_find_min_id_dataset(edges_ds, max_iters: int = 16,

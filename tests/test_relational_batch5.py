@@ -218,3 +218,36 @@ def test_bm25_ranking_semantics(ray_session):
     assert out[1] > out[2] > 0
     # 'vector' has df=1 of N=4 vs 'hash' df=2 -> higher idf for doc 4
     assert out[4] > out[2]
+
+
+def test_kg_components_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_components"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_components"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_connected_components_long_chain(ray_session):
+    """A 30-node path graph (diameter 29 — far past the old 16-round
+    default) plus a disjoint triangle: min-label flooding must fully
+    propagate, the two components must not merge, and node ids sharing
+    prefixes must not collide (regression: NUL-joined edge ids were
+    truncation-merged by the pandas hashtable, scattering a single
+    edge's rows across partitions)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import connected_components
+
+    chain = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(29)]
+    tri = [("z1", "z2"), ("z2", "z3"), ("z1", "z3")]
+    edges = pa.table({
+        "norm_a": pa.array([a for a, _ in chain + tri]),
+        "norm_b": pa.array([b for _, b in chain + tri]),
+    })
+    out = to_pandas(connected_components(rd.from_arrow(edges)
+                                         .repartition(4)))
+    comp = out.set_index("node")["component"]
+    assert (comp[[f"v{i:02d}" for i in range(30)]] == "v00").all()
+    assert (comp[["z1", "z2", "z3"]] == "z1").all()

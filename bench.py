@@ -100,7 +100,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "rel_heavy_hitters", "rel_latest_event",
                  "rel_hopping_window", "ta_decontam", "ta_pack",
                  "ta_classifier", "ta_resample", "rel_intervals",
-                 "dedup_spans", "ml_kmeans", "kg_reach", "ta_bm25"):
+                 "dedup_spans", "ml_kmeans", "kg_reach", "ta_bm25",
+                 "kg_components"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -902,6 +902,42 @@ def _q_kg_components(sf_dir: str):
     return connected_components(_q_kg_cooccurrence(sf_dir))
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Global triangle count over the mention co-occurrence graph
+    (wedge-then-verify, co-partitioned merges only)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import triangle_count
+
+    return triangle_count(_q_kg_cooccurrence(sf_dir))
+
+
+def _q_rel_cube(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cube_order_stats)
+
+    return cube_order_stats(sf_dir)
+
+
+def _q_rel_mode(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        mode_priority_by_status)
+
+    return mode_priority_by_status(sf_dir)
+
+
+def _q_rel_cumsum(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cumulative_spend)
+
+    return cumulative_spend(sf_dir)
+
+
+def _q_rel_skew_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        skew_join_events_nation)
+
+    return skew_join_events_nation(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1042,6 +1078,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reach": _q_kg_reach,
         "ta_bm25": _q_ta_bm25,
         "kg_components": _q_kg_components,
+        "kg_triangles": _q_kg_triangles,
+        "rel_cube": _q_rel_cube,
+        "rel_mode": _q_rel_mode,
+        "rel_cumsum": _q_rel_cumsum,
+        "rel_skew_join": _q_rel_skew_join,
     }
 
 
@@ -1824,4 +1865,46 @@ r(v, m2) AS (
 SELECT v AS node, min(m2) AS component FROM r GROUP BY v
 """
         ),
+        # triangle count over the oriented (a < b) co-occurrence edges:
+        # wedge (u,v),(u,w) with v < w closed by edge (v,w)
+        "kg_triangles": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
+      FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+        ),
+        "rel_cube": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+        "rel_mode": """
+WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       n::BIGINT AS n_rows
+FROM r WHERE rn = 1
+""",
+        "rel_cumsum": """
+SELECT o_orderkey, o_custkey,
+       sum(round(o_totalprice * 100)::BIGINT) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+FROM orders
+""",
+        "rel_skew_join": """
+SELECT e.event_id, e.user_id,
+       coalesce(c.c_nationkey, -1)::BIGINT AS nationkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
     }

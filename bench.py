@@ -101,7 +101,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "rel_hopping_window", "ta_decontam", "ta_pack",
                  "ta_classifier", "ta_resample", "rel_intervals",
                  "dedup_spans", "ml_kmeans", "kg_reach", "ta_bm25",
-                 "kg_components"):
+                 "kg_components", "kg_triangles", "rel_cube", "rel_mode",
+                 "rel_cumsum", "rel_skew_join"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -1576,3 +1576,205 @@ def interval_coverage(sf_dir: str, span_minutes: int = 5):
                              "covered_us": out.to_numpy()})
 
     return ds.groupby("part").map_groups(cover, batch_format="pandas")
+
+
+def cube_order_stats(sf_dir: str):
+    """GROUP BY CUBE over (priority, status): all four grouping sets,
+    with 'ALL' sentinels for SQL's NULL subtotal markers. Same two-phase
+    shape as ``rollup_order_stats`` — the wide input crosses the wire
+    once as leaf-grid partials; the cube expansion (4 rows per leaf)
+    runs on the tiny grid only."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        g = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "total_cents": cents,
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("total_cents", "sum"), ("n_orders", "sum")])
+        return g.rename_columns(["o_orderpriority", "o_orderstatus",
+                                 "total_cents", "n_orders"])
+
+    leaf = ds.map_batches(combine, batch_format="pyarrow").groupby(
+        ["o_orderpriority", "o_orderstatus"]).aggregate(
+        Sum("total_cents"), Sum("n_orders"))
+    leaf = _rename(leaf, {"sum(total_cents)": "total_cents",
+                          "sum(n_orders)": "n_orders"})
+
+    def expand(t: pa.Table) -> pa.Table:
+        alls = pa.array(["ALL"] * t.num_rows, pa.string())
+        i_s = t.schema.get_field_index("o_orderstatus")
+        i_p = t.schema.get_field_index("o_orderpriority")
+        no_s = t.set_column(i_s, "o_orderstatus", alls)
+        no_p = t.set_column(i_p, "o_orderpriority", alls)
+        no_both = no_s.set_column(i_p, "o_orderpriority", alls)
+        return pa.concat_tables([t, no_s, no_p, no_both])
+
+    cubed = leaf.map_batches(expand, batch_format="pyarrow").groupby(
+        ["o_orderpriority", "o_orderstatus"]).aggregate(
+        Sum("total_cents"), Sum("n_orders"))
+    return _rename(cubed, {"sum(total_cents)": "total_cents",
+                           "sum(n_orders)": "n_orders"})
+
+
+def mode_priority_by_status(sf_dir: str):
+    """Grouped MODE with deterministic tie-break: per order status, the
+    most frequent order priority (ties → lexicographic min priority).
+
+    Count-combiner per batch → one grid-sized groupby sum → per-status
+    argmax on the tiny grid (single vectorized pass). The wide input is
+    exchanged only as (status, priority, n) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    grid = (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("n")))
+    grid = _rename(grid, {"sum(n)": "n"})
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderstatus", "n", "o_orderpriority"],
+                            ascending=[True, False, True])
+        g = df.groupby("o_orderstatus", as_index=False).head(1)
+        return pd.DataFrame({
+            "o_orderstatus": g["o_orderstatus"].to_numpy(),
+            "mode_priority": g["o_orderpriority"].to_numpy(),
+            "n_rows": g["n"].astype("int64").to_numpy()})
+
+    # the grid is |status|×|priority| — one group-keyed pass finishes it
+    return grid.groupby("o_orderstatus").map_groups(
+        argmax, batch_format="pandas")
+
+
+def cumulative_spend(sf_dir: str, n_parts: int = 32):
+    """Per-customer RUNNING TOTAL (SUM ... ROWS UNBOUNDED PRECEDING):
+    each order annotated with the customer's cumulative spend up to and
+    including it, ordered by (o_orderdate, o_orderkey) — the classic
+    prefix-sum window.
+
+    One customer-hash exchange; each partition sorts its customers'
+    orders once and takes a vectorized grouped cumsum — no global sort,
+    no per-row Python."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["o_custkey"], n_parts - 1),
+                       pa.int32())
+        return t.append_column("part", part)
+
+    def cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        cum = cents.groupby(df["o_custkey"]).cumsum()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+            "o_custkey": df["o_custkey"].astype("int64").to_numpy(),
+            "cum_cents": cum.astype("int64").to_numpy()})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(cumsum, batch_format="pandas"))
+
+
+def skew_join_events_nation(sf_dir: str, hot_k: int = 150,
+                            n_parts: int = 32):
+    """SKEW-AWARE left enrichment join: every event annotated with its
+    user's nation key (``user_id = c_custkey``; unmatched → -1).
+
+    The skew pattern the north rule asks for, demonstrated end to end:
+
+    1. HOT-KEY DETECTION — the exact heavy-hitters pass (Misra-Gries
+       partials, bounded driver merge) finds probe keys with count >
+       n/hot_k: exactly the keys that would overload one partition of a
+       plain hash exchange.
+    2. HOT PATH — the dimension rows for hot keys (≤ hot_k rows) are
+       broadcast via ``ray.put``; hot probe rows resolve with a
+       vectorized in-task lookup and NEVER enter the shuffle.
+    3. COLD PATH — remaining probe rows co-partition with the dimension
+       side on the key (tag-union merge, no join operator) — now skew-
+       free by construction, since every surviving key is below n/hot_k.
+
+    Semantically identical to a plain left join (equivalence is the
+    oracle); the routing only changes WHERE each row is resolved."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    hot = heavy_hitters(sf_dir, key="user_id", k=hot_k, ds=ev)
+    hot_keys = set(int(k) for k in hot["user_id"])
+
+    # dimension rows for hot keys: ≤ hot_k rows — broadcast once
+    hot_arr = pa.array(sorted(hot_keys), pa.int64())
+    if hot_keys:
+        hot_dim = (cust.map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=hot_arr)),
+            batch_format="pyarrow").to_pandas())
+        hot_map = dict(zip(hot_dim["c_custkey"].astype(int),
+                           hot_dim["c_nationkey"].astype(int)))
+    else:  # no hot keys at all — the cold path carries everything
+        hot_map = {}
+    hot_map_ref = ray.put(hot_map)
+    hot_ref = ray.put(hot_arr)
+
+    def resolve_hot(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["user_id"], value_set=ray.get(hot_ref))
+        t = t.filter(mask)
+        m = ray.get(hot_map_ref)
+        ids = t["user_id"].to_numpy(zero_copy_only=False)
+        nk = np.array([m.get(int(u), -1) for u in ids], dtype=np.int64)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "nationkey": pa.array(nk)})
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["user_id"],
+                                  value_set=ray.get(hot_ref)))
+        t = t.filter(mask)
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1),
+                       pa.int32())
+        return pa.table({"key": pc.cast(t["user_id"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64()),
+                         "nk": pa.nulls(t.num_rows, pa.int64()),
+                         "part": part})
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["c_custkey"], n_parts - 1),
+                       pa.int32())
+        return pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                         "event_id": pa.nulls(t.num_rows, pa.int64()),
+                         "nk": pc.cast(t["c_nationkey"], pa.int64()),
+                         "part": part})
+
+    tagged = (ev.map_batches(tag_probe, batch_format="pyarrow")
+              .union(cust.map_batches(tag_dim, batch_format="pyarrow")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        dim = (df.loc[df["nk"].notna(), ["key", "nk"]]
+               .drop_duplicates("key").set_index("key")["nk"])
+        rows = df.loc[df["event_id"].notna(), ["key", "event_id"]]
+        got = rows["key"].map(dim).fillna(-1)
+        return pd.DataFrame({
+            "event_id": rows["event_id"].astype("int64").to_numpy(),
+            "user_id": rows["key"].astype("int64").to_numpy(),
+            "nationkey": got.astype("int64").to_numpy()})
+
+    cold = tagged.groupby("part").map_groups(merge, batch_format="pandas")
+    return cold.union(ev.map_batches(resolve_hot, batch_format="pyarrow"))

@@ -474,3 +474,91 @@ def connected_components(edges_ds, a_col: str = "norm_a",
 
     return (labels.map_batches(tag_out, batch_format="pyarrow")
             .groupby("part").map_groups(dedup, batch_format="pandas"))
+
+
+def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
+                   n_parts: int = 32):
+    """Global TRIANGLE COUNT over an oriented (a < b) undirected edge
+    set — the standard graph-quality / community-density metric over the
+    entity co-occurrence graph.
+
+    Wedge-then-verify, all co-partitioned merges (no join operator):
+
+    1. distinct oriented edges, hash-partitioned on the LOW endpoint so
+       each hub's full neighbor list co-locates;
+    2. per hub, emit its wedges — all (v, w) neighbor pairs with v < w
+       (numpy ``triu_indices`` per hub, vectorized);
+    3. tag-union the wedges with the edge set keyed on the (v, w) pair,
+       co-partition on the pair hash, count wedge rows whose pair exists
+       as an edge (each triangle u<v<w is found exactly once: wedge at
+       hub u, closing edge (v, w));
+    4. one scalar Sum aggregate.
+
+    SKEW NOTE: a hub of degree d emits d(d-1)/2 wedges, so a single hot
+    entity inflates one partition. For corpora with power-law hubs,
+    split hot neighbor lists (salt the wedge emit per neighbor-chunk
+    pair) or cap/degree-sample hubs before this stage; on the test
+    corpora the max co-occurrence degree is bounded by mentions-per-page
+    fan-in and needs neither. Returns a 1-row pandas frame
+    ``(n_triangles)``."""
+    import pandas as pd
+
+    from ..functions.hashing import siphash64_batch
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def tag_hub(t: pa.Table) -> pa.Table:
+        h = siphash64_batch(t["a"].to_pylist())
+        return t.append_column("part",
+                               pa.array((h % n_parts).astype(np.int32)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("a"):
+            nb = np.sort(grp["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"v": nb[i], "w": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "is_edge": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["is_edge"] = np.zeros(len(out), dtype=np.int64)
+        return out
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "is_edge": pa.array(np.ones(t.num_rows, np.int64))})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["v"], t["w"], "\x1f")
+        h = siphash64_batch(key.to_pylist())
+        return t.append_column("part",
+                               pa.array((h % n_parts).astype(np.int32)))
+
+    wedge_ds = (edges.map_batches(tag_hub, batch_format="pyarrow")
+                .groupby("part").map_groups(wedges, batch_format="pandas"))
+    tagged = (wedge_ds.map_batches(tag_pair, batch_format="pyarrow")
+              .union(edges.map_batches(edge_rows, batch_format="pyarrow")
+                     .map_batches(tag_pair, batch_format="pyarrow")))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        have = df.loc[df["is_edge"] == 1, ["v", "w"]]
+        keys = set(zip(have["v"], have["w"]))
+        wdg = df.loc[df["is_edge"] == 0, ["v", "w"]]
+        n = sum(1 for p in zip(wdg["v"], wdg["w"]) if p in keys)
+        return pd.DataFrame({"n": pd.array([n], dtype="int64")})
+
+    from ray.data.aggregate import Sum
+
+    total = (tagged.groupby("part").map_groups(close, batch_format="pandas")
+             .aggregate(Sum("n")))
+    return pd.DataFrame({"n_triangles":
+                         pd.array([total["sum(n)"] or 0], dtype="int64")})

@@ -1,0 +1,83 @@
+"""Batch 6: cube, grouped mode, running total, skew-aware join and
+triangle counting — oracle tests plus hand-computed semantic cases."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from conftest import assert_frames_equivalent, to_pandas
+
+
+@pytest.mark.parametrize("name", ["rel_cube", "rel_mode", "rel_cumsum",
+                                  "rel_skew_join", "kg_triangles"])
+def test_batch6_oracles(sf_dir, duck, name):
+    import __ray_entry__ as em
+
+    got = em.queries()[name](sf_dir)
+    expected = duck.execute(em.oracle_sql()[name]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_triangle_count_hand_graph(ray_session):
+    """Two triangles sharing an edge (a-b-c, b-c-d) plus a dangling
+    path (d-e-f): exactly 2 triangles, found once each via the wedge at
+    the minimum vertex."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import triangle_count
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e"), ("e", "f"),
+             ("a", "b")]  # duplicate edge must not double-count
+    t = pa.table({"norm_a": [a for a, _ in edges],
+                  "norm_b": [b for _, b in edges]})
+    out = triangle_count(rd.from_arrow(t).repartition(3))
+    assert out["n_triangles"].tolist() == [2]
+
+
+def test_cube_has_all_grouping_sets(sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cube_order_stats)
+
+    df = to_pandas(cube_order_stats(sf_dir))
+    grand = df[(df["o_orderpriority"] == "ALL")
+               & (df["o_orderstatus"] == "ALL")]
+    assert len(grand) == 1
+    # every margin total equals the sum of its leaves
+    leaves = df[(df["o_orderpriority"] != "ALL")
+                & (df["o_orderstatus"] != "ALL")]
+    assert grand["total_cents"].iloc[0] == leaves["total_cents"].sum()
+    by_status = df[(df["o_orderpriority"] == "ALL")
+                   & (df["o_orderstatus"] != "ALL")]
+    assert by_status["total_cents"].sum() == grand["total_cents"].iloc[0]
+
+
+def test_skew_join_hot_and_cold_paths_agree(sf_dir):
+    """Forcing every key hot (hot_k huge ⇒ threshold 0) and every key
+    cold (hot_k=1 ⇒ nothing qualifies) must give identical results —
+    routing is an execution detail, not a semantic one."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        skew_join_events_nation)
+
+    all_cold = to_pandas(skew_join_events_nation(sf_dir, hot_k=1))
+    default = to_pandas(skew_join_events_nation(sf_dir))
+    key = ["event_id"]
+    a = all_cold.sort_values(key).reset_index(drop=True)
+    b = default.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_cumulative_spend_is_prefix_sum(sf_dir):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cumulative_spend)
+
+    df = to_pandas(cumulative_spend(sf_dir))
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    one = orders[orders["o_custkey"] == orders["o_custkey"].iloc[0]]
+    one = one.sort_values(["o_orderdate", "o_orderkey"])
+    expect = (one["o_totalprice"] * 100).round().astype("int64").cumsum()
+    got = df.set_index("o_orderkey").loc[one["o_orderkey"], "cum_cents"]
+    assert got.tolist() == expect.tolist()

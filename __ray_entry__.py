@@ -938,6 +938,16 @@ def _q_rel_skew_join(sf_dir: str):
     return skew_join_events_nation(sf_dir)
 
 
+def _q_dedup_editdist(sf_dir: str):
+    """Edit-distance ≤ 1 surface-variant pairs over the distinct mention
+    surfaces (deletion-neighborhood blocking + exact verify)."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import editdist_pairs
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
+
+    return editdist_pairs(detect_mentions(pages_for_sf(sf_dir)))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1083,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mode": _q_rel_mode,
         "rel_cumsum": _q_rel_cumsum,
         "rel_skew_join": _q_rel_skew_join,
+        "dedup_editdist": _q_dedup_editdist,
     }
 
 
@@ -1907,4 +1918,15 @@ SELECT e.event_id, e.user_id,
        coalesce(c.c_nationkey, -1)::BIGINT AS nationkey
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """,
+        # edit-distance <= 1 pairs over distinct mention surfaces
+        "dedup_editdist": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+s AS (SELECT DISTINCT surface FROM m)
+SELECT a.surface AS surface_a, b.surface AS surface_b
+FROM s a JOIN s b
+  ON a.surface < b.surface AND levenshtein(a.surface, b.surface) <= 1
+"""
+        ),
     }

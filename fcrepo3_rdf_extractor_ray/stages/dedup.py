@@ -841,3 +841,104 @@ def duplicated_spans(docs_ds, n: int = 4, id_col: str = "doc_id",
     return (docs_ds.map_batches(pairs, batch_format="pandas")
             .groupby("part").map_groups(mark, batch_format="pandas")
             .groupby("p2").map_groups(final_sum, batch_format="pandas"))
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check, O(len) single pass."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
+    """EDIT-DISTANCE ≤ 1 similarity self-join — surface-variant
+    detection ('Entity7' vs 'Entity 7') feeding fuzzy entity linking and
+    typo-dedup, without the O(n²) all-pairs scan.
+
+    Deletion-neighborhood blocking (complete for ed ≤ 1: two strings
+    within one edit always share a member of {identity} ∪ {single-char
+    deletions} — substitution pairs share the deletion at the differing
+    index, insertion pairs share the shorter string itself):
+
+    1. distinct values (per-batch combiner → hash-partition distinct);
+    2. signature explode: each string emits itself + its len(s)
+       single-deletion variants — shuffle volume Σ(len+1) over DISTINCT
+       strings, corpus-independent;
+    3. per signature bucket, candidate pairs verify with the exact
+       one-pass ed ≤ 1 check (never trusting the block);
+    4. one final pair-keyed distinct (a pair can share two signatures).
+
+    Bucket size is bounded by variant fan-in per signature (alphabet ×
+    positions), not corpus size; pathological key-collision corpora
+    should length-bucket first."""
+    import pandas as pd
+
+    from ..functions.hashing import siphash64_batch
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col].combine_chunks())
+        h = siphash64_batch(u.to_pylist())
+        return pa.table({"s": u,
+                         "part": pa.array((h % n_parts).astype(np.int32))})
+
+    def part_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["s"]].drop_duplicates()
+
+    distinct = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+                .groupby("part").map_groups(part_distinct,
+                                            batch_format="pandas"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        sigs, vals = [], []
+        for s in t["s"].to_pylist():
+            sigs.append(s)
+            vals.append(s)
+            for i in range(len(s)):
+                sigs.append(s[:i] + s[i + 1:])
+                vals.append(s)
+        h = siphash64_batch(sigs)
+        return pa.table({"sig": pa.array(sigs, pa.string()),
+                         "s": pa.array(vals, pa.string()),
+                         "part": pa.array((h % n_parts).astype(np.int32))})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in df.groupby("sig"):
+            vals = sorted(set(grp["s"]))
+            if len(vals) < 2:
+                continue
+            for i in range(len(vals)):
+                for j in range(i + 1, len(vals)):
+                    if _ed_le1(vals[i], vals[j]):
+                        outs_a.append(vals[i])
+                        outs_b.append(vals[j])
+        return pd.DataFrame({"surface_a": pd.array(outs_a, dtype=object),
+                             "surface_b": pd.array(outs_b, dtype=object)})
+
+    pairs = (distinct.map_batches(explode, batch_format="pyarrow")
+             .groupby("part").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["surface_a"], t["surface_b"],
+                                          "\x1f")
+        h = siphash64_batch(key.to_pylist())
+        return t.append_column("part",
+                               pa.array((h % n_parts).astype(np.int32)))
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["surface_a", "surface_b"]].drop_duplicates()
+
+    return (pairs.map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("part").map_groups(pair_distinct,
+                                        batch_format="pandas"))

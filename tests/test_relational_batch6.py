@@ -81,3 +81,32 @@ def test_cumulative_spend_is_prefix_sum(sf_dir):
     expect = (one["o_totalprice"] * 100).round().astype("int64").cumsum()
     got = df.set_index("o_orderkey").loc[one["o_orderkey"], "cum_cents"]
     assert got.tolist() == expect.tolist()
+
+
+def test_dedup_editdist_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["dedup_editdist"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["dedup_editdist"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_editdist_pairs_hand_cases(ray_session):
+    """Substitution, insertion and deletion variants pair up; distance-2
+    strings must not, and duplicates collapse to distinct values first."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import editdist_pairs
+
+    vals = ["cat", "cut", "cart", "at", "dog", "cat", "cast"]
+    out = to_pandas(editdist_pairs(
+        rd.from_arrow(pa.table({"surface": vals})).repartition(3)))
+    pairs = set(map(tuple, out[["surface_a", "surface_b"]].values))
+    assert ("cat", "cut") in pairs      # substitution
+    assert ("cart", "cat") in pairs     # insertion/deletion
+    assert ("at", "cat") in pairs       # deletion
+    assert ("cast", "cat") in pairs
+    assert not any("dog" in p for p in pairs)
+    assert ("at", "cut") not in pairs   # distance 2
+    assert len(out) == len(pairs)       # no duplicate pair rows

@@ -36,13 +36,12 @@ def _distinct(ds, cols: list[str], n_parts: int = 16):
     """Distinct rows via per-batch combiner → hash-partition → one
     vectorized Arrow group_by per partition (same shape as
     ``unique_norms`` — never one Python call per key)."""
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         g = t.select(cols).group_by(cols).aggregate([])
-        h = siphash64_batch(g[cols[0]].to_pylist())
-        part = pa.array((h % n_parts).astype(np.int32))
-        return g.append_column("part", part)
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g[cols[0]], n_parts)))
 
     def part_distinct(t: pa.Table) -> pa.Table:
         g = t.group_by(["part"] + cols).aggregate([])
@@ -113,10 +112,9 @@ def _collect_table(ds, schema: pa.Schema) -> pa.Table:
 
 
 def _part_of(col: pa.ChunkedArray, n_parts: int) -> pa.Array:
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
-    h = siphash64_batch(col.to_pylist())
-    return pa.array((h % n_parts).astype(np.int32))
+    return pa.array(fast_part_hash(col, n_parts))
 
 
 def _pagerank_broadcast(e3, nodes, iters, damping_pct, rank_scale, base,
@@ -347,7 +345,7 @@ def connected_components(edges_ds, a_col: str = "norm_a",
     keeps the contracted set large."""
     import pandas as pd
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def to_ab(t: pa.Table) -> pa.Table:
         return pa.table({"a": pc.cast(t[a_col], pa.string()),
@@ -356,7 +354,7 @@ def connected_components(edges_ds, a_col: str = "norm_a",
     def _tag(col_vals, parts: int) -> pa.Array:
         if parts == 1:
             return pa.array(np.zeros(len(col_vals), np.int32))
-        return pa.array((siphash64_batch(col_vals) % parts).astype(np.int32))
+        return pa.array(fast_part_hash(col_vals, parts))
 
     def local_uf(df: pd.DataFrame) -> pd.DataFrame:
         """Union-find over one partition's edges → (node, root) for every
@@ -396,17 +394,26 @@ def connected_components(edges_ds, a_col: str = "norm_a",
                              "root": name_by_rank[roots]})
 
     def boundary(df: pd.DataFrame) -> pd.DataFrame:
-        """Contract: a node whose partition-local roots disagree emits
-        (min-root, other-root) edges; agreeing nodes exit the loop."""
+        """Contract, fused with the star-map dedup (both need the same
+        node-keyed exchange): per node, anchor = min of its partition-
+        local roots. Emits kind=1 (anchor, other-root) boundary edges
+        for disagreeing roots — agreeing nodes exit the loop — AND
+        kind=0 deduped (node, anchor) star rows, one per node, so the
+        relabel pass later needs no final distinct."""
         anchor = df.groupby("node")["root"].transform("min")
         mask = (df["root"] != anchor).to_numpy()
-        out = pd.DataFrame({"a": anchor.to_numpy()[mask],
-                            "b": df["root"].to_numpy()[mask]})
-        return out.drop_duplicates()
+        eout = pd.DataFrame({"node": anchor.to_numpy()[mask],
+                             "root": df["root"].to_numpy()[mask]
+                             }).drop_duplicates()
+        eout["kind"] = np.ones(len(eout), dtype=np.int8)
+        sout = df.assign(root=anchor).drop_duplicates("node")[
+            ["node", "root"]]
+        sout["kind"] = np.zeros(len(sout), dtype=np.int8)
+        return pd.concat([sout, eout], ignore_index=True)
 
     def uf_level(edge_ds, parts: int):
         def tag_edges(t: pa.Table) -> pa.Table:
-            return t.append_column("part", _tag(t["a"].to_pylist(), parts))
+            return t.append_column("part", _tag(t["a"], parts))
 
         return (edge_ds.map_batches(tag_edges, batch_format="pyarrow")
                 .groupby("part").map_groups(local_uf,
@@ -414,12 +421,22 @@ def connected_components(edges_ds, a_col: str = "norm_a",
 
     def contract(star_ds):
         def tag_nodes(t: pa.Table) -> pa.Table:
-            return t.append_column("part",
-                                   _tag(t["node"].to_pylist(), n_parts))
+            return t.append_column("part", _tag(t["node"], n_parts))
 
-        return (star_ds.map_batches(tag_nodes, batch_format="pyarrow")
+        both = (star_ds.map_batches(tag_nodes, batch_format="pyarrow")
                 .groupby("part").map_groups(boundary,
-                                            batch_format="pandas"))
+                                            batch_format="pandas")
+                .materialize())
+        stars = both.map_batches(
+            lambda t: (t.filter(pc.equal(t["kind"], 0))
+                       .select(["node", "root"])),
+            batch_format="pyarrow")
+        edges = both.map_batches(
+            lambda t: pa.table({
+                "a": t.filter(pc.equal(t["kind"], 1))["node"],
+                "b": t.filter(pc.equal(t["kind"], 1))["root"]}),
+            batch_format="pyarrow")
+        return stars, edges
 
     def relabel(star_ds, lab_ds):
         """node's final label = lab[root] (fallback: root itself — a root
@@ -430,13 +447,13 @@ def connected_components(edges_ds, a_col: str = "norm_a",
             return pa.table({
                 "k": t["root"], "node": t["node"],
                 "lab": pa.nulls(t.num_rows, pa.string()),
-                "part": _tag(t["root"].to_pylist(), n_parts)})
+                "part": _tag(t["root"], n_parts)})
 
         def tag_l(t: pa.Table) -> pa.Table:
             return pa.table({
                 "k": t["node"], "node": pa.nulls(t.num_rows, pa.string()),
                 "lab": t["root"],
-                "part": _tag(t["node"].to_pylist(), n_parts)})
+                "part": _tag(t["node"], n_parts)})
 
         tagged = (star_ds.map_batches(tag_m, batch_format="pyarrow")
                   .union(lab_ds.map_batches(tag_l,
@@ -456,24 +473,17 @@ def connected_components(edges_ds, a_col: str = "norm_a",
     edges = edges_ds.map_batches(to_ab, batch_format="pyarrow")
     star_maps = []
     for lvl in range(max(1, levels) - 1):
-        stars = uf_level(edges, n_parts).materialize()
+        raw_stars = uf_level(edges, n_parts)
+        stars, edges = contract(raw_stars)  # stars: one row per node
         star_maps.append(stars)
-        edges = contract(stars)
     labels = uf_level(edges, 1)  # exact: all surviving edges in one task
     for stars in reversed(star_maps):
         labels = relabel(stars, labels)
-
-    # a name seen by k level-0 partitions has k (identically-labeled)
-    # rows — one node-keyed bounded distinct finishes the output
-    def tag_out(t: pa.Table) -> pa.Table:
-        return t.append_column("part", _tag(t["node"].to_pylist(), n_parts))
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False)["root"].min()
-        return g.rename(columns={"root": "component"})
-
-    return (labels.map_batches(tag_out, batch_format="pyarrow")
-            .groupby("part").map_groups(dedup, batch_format="pandas"))
+    # star maps are node-unique (deduped inside contract), so relabel
+    # output is already one row per node — rename and done
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "component"]),
+        batch_format="pyarrow")
 
 
 def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
@@ -503,7 +513,7 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
     ``(n_triangles)``."""
     import pandas as pd
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def to_ab(t: pa.Table) -> pa.Table:
         return pa.table({"a": pc.cast(t[a_col], pa.string()),
@@ -513,9 +523,8 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
                       ["a", "b"], n_parts=n_parts).materialize()
 
     def tag_hub(t: pa.Table) -> pa.Table:
-        h = siphash64_batch(t["a"].to_pylist())
-        return t.append_column("part",
-                               pa.array((h % n_parts).astype(np.int32)))
+        return t.append_column(
+            "part", pa.array(fast_part_hash(t["a"], n_parts)))
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -539,9 +548,8 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
 
     def tag_pair(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["v"], t["w"], "\x1f")
-        h = siphash64_batch(key.to_pylist())
-        return t.append_column("part",
-                               pa.array((h % n_parts).astype(np.int32)))
+        return t.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
 
     wedge_ds = (edges.map_batches(tag_hub, batch_format="pyarrow")
                 .groupby("part").map_groups(wedges, batch_format="pandas"))

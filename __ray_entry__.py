@@ -544,6 +544,45 @@ def _q_mm_frame_sample(sf_dir: str):
     return frames.map_batches(numeric_surface, batch_format="pyarrow")
 
 
+def _q_mm_phash_dups(sf_dir: str):
+    """Perceptual-hash (aHash) image near-dup pairs over real P6 PPM
+    decodes. Near-dups are planted deterministically: docs sharing
+    ``doc_id // 3`` render the same base image with a per-doc +0/+1/+2
+    brightness offset (aHash-invariant), so every triple of consecutive
+    ids forms a near-dup cluster. Rows-only check (the 8×8 block-mean
+    grid over variable image dims has no tractable SQL form); the
+    planted-cluster recall contract is pinned by pytest instead."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        phash_neardup_pairs, synthetic_ppm)
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            base = synthetic_ppm(d // 3, 8 + (d // 3) % 9,
+                                 8 + ((d // 3) * 3) % 9)
+            # brightness nudge: reencode with +offset pixels would need
+            # decode; cheaper — append offset to the seed stream is NOT
+            # aHash-safe, so nudge via the real codec:
+            from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+                decode_ppm, encode_ppm)
+            import numpy as np
+
+            w, h, px = decode_ppm(base)
+            px = np.clip(px.astype(np.int32) + (d % 3), 0, 255)
+            payloads.append(encode_ppm(px.astype(np.uint8)))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_ppm, batch_format="pyarrow", batch_size=64)
+    return phash_neardup_pairs(items)
+
+
 def _q_mm_image_decode(sf_dir: str):
     """REAL image decode under oracle check: each doc gets a deterministic
     uncompressed P6 PPM (pixel byte i = (doc_id*K + i) mod 256, per-doc
@@ -1094,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cumsum": _q_rel_cumsum,
         "rel_skew_join": _q_rel_skew_join,
         "dedup_editdist": _q_dedup_editdist,
+        "mm_phash_dups": _q_mm_phash_dups,
     }
 
 

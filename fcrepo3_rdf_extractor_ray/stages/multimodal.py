@@ -372,3 +372,136 @@ def image_features(items_ds, id_col="item_id", payload_col="payload",
 
     return items_ds.map_batches(decode_batch, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash) + hamming near-dup over decoded images
+
+
+def phash64(payload: bytes) -> int:
+    """64-bit average-hash (aHash) of a P6 PPM payload: REAL decode →
+    integer grayscale → 8×8 block-mean downsample → bit = cell > global
+    mean. All-integer arithmetic, so the hash is exactly reproducible
+    across platforms; robust to small pixel noise and to resizing (the
+    block means absorb both)."""
+    w, h, px = decode_ppm(payload)
+    gray = px.astype(np.int64).sum(axis=2) // 3  # h×w integer luma
+    ys = (np.arange(9, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 8
+    grid = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(8):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            blk = gray[y0:y1, x0:x1]
+            grid[i, j] = int(blk.sum()) // blk.size
+    mean = int(grid.sum()) // 64
+    bits = (grid.reshape(-1) > mean).astype(np.uint8)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class PhashStage:
+    """Actor stage: (item_id, payload) → (item_id, phash int64). Decode
+    is per-item Python (headers vary) but bounded by the small-batch
+    convention for binary payloads."""
+
+    def __init__(self, id_col="item_id", payload_col="payload"):
+        self.id_col, self.payload_col = id_col, payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_pylist()
+        hashes = [phash64(p) for p in t[self.payload_col].to_pylist()]
+        # store as int64 (two's complement of the uint64 bit pattern)
+        arr = np.array(hashes, dtype=np.uint64).astype(np.int64)
+        return pa.table({"item_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(arr)})
+
+
+def phash_neardup_pairs(items_ds, max_hamming: int = 6,
+                        id_col="item_id", payload_col="payload",
+                        n_parts: int = 32):
+    """Image NEAR-DUP pairs by perceptual hash: aHash per image (actor
+    pool, small binary batches), then the same pigeonhole bucketing the
+    simhash path uses — 4 disjoint 16-bit bands; candidates share at
+    least one exact band, then an XOR-popcount verify keeps pairs with
+    hamming ≤ ``max_hamming``. By pigeonhole the blocking is COMPLETE
+    for hamming ≤ 3 (4 bands, so ≤ 3 bit errors leave one band clean);
+    at 4-6 it is high-recall best-effort — raise the band count for a
+    stricter guarantee. Precision is exact (every emitted pair is
+    verified). Returns (item_a, item_b, hamming)."""
+    import pandas as pd
+
+    sigs = items_ds.map_batches(
+        PhashStage,
+        fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    ).materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["item_id"].to_numpy(zero_copy_only=False)
+        bands, band_vals, out_ids, hs = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(h), b, dtype=np.int32))
+            band_vals.append(((h >> np.uint64(16 * b))
+                              & np.uint64(0xFFFF)).astype(np.int64))
+            out_ids.append(ids)
+            hs.append(h.astype(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(bands)),
+            "band_val": pa.array(np.concatenate(band_vals)),
+            "item_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
+            "phash": pa.array(np.concatenate(hs)),
+        })
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = (t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+               * 65536 + t["band_val"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "part", pa.array((key % n_parts).astype(np.int32)))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in df.groupby(["band", "band_val"]):
+            if len(grp) < 2:
+                continue
+            ids = grp["item_id"].to_numpy()
+            hs = grp["phash"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_h.append(d)
+        return pd.DataFrame({
+            "item_a": pd.array(out_a, dtype="int64"),
+            "item_b": pd.array(out_b, dtype="int64"),
+            "hamming": pd.array(out_h, dtype="int64")})
+
+    pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+             .map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+
+    # a pair can match in up to 4 bands — one bounded pair-keyed distinct
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = (t["item_a"].to_numpy(zero_copy_only=False) * 1_000_003
+               + t["item_b"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "part", pa.array((key % n_parts).astype(np.int32)))
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["item_a", "item_b", "hamming"]].drop_duplicates(
+            ["item_a", "item_b"])
+
+    return (pairs.map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("part").map_groups(pair_distinct,
+                                        batch_format="pandas"))

@@ -172,3 +172,42 @@ def test_frame_sample_explode():
     assert out.num_rows == 4
     assert out["byte_offset"].to_pylist() == [0, 16, 32, 48]
     assert out["frame_bytes"].to_pylist()[1] == bytes(range(16, 32))
+
+
+def test_phash_neardup_planted(ray_session):
+    """aHash near-dup: a brightness-shifted and a lightly-noised copy of
+    a base image must pair with the base; the inverted image (aHash
+    complement) must not pair with it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        decode_ppm, encode_ppm, phash64, phash_neardup_pairs,
+        synthetic_ppm)
+
+    base = synthetic_ppm(7, 16, 12)
+    w, h, px = decode_ppm(base)
+    brighter = encode_ppm(np.clip(px.astype(np.int32) + 3, 0, 255)
+                          .astype(np.uint8))
+    noisy = px.copy()
+    noisy[0, 0] = [255, 255, 255]  # single-pixel corruption
+    noisy_b = encode_ppm(noisy)
+    inverted = encode_ppm((255 - px).astype(np.uint8))
+
+    items = pa.table({
+        "item_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([base, brighter, noisy_b, inverted],
+                            pa.binary()),
+    })
+    out = phash_neardup_pairs(rd.from_arrow(items).repartition(2),
+                              max_hamming=6).to_pandas()
+    pairs = set(map(tuple, out[["item_a", "item_b"]].values))
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+    # hash determinism: same payload, same hash
+    assert phash64(base) == phash64(base)
+    # inversion flips (nearly) every aHash bit
+    d = bin(phash64(base) ^ phash64(inverted)).count("1")
+    assert d > 32

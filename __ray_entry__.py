@@ -987,6 +987,14 @@ def _q_dedup_editdist(sf_dir: str):
     return editdist_pairs(detect_mentions(pages_for_sf(sf_dir)))
 
 
+def _q_kg_link_jaccard(sf_dir: str):
+    """Per-edge neighborhood overlap (common neighbors + integer Jaccard)
+    over the co-occurrence graph — the link-prediction score."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import neighborhood_jaccard
+
+    return neighborhood_jaccard(_q_kg_cooccurrence(sf_dir))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1134,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skew_join": _q_rel_skew_join,
         "dedup_editdist": _q_dedup_editdist,
         "mm_phash_dups": _q_mm_phash_dups,
+        "kg_link_jaccard": _q_kg_link_jaccard,
     }
 
 
@@ -1967,6 +1976,30 @@ s AS (SELECT DISTINCT surface FROM m)
 SELECT a.surface AS surface_a, b.surface AS surface_b
 FROM s a JOIN s b
   ON a.surface < b.surface AND levenshtein(a.surface, b.surface) <= 1
+"""
+        ),
+        # per-edge common neighbors + integer Jaccard over the
+        # undirected co-occurrence adjacency
+        "kg_link_jaccard": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
+      FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm),
+und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS dd FROM und GROUP BY u),
+cn AS (SELECT e.a, e.b, count(*) AS c
+       FROM e JOIN und x ON x.u = e.a JOIN und y
+         ON y.u = e.b AND y.v = x.v
+       GROUP BY e.a, e.b)
+SELECT e.a AS norm_a, e.b AS norm_b,
+       coalesce(cn.c, 0)::BIGINT AS common_neighbors,
+       ((1000000 * coalesce(cn.c, 0))
+        // (da.dd + db.dd - coalesce(cn.c, 0)))::BIGINT AS jaccard_micro
+FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+       JOIN deg da ON da.u = e.a
+       JOIN deg db ON db.u = e.b
 """
         ),
     }

@@ -570,3 +570,165 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
              .aggregate(Sum("n")))
     return pd.DataFrame({"n_triangles":
                          pd.array([total["sum(n)"] or 0], dtype="int64")})
+
+
+def neighborhood_jaccard(edges_ds, a_col: str = "norm_a",
+                         b_col: str = "norm_b", n_parts: int = 32):
+    """LINK-PREDICTION neighborhood overlap: for every existing edge
+    (a, b), the number of common neighbors and the Jaccard similarity of
+    the two endpoints' neighbor sets — the classic structural-relatedness
+    score layered on the co-occurrence graph.
+
+    All-integer contract: ``jaccard_micro = (1_000_000 · cn) // (deg(a)
+    + deg(b) - cn)`` (common neighbors never include a or b themselves;
+    the denominator is |N(a) ∪ N(b)| with both endpoints counted, as in
+    the standard formulation over adjacency sets).
+
+    Shape: wedge counting (same hub-partitioned ``triu_indices`` emit as
+    ``triangle_count``, over the UNDIRECTED adjacency so wedges at every
+    hub are seen) → one pair-keyed merge that counts wedges per existing
+    edge (zero-filled) → two degree-attach co-partitioned merges. Four
+    bounded exchanges; the hot-hub Σd² wedge bound and its salting
+    mitigation are the same as ``triangle_count``."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "v": pa.concat_arrays([t["b"].combine_chunks(),
+                                   t["a"].combine_chunks()])})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    # --- degrees: combiner → one bounded exchange ---
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"u": t["u"],
+                      "d": pa.array(np.ones(t.num_rows, np.int64))}
+                     ).group_by("u").aggregate([("d", "sum")])
+        g = g.rename_columns(["u", "d"])
+        return g.append_column("part", pa.array(fast_part_hash(g["u"],
+                                                               n_parts)))
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("u", as_index=False)["d"].sum()
+
+    deg = (und.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("part").map_groups(deg_final, batch_format="pandas")
+           .materialize())
+
+    # --- wedges at every hub of the undirected adjacency ---
+    def tag_hub(t: pa.Table) -> pa.Table:
+        return t.append_column("part",
+                               pa.array(fast_part_hash(t["u"], n_parts)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("u"):
+            nb = np.sort(grp["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"v": nb[i], "w": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "kind": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["kind"] = np.zeros(len(out), dtype=np.int64)
+        return out
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "kind": pa.array(np.ones(t.num_rows, np.int64))})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["v"], t["w"], "\x1f")
+        return t.append_column("part",
+                               pa.array(fast_part_hash(key, n_parts)))
+
+    tagged = (und.map_batches(tag_hub, batch_format="pyarrow")
+              .groupby("part").map_groups(wedges, batch_format="pandas")
+              .map_batches(tag_pair, batch_format="pyarrow")
+              .union(edges.map_batches(edge_rows, batch_format="pyarrow")
+                     .map_batches(tag_pair, batch_format="pyarrow")))
+
+    def count_cn(df: pd.DataFrame) -> pd.DataFrame:
+        wdg = df[df["kind"] == 0]
+        cnt = wdg.groupby(["v", "w"]).size()
+        ed = df.loc[df["kind"] == 1, ["v", "w"]]
+        keys = pd.MultiIndex.from_frame(ed)
+        cn = cnt.reindex(keys).fillna(0).astype("int64").to_numpy()
+        return pd.DataFrame({"a": ed["v"].to_numpy(),
+                             "b": ed["w"].to_numpy(), "cn": cn})
+
+    with_cn = tagged.groupby("part").map_groups(count_cn,
+                                                batch_format="pandas")
+
+    def attach_deg(pairs_ds, key: str, out: str):
+        def tag_p(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "k", pc.cast(t[key], pa.string()))
+            return t.append_column(
+                "part", pa.array(fast_part_hash(t["k"], n_parts)))
+
+        def tag_d(t: pa.Table) -> pa.Table:
+            cols = {"k": t["u"], "dd": pc.cast(t["d"], pa.int64()),
+                    "part": pa.array(fast_part_hash(t["u"], n_parts))}
+            return pa.table(cols)
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            dd = (df.loc[df["dd"].notna(), ["k", "dd"]]
+                  .drop_duplicates("k").set_index("k")["dd"])
+            rows = df[df["dd"].isna()].drop(columns=["dd", "part"])
+            got = rows["k"].map(dd).astype("int64")
+            rows = rows.drop(columns=["k"])
+            rows[out] = got.to_numpy()
+            return rows
+
+        # pandas concat-union via tag columns: align schemas first
+        def widen_p(t: pa.Table) -> pa.Table:
+            return t.append_column("dd", pa.nulls(t.num_rows, pa.int64()))
+
+        u = (pairs_ds.map_batches(tag_p, batch_format="pyarrow")
+             .map_batches(widen_p, batch_format="pyarrow")
+             .union(tag_d_ds(tag_d)))
+        return u.groupby("part").map_groups(merge, batch_format="pandas")
+
+    def tag_d_ds(fn):
+        def widen_d(t: pa.Table) -> pa.Table:
+            for name in extra_cols:
+                t = t.append_column(name, pa.nulls(t.num_rows,
+                                                   extra_cols[name]))
+            return t
+
+        return deg.map_batches(fn, batch_format="pyarrow").map_batches(
+            widen_d, batch_format="pyarrow")
+
+    extra_cols = {"a": pa.string(), "b": pa.string(), "cn": pa.int64()}
+    step1 = attach_deg(with_cn, "a", "da")
+    extra_cols = {"a": pa.string(), "b": pa.string(), "cn": pa.int64(),
+                  "da": pa.int64()}
+    step2 = attach_deg(step1, "b", "db")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cn = t["cn"].to_numpy(zero_copy_only=False)
+        da = t["da"].to_numpy(zero_copy_only=False)
+        db = t["db"].to_numpy(zero_copy_only=False)
+        denom = da + db - cn
+        jm = np.where(denom > 0, (1_000_000 * cn) // np.maximum(denom, 1),
+                      0).astype(np.int64)
+        return pa.table({"norm_a": t["a"], "norm_b": t["b"],
+                         "common_neighbors": pa.array(cn.astype(np.int64)),
+                         "jaccard_micro": pa.array(jm)})
+
+    return step2.map_batches(finish, batch_format="pyarrow")

@@ -110,3 +110,30 @@ def test_editdist_pairs_hand_cases(ray_session):
     assert not any("dog" in p for p in pairs)
     assert ("at", "cut") not in pairs   # distance 2
     assert len(out) == len(pairs)       # no duplicate pair rows
+
+
+def test_kg_link_jaccard_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_link_jaccard"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_link_jaccard"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_neighborhood_jaccard_hand_graph(ray_session):
+    """Square with diagonal: a-b, a-c, b-c, b-d, c-d. Edge (b,c) shares
+    {a,d}: 2/(3+3-2)=0.5; edge (a,b) shares {c}: 1/(2+3-1)=0.25."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import neighborhood_jaccard
+
+    t = pa.table({"norm_a": ["a", "a", "b", "b", "c"],
+                  "norm_b": ["b", "c", "c", "d", "d"]})
+    out = to_pandas(neighborhood_jaccard(rd.from_arrow(t).repartition(2)))
+    out = out.set_index(["norm_a", "norm_b"])
+    assert out.loc[("b", "c"), "common_neighbors"] == 2
+    assert out.loc[("b", "c"), "jaccard_micro"] == 500000
+    assert out.loc[("a", "b"), "common_neighbors"] == 1
+    assert out.loc[("a", "b"), "jaccard_micro"] == 250000
+    assert len(out) == 5

@@ -995,6 +995,13 @@ def _q_kg_link_jaccard(sf_dir: str):
     return neighborhood_jaccard(_q_kg_cooccurrence(sf_dir))
 
 
+def _q_ta_collocations(sf_dir: str):
+    """Lift-scored collocations (integer exp-PMI) over document bigrams."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import collocations
+
+    return collocations(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1143,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_editdist": _q_dedup_editdist,
         "mm_phash_dups": _q_mm_phash_dups,
         "kg_link_jaccard": _q_kg_link_jaccard,
+        "ta_collocations": _q_ta_collocations,
     }
 
 
@@ -2002,4 +2010,18 @@ FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
        JOIN deg db ON db.u = e.b
 """
         ),
+        "ta_collocations": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+uni AS (SELECT u AS w, count(*) AS c FROM t, unnest(l) AS s(u) GROUP BY u),
+b AS (SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM t, unnest(range(1, len(l))) AS r(i)),
+bc AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+btot AS (SELECT count(*) AS nb FROM b)
+SELECT bc.w1, bc.w2, bc.n::BIGINT AS n_pair,
+       ((1000000 * btot.nb * bc.n) // (u1.c * u2.c))::BIGINT AS lift_micro
+FROM bc, btot
+JOIN uni u1 ON u1.w = bc.w1
+JOIN uni u2 ON u2.w = bc.w2
+WHERE bc.n >= 5
+""",
     }

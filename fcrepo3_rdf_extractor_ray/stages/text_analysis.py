@@ -740,3 +740,127 @@ def bm25_scores(docs_ds, query_terms=("hash", "join", "vector"),
                              "score_micro": total[hit]})
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def collocations(docs_ds, min_count: int = 5, text_col="text",
+                 n_parts: int = 32):
+    """COLLOCATION scoring: bigrams ranked by integer LIFT —
+    ``lift_micro = (1_000_000 · N_bigrams · c_xy) // (c_x · c_y)`` (the
+    exp(PMI) numerator/denominator, micro-floored; log-free so the
+    distributed result is bit-identical to the SQL oracle). Bigrams with
+    global count < ``min_count`` are dropped before scoring.
+
+    Shape: two streaming combiner passes (unigram counts, bigram counts)
+    each followed by ONE bounded hash exchange for the global sums;
+    totals are scalar aggregates; unigram counts attach to the filtered
+    bigram table via two co-partitioned tag-union merges (key = the
+    word), never a join operator. int64 bound: requires
+    ``1e6 · N_bigrams · max_count < 2^63`` (~9e18) — fine below ~10^5
+    occurrences of a bigram in a 10^7-bigram corpus; shift to a
+    per-partition float fallback beyond."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import fast_part_hash
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        vc = pd.Series(flat).value_counts()
+        w = vc.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "w": w, "c": vc.to_numpy().astype("int64"),
+            "part": fast_part_hash(list(w), n_parts)})
+
+    def uni_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False)["c"].sum()
+
+    uni = (docs_ds.map_batches(uni_partial, batch_format="pandas")
+           .groupby("part").map_groups(uni_final, batch_format="pandas")
+           .materialize())
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        n = len(flat)
+        empty = pd.DataFrame({"w1": pd.array([], dtype=object),
+                              "w2": pd.array([], dtype=object),
+                              "n": pd.array([], dtype="int64"),
+                              "part": pd.array([], dtype="int32")})
+        if n < 2:
+            return empty
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1
+        valid[ends[ends < n - 1]] = False
+        w1 = flat[:-1][valid]
+        w2 = flat[1:][valid]
+        if not len(w1):
+            return empty
+        g = (pd.DataFrame({"w1": w1, "w2": w2})
+             .groupby(["w1", "w2"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        key = (g["w1"] + "\x1f" + g["w2"]).to_list()
+        g["n"] = g["n"].astype("int64")
+        g["part"] = fast_part_hash(key, n_parts)
+        return g
+
+    def big_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["w1", "w2"], as_index=False)["n"].sum()
+
+    big = (docs_ds.map_batches(big_partial, batch_format="pandas")
+           .groupby("part").map_groups(big_final, batch_format="pandas")
+           .materialize())
+
+    nb = big.aggregate(Sum("n"))["sum(n)"] or 0
+
+    flt = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow")
+
+    def attach(pairs_ds, key: str, out: str, carry: dict):
+        def tag_p(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in t.schema.names}
+            cols["k"] = pc.cast(t[key], pa.string())
+            cols["cc"] = pa.nulls(t.num_rows, pa.int64())
+            cols["part"] = pa.array(fast_part_hash(t[key], n_parts))
+            return pa.table(cols)
+
+        def tag_u(t: pa.Table) -> pa.Table:
+            cols = {c: pa.nulls(t.num_rows, typ)
+                    for c, typ in carry.items()}
+            cols["k"] = t["w"]
+            cols["cc"] = pc.cast(t["c"], pa.int64())
+            cols["part"] = pa.array(fast_part_hash(t["w"], n_parts))
+            return pa.table(cols)
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            lut = (df.loc[df["cc"].notna(), ["k", "cc"]]
+                   .drop_duplicates("k").set_index("k")["cc"])
+            rows = df[df["cc"].isna()].drop(columns=["cc", "part"])
+            got = rows["k"].map(lut).astype("int64")
+            rows = rows.drop(columns=["k"])
+            rows[out] = got.to_numpy()
+            return rows
+
+        u = (pairs_ds.map_batches(tag_p, batch_format="pyarrow")
+             .union(uni.map_batches(tag_u, batch_format="pyarrow")))
+        return u.groupby("part").map_groups(merge, batch_format="pandas")
+
+    step1 = attach(flt, "w1", "c1",
+                   {"w1": pa.string(), "w2": pa.string(), "n": pa.int64()})
+    step2 = attach(step1, "w2", "c2",
+                   {"w1": pa.string(), "w2": pa.string(), "n": pa.int64(),
+                    "c1": pa.int64()})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (1_000_000 * nb * n) // (c1 * c2)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "n_pair": pa.array(n),
+                         "lift_micro": pa.array(lift.astype(np.int64))})
+
+    return step2.map_batches(finish, batch_format="pyarrow")

@@ -137,3 +137,33 @@ def test_neighborhood_jaccard_hand_graph(ray_session):
     assert out.loc[("a", "b"), "common_neighbors"] == 1
     assert out.loc[("a", "b"), "jaccard_micro"] == 250000
     assert len(out) == 5
+
+
+def test_ta_collocations_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["ta_collocations"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ta_collocations"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_collocations_lift_semantics(ray_session):
+    """Hand corpus: 'a b' always adjacent (perfect collocation, lift =
+    nb/(ca*cb) scaled), 'x y' co-occur at chance across docs."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import collocations
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["a b x", "a b y", "a b x", "a b y",
+                          "a b x y", "a b y x"], pa.string()),
+    })
+    out = to_pandas(collocations(rd.from_arrow(docs).repartition(3),
+                                 min_count=2)).set_index(["w1", "w2"])
+    # 'a b': n=6, c_a=6, c_b=6, nb=14 -> (1e6*14*6)//36 = 2333333
+    assert out.loc[("a", "b"), "n_pair"] == 6
+    assert out.loc[("a", "b"), "lift_micro"] == 2333333
+    # bigram below min_count is dropped
+    assert ("x", "y") not in out.index or out.loc[("x", "y"), "n_pair"] >= 2

@@ -1693,7 +1693,7 @@ def cumulative_spend(sf_dir: str, n_parts: int = 32):
             .groupby("part").map_groups(cumsum, batch_format="pandas"))
 
 
-def skew_join_events_nation(sf_dir: str, hot_k: int = 150,
+def skew_join_events_nation(sf_dir: str, hot_k: int | None = None,
                             n_parts: int = 32):
     """SKEW-AWARE left enrichment join: every event annotated with its
     user's nation key (``user_id = c_custkey``; unmatched → -1).
@@ -1712,10 +1712,21 @@ def skew_join_events_nation(sf_dir: str, hot_k: int = 150,
        free by construction, since every surviving key is below n/hot_k.
 
     Semantically identical to a plain left join (equivalence is the
-    oracle); the routing only changes WHERE each row is resolved."""
+    oracle); the routing only changes WHERE each row is resolved.
+
+    ``hot_k`` defaults to ``2 · n_parts``: a key is hot when its count
+    exceeds n/(2·n_parts) — half a partition's fair share — which is
+    exactly the point where one key starts dominating one shuffle
+    partition. On a uniform key distribution the hot set is (correctly)
+    empty and the whole stream takes the cold path; the hot passes are
+    then skipped entirely."""
     import ray
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    if hot_k is None:
+        hot_k = 2 * n_parts
+    # the probe stream is consumed by the detection pass AND the routed
+    # join — materialize once instead of re-reading the parquet 3-4x
+    ev = _read(sf_dir, "events", ["event_id", "user_id"]).materialize()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     hot = heavy_hitters(sf_dir, key="user_id", k=hot_k, ds=ev)
@@ -1777,4 +1788,6 @@ def skew_join_events_nation(sf_dir: str, hot_k: int = 150,
             "nationkey": got.astype("int64").to_numpy()})
 
     cold = tagged.groupby("part").map_groups(merge, batch_format="pandas")
+    if not hot_keys:  # nothing routed hot — skip the extra probe pass
+        return cold
     return cold.union(ev.map_batches(resolve_hot, batch_format="pyarrow"))

@@ -62,10 +62,15 @@ def test_skew_join_hot_and_cold_paths_agree(sf_dir):
 
     all_cold = to_pandas(skew_join_events_nation(sf_dir, hot_k=1))
     default = to_pandas(skew_join_events_nation(sf_dir))
+    # hot_k huge => threshold ~ a few rows => (nearly) every key routes
+    # through the broadcast hot path
+    all_hot = to_pandas(skew_join_events_nation(sf_dir, hot_k=5000))
     key = ["event_id"]
     a = all_cold.sort_values(key).reset_index(drop=True)
     b = default.sort_values(key).reset_index(drop=True)
+    c = all_hot.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], c[sorted(c.columns)])
 
 
 def test_cumulative_spend_is_prefix_sum(sf_dir):

@@ -172,3 +172,29 @@ def test_collocations_lift_semantics(ray_session):
     assert out.loc[("a", "b"), "lift_micro"] == 2333333
     # bigram below min_count is dropped
     assert ("x", "y") not in out.index or out.loc[("x", "y"), "n_pair"] >= 2
+
+
+def test_new_operators_empty_inputs(ray_session):
+    """Empty edge/doc/item streams must produce empty (or zero-count)
+    results, not schema-less crashes — the sf0.001 tables can be tiny."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import editdist_pairs
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        connected_components, neighborhood_jaccard, triangle_count)
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        phash_neardup_pairs)
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import collocations
+
+    edges = rd.from_arrow(pa.table({"norm_a": pa.array([], pa.string()),
+                                    "norm_b": pa.array([], pa.string())}))
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}))
+    items = rd.from_arrow(pa.table({"item_id": pa.array([], pa.int64()),
+                                    "payload": pa.array([], pa.binary())}))
+    assert connected_components(edges).count() == 0
+    assert neighborhood_jaccard(edges).count() == 0
+    assert triangle_count(edges)["n_triangles"].tolist() == [0]
+    assert editdist_pairs(docs, col="text").count() == 0
+    assert collocations(docs).count() == 0
+    assert phash_neardup_pairs(items).count() == 0

@@ -340,62 +340,70 @@ def resolve_quads(quads_ds, mapping: dict[str, str]):
 
 
 def resolve_quads_join_ds(quads_ds, mapping_ds, num_partitions: int | None = None):
-    """At-scale path: resolve via Ray-native hash joins against the
-    (norm, label) mapping DATASET — no driver dict anywhere, so the whole
-    unique-norms → link → union-find → resolve chain streams end-to-end.
-    Semantically identical to ``resolve_quads`` when every surface has a
-    mapping entry (always true when the mapping was built from the same
-    quads — tested for equivalence).
+    """At-scale path: resolve against the (norm, label) mapping DATASET —
+    no driver dict anywhere, so the whole unique-norms → link →
+    union-find → resolve chain streams end-to-end. Semantically
+    identical to ``resolve_quads`` when every surface has a mapping
+    entry (always true when the mapping was built from the same quads —
+    tested for equivalence).
 
-    Join parallelism scales with the CPU budget, not the mapping size:
-    the quads side is the big stream, so a tiny entity map must not
-    serialize the join (a 70-key map at num_partitions=1 drags millions
-    of quads through one task — measured 6× slower at ×100). Ray 2.49's
-    hash join crashes when a partition of the mapping side is EMPTY
-    (schema-less block), so the mapping is padded with sentinel keys
-    that can never match a quad (no ``surf:`` prefix) — left-outer join
-    semantics make the pads invisible in the output."""
-    import ray.data as rd
-
+    Two co-partitioned TAG-UNION merges (key = surf-prefixed subj, then
+    obj): both sides hash-partition on the key and each partition
+    resolves with pure Arrow kernels (index_in + take + coalesce — the
+    quad stream never converts to pandas objects). Equal wall time to
+    the earlier Ray hash joins at sf0.1, but drops their sentinel-pad
+    workaround for the 2.49 empty-mapping-partition crash and their
+    per-partition aggregator actors; exchange count is the same (the
+    quads stream moves twice either way)."""
+    from ..functions.hashing import fast_part_hash
     from ..runtime import cluster_cpus
 
     if num_partitions is None:
-        # two cascaded joins each spawn num_partitions aggregator actors;
-        # half the CPU budget per join keeps the node un-thrashed
-        num_partitions = max(1, min(32, cluster_cpus() // 2))
-    pad = pa.table({
-        "norm": pa.array([f"\x00pad{i}" for i in range(64 * num_partitions)],
-                         pa.string()),
-        "label": pa.array([""] * (64 * num_partitions), pa.string()),
-    })
-    mapping_ds = mapping_ds.select_columns(["norm", "label"]).union(
-        rd.from_arrow(pad)).materialize()  # consumed twice (subj + obj)
+        num_partitions = max(16, min(64, 2 * cluster_cpus()))
+    P = num_partitions
+    mapping_ds = mapping_ds.select_columns(["norm", "label"]).materialize()
 
-    def as_subj(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pa.array([SURF_PREFIX] * t.num_rows, pa.string()), t["norm"], "")
-        return pa.table({"subj": key, "subj_canon": t["label"]})
+    quad_cols = ("graph", "subj", "pred", "obj", "obj_is_literal",
+                 "obj_datatype", "src_url")
 
-    def as_obj(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pa.array([SURF_PREFIX] * t.num_rows, pa.string()), t["norm"], "")
-        return pa.table({"obj": key, "obj_canon": t["label"]})
+    def resolve_on(ds, key: str):
+        def tag_q(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in t.schema.names}
+            cols["lab"] = pa.nulls(t.num_rows, pa.string())
+            cols["part"] = pa.array(fast_part_hash(t[key], P))
+            return pa.table(cols)
 
-    map_ds_s = mapping_ds.map_batches(as_subj, batch_format="pyarrow")
-    map_ds_o = mapping_ds.map_batches(as_obj, batch_format="pyarrow")
-    ds = quads_ds.join(map_ds_s, join_type="left_outer",
-                       num_partitions=num_partitions, on=("subj",))
-    ds = ds.join(map_ds_o, join_type="left_outer",
-                 num_partitions=num_partitions, on=("obj",))
+        def tag_m(t: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                pa.array([SURF_PREFIX] * t.num_rows, pa.string()),
+                t["norm"], "")
+            cols = {c: pa.nulls(t.num_rows, pa.bool_()
+                                if c == "obj_is_literal" else pa.string())
+                    for c in quad_cols}
+            cols[key] = k
+            cols["lab"] = t["label"]
+            cols["part"] = pa.array(fast_part_hash(k, P))
+            return pa.table(cols)
 
-    def finish(t: pa.Table) -> pa.Table:
-        subj = pc.coalesce(t["subj_canon"], t["subj"])
-        obj = pc.coalesce(t["obj_canon"], t["obj"])
-        t = t.set_column(t.schema.get_field_index("subj"), "subj", subj)
-        t = t.set_column(t.schema.get_field_index("obj"), "obj", obj)
-        return t.drop_columns(["subj_canon", "obj_canon"])
+        def merge(t: pa.Table) -> pa.Table:
+            # pure Arrow per-partition resolve: index_in + take — no
+            # pandas object conversion of the 7-column quad stream
+            lab_mask = pc.is_valid(t["lab"])
+            lut = t.filter(lab_mask)
+            rows = t.filter(pc.invert(lab_mask))
+            idx = pc.index_in(rows[key], value_set=lut[key].combine_chunks())
+            got = pc.take(lut["lab"].combine_chunks(), idx)
+            rows = rows.set_column(rows.schema.get_field_index(key), key,
+                                   pc.coalesce(got, rows[key]))
+            return rows.drop_columns(["lab", "part"])
 
-    return ds.map_batches(finish, batch_format="pyarrow")
+        tagged = (ds.map_batches(tag_q, batch_format="pyarrow")
+                  .union(mapping_ds.map_batches(tag_m,
+                                                batch_format="pyarrow")))
+        return tagged.groupby("part").map_groups(merge,
+                                                 batch_format="pyarrow")
+
+    return resolve_on(resolve_on(quads_ds, "subj"), "obj")
 
 
 def resolve_quads_join(quads_ds, mapping: dict[str, str],

@@ -71,3 +71,44 @@ def test_rolling_matches_naive_window(ray_session, tmp_path, seed,
             want[eid] = sum(vals[max(0, i - window + 1):i + 1])
     for eid, expected in want.items():
         assert got[eid] == expected, (eid, got[eid], expected)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 200, 150),
+                                                  (3, 80, 300)])
+def test_connected_components_random_vs_reference(ray_session, seed,
+                                                  n_nodes, n_edges):
+    """Random graphs (sparse → many components, dense → one giant):
+    distributed contraction union-find must match a driver-side
+    union-find exactly, node for node."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(n_nodes, size=n_edges)
+    b = rng.randint(n_nodes, size=n_edges)
+    m = a != b
+    names_a = [f"v{x:04d}" for x in a[m]]
+    names_b = [f"v{x:04d}" for x in b[m]]
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(names_a, names_b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # min-name union keeps the root = min name of its component
+    want = {x: find(x) for x in set(names_a) | set(names_b)}
+
+    t = pa.table({"norm_a": pa.array(names_a), "norm_b": pa.array(names_b)})
+    got = (connected_components(rd.from_arrow(t).repartition(5), n_parts=7)
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert got == want

@@ -1002,6 +1002,21 @@ def _q_ta_collocations(sf_dir: str):
     return collocations(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_rel_retention(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cohort_retention)
+
+    return cohort_retention(sf_dir)
+
+
+def _q_ta_keywords(sf_dir: str):
+    """Per-doc top-3 keywords by rational (log-free) TF-IDF."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        keyword_extract)
+
+    return keyword_extract(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1151,6 +1166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_phash_dups": _q_mm_phash_dups,
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
+        "rel_retention": _q_rel_retention,
+        "ta_keywords": _q_ta_keywords,
     }
 
 
@@ -2023,5 +2040,27 @@ FROM bc, btot
 JOIN uni u1 ON u1.w = bc.w1
 JOIN uni u2 ON u2.w = bc.w2
 WHERE bc.n >= 5
+""",
+        "rel_retention": """
+WITH f AS (SELECT user_id, min(ts::DATE) AS cohort FROM events
+           GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+SELECT f.cohort::TIMESTAMP AS cohort,
+       date_diff('day', f.cohort, a.d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+""",
+        "ta_keywords": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, u AS term FROM t, unnest(l) AS s(u)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+              tf.tf * ((1000000 * n.nd) // dfreq.df) AS score
+       FROM tf JOIN dfreq USING (term), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rn FROM sc)
+SELECT doc_id, term, score::BIGINT AS score FROM r WHERE rn <= 3
 """,
     }

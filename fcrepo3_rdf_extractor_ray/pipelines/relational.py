@@ -1791,3 +1791,48 @@ def skew_join_events_nation(sf_dir: str, hot_k: int | None = None,
     if not hot_keys:  # nothing routed hot — skip the extra probe pass
         return cold
     return cold.union(ev.map_batches(resolve_hot, batch_format="pyarrow"))
+
+
+def cohort_retention(sf_dir: str, n_parts: int = 32):
+    """COHORT RETENTION matrix: users grouped by their first-seen day
+    (the cohort); for each (cohort, day-offset) cell, how many of that
+    cohort's users were active that many days later — the standard
+    product-analytics / data-freshness diagnostic.
+
+    Shape: (1) per-user first day via a min-combiner and one bounded
+    user-keyed exchange; (2) distinct (user, day) activity pairs through
+    the same exchange, merged with the cohort map per partition (tag
+    union, vectorized map); (3) one grid-sized groupby count — rows are
+    already distinct per (user, day), so the count IS distinct users."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (pa.table({"user_id": t["user_id"], "day": day})
+             .group_by(["user_id", "day"]).aggregate([]))
+        g = g.rename_columns(["user_id", "day"])
+        part = pc.cast(pc.bit_wise_and(g["user_id"], n_parts - 1),
+                       pa.int32())
+        return g.append_column("part", part)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        off = ((df["day"] - cohort).dt.days).astype("int64")
+        out = pd.DataFrame({"cohort": cohort, "day_offset": off})
+        return out
+
+    grid = (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(per_user, batch_format="pandas"))
+
+    from ray.data.aggregate import Count
+
+    g = grid.groupby(["cohort", "day_offset"]).aggregate(Count())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": pc.cast(t["cohort"], pa.timestamp("us")),
+            "day_offset": pc.cast(t["day_offset"], pa.int64()),
+            "n_users": pc.cast(t.column(2), pa.int64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

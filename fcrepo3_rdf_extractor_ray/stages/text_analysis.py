@@ -864,3 +864,68 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
                          "lift_micro": pa.array(lift.astype(np.int64))})
 
     return step2.map_batches(finish, batch_format="pyarrow")
+
+
+def keyword_extract(docs_ds, k: int = 3, text_col="text",
+                    id_col="doc_id", n_parts: int = 32):
+    """Per-document KEYWORD extraction: top-``k`` terms by rational
+    TF-IDF — ``score = tf · ((1_000_000 · N) // df)`` (log-free integer
+    IDF so the distributed result replays bit-exactly in SQL), ties
+    broken by term ascending.
+
+    Shape: (1) document frequencies via distinct-(doc,term) combiner and
+    one term-keyed bounded exchange; (2) per-(doc,term) tf partials
+    re-keyed on the TERM to attach df per partition (tag-union merge);
+    (3) one doc-keyed exchange with a vectorized per-partition
+    sort + head(k). The corpus streams once per pass; every exchange
+    carries (doc, term)-bounded rows, never raw text."""
+    from ..functions.hashing import fast_part_hash
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        n_tok = toks.map(len).to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.array([], dtype=object))
+        ids = np.repeat(df[id_col].to_numpy(), n_tok)
+        g = (pd.DataFrame({"doc_id": ids, "term": flat})
+             .groupby(["doc_id", "term"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        g["tf"] = g["tf"].astype("int64")
+        g["part"] = fast_part_hash(g["term"].to_list(), n_parts)
+        return g
+
+    tf = (docs_ds.map_batches(tf_partial, batch_format="pandas")
+          .groupby("part").map_groups(
+              lambda df: df.groupby(["doc_id", "term"],
+                                    as_index=False)["tf"].sum(),
+              batch_format="pandas")
+          .materialize())
+
+    n_docs = docs_ds.count()
+
+    # df per term from the tf table (one row per (doc, term) already):
+    # partition by term is ALREADY the tf exchange key, so df and the
+    # attach happen in one more term-keyed pass
+    def tag_term(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(fast_part_hash(t["term"], n_parts)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term")["doc_id"].transform("size")
+        idf = (1_000_000 * n_docs) // dfreq.to_numpy()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "term": df["term"].to_numpy(),
+            "score": (df["tf"].to_numpy() * idf).astype("int64")})
+        out["part"] = (out["doc_id"] % n_parts).astype("int32")
+        return out
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True])
+        g = df.groupby("doc_id", as_index=False).head(k)
+        return g[["doc_id", "term", "score"]]
+
+    return (tf.map_batches(tag_term, batch_format="pyarrow")
+            .groupby("part").map_groups(score, batch_format="pandas")
+            .groupby("part").map_groups(topk, batch_format="pandas"))

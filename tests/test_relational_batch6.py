@@ -198,3 +198,29 @@ def test_new_operators_empty_inputs(ray_session):
     assert editdist_pairs(docs, col="text").count() == 0
     assert collocations(docs).count() == 0
     assert phash_neardup_pairs(items).count() == 0
+
+
+@pytest.mark.parametrize("name", ["rel_retention", "ta_keywords"])
+def test_retention_keywords_oracles(sf_dir, duck, name):
+    import __ray_entry__ as em
+
+    got = em.queries()[name](sf_dir)
+    expected = duck.execute(em.oracle_sql()[name]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_cohort_retention_day_zero_is_cohort_size(sf_dir):
+    """Every user is active on their own first day, so the offset-0 cell
+    of each cohort equals the cohort's size."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cohort_retention)
+
+    df = to_pandas(cohort_retention(sf_dir))
+    day0 = df[df["day_offset"] == 0].set_index("cohort")["n_users"]
+    events = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+    first = events.groupby("user_id")["ts"].min().dt.normalize()
+    sizes = first.value_counts()
+    for cohort, n in day0.items():
+        assert sizes[pd.Timestamp(cohort)] == n

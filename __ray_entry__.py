@@ -1017,6 +1017,13 @@ def _q_ta_keywords(sf_dir: str):
     return keyword_extract(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_rel_history(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        event_type_history)
+
+    return event_type_history(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1168,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_collocations": _q_ta_collocations,
         "rel_retention": _q_rel_retention,
         "ta_keywords": _q_ta_keywords,
+        "rel_history": _q_rel_history,
     }
 
 
@@ -2062,5 +2070,19 @@ sc AS (SELECT tf.doc_id, tf.term,
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                ORDER BY score DESC, term) AS rn FROM sc)
 SELECT doc_id, term, score::BIGINT AS score FROM r WHERE rn <= 3
+""",
+        "rel_history": """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY rn) IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS brk FROM o),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+SELECT user_id, event_type, min(ts) AS valid_from, max(ts) AS valid_to,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id, event_type, grp
 """,
     }

@@ -1836,3 +1836,48 @@ def cohort_retention(sf_dir: str, n_parts: int = 32):
             "n_users": pc.cast(t.column(2), pa.int64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def event_type_history(sf_dir: str, n_parts: int = 32):
+    """SCD-2 style HISTORY build (gaps-and-islands): per user, compact
+    the event stream into maximal runs of the same event_type ordered by
+    (ts, event_id) — each run becomes one row with its validity interval
+    and event count. The CDC-history analog of ``latest_event_per_user``
+    (which keeps only the last state).
+
+    One user-hash exchange; each partition sorts its users' events once
+    and derives run boundaries with a vectorized shift-compare + cumsum
+    — no per-row Python anywhere."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1),
+                       pa.int32())
+        return t.append_column("part", part)
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        brk = ((df["user_id"].ne(df["user_id"].shift()))
+               | (df["event_type"].ne(df["event_type"].shift())))
+        grp = brk.cumsum()
+        g = df.groupby(grp, sort=False)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first().astype("int64"),
+            "event_type": g["event_type"].first(),
+            "valid_from": g["ts"].min(),
+            "valid_to": g["ts"].max(),
+            "n_events": g.size().astype("int64"),
+        })
+        return out.reset_index(drop=True)
+
+    g = (ds.map_batches(tag, batch_format="pyarrow")
+         .groupby("part").map_groups(runs, batch_format="pandas"))
+
+    def fix_units(t: pa.Table) -> pa.Table:
+        for c in ("valid_from", "valid_to"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.cast(t[c], pa.timestamp("us")))
+        return t
+
+    return g.map_batches(fix_units, batch_format="pyarrow")

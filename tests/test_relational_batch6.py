@@ -224,3 +224,30 @@ def test_cohort_retention_day_zero_is_cohort_size(sf_dir):
     sizes = first.value_counts()
     for cohort, n in day0.items():
         assert sizes[pd.Timestamp(cohort)] == n
+
+
+def test_rel_history_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_history"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_history"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_event_type_history_run_semantics(sf_dir):
+    """Runs are maximal, ordered, disjoint, and cover every event."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        event_type_history)
+
+    hist = to_pandas(event_type_history(sf_dir))
+    events = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "event_type",
+                                      "ts"])
+    assert hist["n_events"].sum() == len(events)
+    one = events[events["user_id"] == events["user_id"].iloc[0]]
+    one = one.sort_values(["ts", "event_id"])
+    runs = (one["event_type"].ne(one["event_type"].shift())).cumsum()
+    expect_runs = runs.nunique()
+    got_runs = len(hist[hist["user_id"] == one["user_id"].iloc[0]])
+    assert got_runs == expect_runs

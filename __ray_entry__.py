@@ -1024,6 +1024,13 @@ def _q_rel_history(sf_dir: str):
     return event_type_history(sf_dir)
 
 
+def _q_rel_window_distinct(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        hopping_window_distinct_users)
+
+    return hopping_window_distinct_users(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1176,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_retention": _q_rel_retention,
         "ta_keywords": _q_ta_keywords,
         "rel_history": _q_rel_history,
+        "rel_window_distinct": _q_rel_window_distinct,
     }
 
 
@@ -2084,5 +2092,14 @@ g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn
 SELECT user_id, event_type, min(ts) AS valid_from, max(ts) AS valid_to,
        count(*)::BIGINT AS n_events
 FROM g GROUP BY user_id, event_type, grp
+""",
+        "rel_window_distinct": """
+WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+x AS (SELECT user_id,
+             (us // 3600000000) * 3600000000 - i * 3600000000 AS win_us
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i))
+SELECT make_timestamp(win_us) AS win_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM x GROUP BY win_us
 """,
     }

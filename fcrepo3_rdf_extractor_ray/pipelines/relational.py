@@ -1881,3 +1881,54 @@ def event_type_history(sf_dir: str, n_parts: int = 32):
         return t
 
     return g.map_batches(fix_units, batch_format="pyarrow")
+
+
+def hopping_window_distinct_users(sf_dir: str, size_hours: int = 2,
+                                  stride_hours: int = 1, n_parts: int = 32):
+    """Hopping-window COUNT DISTINCT: unique active users per 2h window
+    starting every 1h — the dedup-under-a-window variant of
+    ``hopping_window_counts`` (a count is combiner-friendly; a distinct
+    count needs the (window, user) pairs deduped globally first).
+
+    Per-batch distinct (window, user) combiner → window-hash exchange
+    (every copy of a pair co-locates because the WINDOW key routes it) →
+    per-partition dedup + nunique. Partition width is bounded by
+    users-per-window; salt the window key if a single window's user set
+    outgrows a task."""
+    assert size_hours % stride_hours == 0
+    fan = size_hours // stride_hours
+    stride_us = stride_hours * 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        last = (us // stride_us) * stride_us
+        starts = last[None, :] - (np.arange(fan, dtype=np.int64)[:, None]
+                                  * stride_us)
+        g = (pa.table({"win_start_us": pa.array(starts.ravel()),
+                       "user_id": pa.array(np.tile(uid, fan))})
+             .group_by(["win_start_us", "user_id"]).aggregate([]))
+        g = g.rename_columns(["win_start_us", "user_id"])
+        slot = pc.divide(g["win_start_us"], stride_us)
+        part = pc.cast(pc.subtract(slot, pc.multiply(
+            pc.divide(slot, n_parts), n_parts)), pa.int32())
+        return g.append_column("part", part)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["win_start_us", "user_id"])
+        g = d.groupby("win_start_us", as_index=False)["user_id"].nunique()
+        return g.rename(columns={"user_id": "n_users"}).astype(
+            {"n_users": "int64"})
+
+    g = (ds.map_batches(explode, batch_format="pyarrow")
+         .groupby("part").map_groups(count_distinct, batch_format="pandas"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["win_start_us"], pa.timestamp("us"))
+        return pa.table({"win_start": ts,
+                         "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -251,3 +251,12 @@ def test_event_type_history_run_semantics(sf_dir):
     expect_runs = runs.nunique()
     got_runs = len(hist[hist["user_id"] == one["user_id"].iloc[0]])
     assert got_runs == expect_runs
+
+
+def test_rel_window_distinct_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_window_distinct"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_window_distinct"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

@@ -121,6 +121,37 @@ r{k} AS (
     return sql + f"\nSELECT node, r AS rank_micro FROM r{iters}"
 
 
+def _pagerank_weighted_sql(iters: int = 5, damping_pct: int = 85,
+                           rank_scale: int = 1_000_000) -> str:
+    """Unrolled edge-weighted integer-PageRank oracle over the
+    co-occurrence graph — per-edge floor division mirrors
+    stages/graph.pagerank_weighted bit-for-bit."""
+    base = (rank_scale * (100 - damping_pct)) // 100
+    sql = (_U_CTE
+           + ", m AS (" + _MENTIONS_SQL + ")"
+           + """,
+dd AS (SELECT DISTINCT src_url, norm FROM m),
+e0 AS (SELECT a.norm AS a, b.norm AS b, count(*)::BIGINT AS w
+       FROM dd a JOIN dd b ON a.src_url = b.src_url AND a.norm < b.norm
+       GROUP BY 1, 2),
+und AS (SELECT a AS src, b AS dst, w FROM e0
+        UNION ALL SELECT b, a, w FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+wdeg AS (SELECT src, sum(w)::BIGINT AS tw FROM und GROUP BY src)"""
+           + f", r0 AS (SELECT node, {rank_scale}::BIGINT AS r FROM nodes)")
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT n.node,
+         ({base} + ({damping_pct} * COALESCE(s.inc, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT u.dst AS node, SUM((p.r * u.w) // wd.tw)::BIGINT AS inc
+    FROM und u JOIN r{k - 1} p ON u.src = p.node
+               JOIN wdeg wd ON wd.src = u.src
+    GROUP BY u.dst) s ON n.node = s.node)"""
+    return sql + f"\nSELECT node, r AS rank_micro FROM r{iters}"
+
+
 def entry() -> Any:
     """Flagship pipeline (pages → canonical deduplicated quads) at sf0.001."""
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
@@ -1031,6 +1062,14 @@ def _q_rel_window_distinct(sf_dir: str):
     return hopping_window_distinct_users(sf_dir)
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank over the co-occurrence graph (weight =
+    co-mention page count); 5 unrolled-SQL-oracle iterations."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank_weighted
+
+    return pagerank_weighted(_q_kg_cooccurrence(sf_dir), iters=5)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1184,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_keywords": _q_ta_keywords,
         "rel_history": _q_rel_history,
         "rel_window_distinct": _q_rel_window_distinct,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
     }
 
 
@@ -2102,4 +2142,5 @@ SELECT make_timestamp(win_us) AS win_start,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM x GROUP BY win_us
 """,
+        "kg_pagerank_weighted": _pagerank_weighted_sql(),
     }

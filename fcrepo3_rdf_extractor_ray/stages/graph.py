@@ -732,3 +732,134 @@ def neighborhood_jaccard(edges_ds, a_col: str = "norm_a",
                          "jaccard_micro": pa.array(jm)})
 
     return step2.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_weighted(edges_ds, a_col: str = "norm_a",
+                      b_col: str = "norm_b", weight_col: str = "n_pages",
+                      iters: int = 5, damping_pct: int = 85,
+                      rank_scale: int = 1_000_000, n_parts: int = 32):
+    """EDGE-WEIGHTED integer PageRank over an UNDIRECTED weighted edge
+    Dataset (e.g. the co-occurrence graph, weight = co-mention count) —
+    the relatedness-ranking variant: a neighbor reached through many
+    shared pages receives proportionally more rank mass.
+
+    Per iteration: ``r'(v) = base + (d · Σ_{u→v} (r(u)·w(u,v)) // W(u))
+    // 100`` with ``W(u) = Σ_x w(u,x)`` — per-edge floor division, so
+    the distributed sum replays bit-exactly in the unrolled SQL oracle.
+
+    Same broadcast shape as ``pagerank``: the rank table (#nodes scale)
+    ships once per round via ``ray.put``; the weighted edge table with
+    its precomputed out-weight never re-shuffles; one combiner-bounded
+    exchange per round."""
+    import ray.data as rd
+
+    from ..functions.hashing import fast_part_hash
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[a_col], pa.string())
+        b = pc.cast(t[b_col], pa.string())
+        w = pc.cast(t[weight_col], pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(),
+                                     a.combine_chunks()]),
+            "w": pa.concat_arrays([w.combine_chunks(),
+                                   w.combine_chunks()])})
+
+    und = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+           .materialize())
+
+    # out-weight per src, attached to the edges via one co-partitioned
+    # tag-union merge (key = src)
+    def wdeg_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"src": t["src"], "W": t["w"]})
+             .group_by("src").aggregate([("W", "sum")]))
+        g = g.rename_columns(["src", "W"])
+        return g.append_column("part",
+                               pa.array(fast_part_hash(g["src"], n_parts)))
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        cols = {"src": t["src"], "dst": t["dst"], "w": t["w"],
+                "W": pa.nulls(t.num_rows, pa.int64()),
+                "part": pa.array(fast_part_hash(t["src"], n_parts))}
+        return pa.table(cols)
+
+    def tag_wdeg(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"],
+                         "dst": pa.nulls(t.num_rows, pa.string()),
+                         "w": pa.nulls(t.num_rows, pa.int64()),
+                         "W": t["W"], "part": t["part"]})
+
+    def wdeg_final(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t["W"])
+        lut = t.filter(mask)
+        # sum the per-batch partials per src, then attach
+        lsum = (pa.table({"src": lut["src"], "W": lut["W"]})
+                .group_by("src").aggregate([("W", "sum")])
+                .rename_columns(["src", "W"]))
+        rows = t.filter(pc.invert(mask))
+        idx = pc.index_in(rows["src"], value_set=lsum["src"].combine_chunks())
+        return pa.table({"src": rows["src"], "dst": rows["dst"],
+                         "w": rows["w"],
+                         "W": pc.take(lsum["W"].combine_chunks(), idx)})
+
+    e3 = (und.map_batches(tag_edges, batch_format="pyarrow")
+          .union(und.map_batches(wdeg_partial, batch_format="pyarrow")
+                 .map_batches(tag_wdeg, batch_format="pyarrow"))
+          .groupby("part").map_groups(wdeg_final, batch_format="pyarrow")
+          .materialize())
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"]})
+
+    nodes = _distinct(und.map_batches(node_rows, batch_format="pyarrow"),
+                      ["node"]).materialize()
+    base = (rank_scale * (100 - damping_pct)) // 100
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "obj": t["node"],
+            "inc": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "part": _part_of(t["node"], n_parts)}),
+        batch_format="pyarrow").materialize()
+
+    rank_tbl = _collect_table(nodes, pa.schema([("node", pa.string())]))
+    rank_tbl = rank_tbl.append_column(
+        "r", pa.array(np.full(rank_tbl.num_rows, rank_scale,
+                              dtype=np.int64)))
+
+    def final_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["obj"]).aggregate([("inc", "sum")])
+        g = g.rename_columns(["node", "s"])
+        r = pc.add(pa.scalar(base, pa.int64()),
+                   pc.divide(pc.multiply(pa.scalar(damping_pct, pa.int64()),
+                                         g["s"]),
+                             pa.scalar(100, pa.int64())))
+        return pa.table({"node": g["node"], "r": pc.cast(r, pa.int64())})
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank_tbl)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            rt = ray.get(rank_ref)
+            idx = pc.index_in(t["src"], value_set=rt["node"])
+            r = pc.take(rt["r"], idx)
+            inc = pc.divide(pc.multiply(r, t["w"]), t["W"])  # per-edge floor
+            g = pa.table({"obj": t["dst"], "inc": inc}).group_by(
+                ["obj"]).aggregate([("inc", "sum")])
+            g = g.rename_columns(["obj", "inc"])
+            return g.append_column("part", _part_of(g["obj"], n_parts))
+
+        new_ranks = (e3.map_batches(contrib, batch_format="pyarrow",
+                                    batch_size=None)
+                     .union(zero_rows)
+                     .groupby("part")
+                     .map_groups(lambda t: final_sum(t),
+                                 batch_format="pyarrow"))
+        rank_tbl = _collect_table(
+            new_ranks, pa.schema([("node", pa.string()),
+                                  ("r", pa.int64())]))
+    return rd.from_arrow(rank_tbl).map_batches(
+        lambda t: t.rename_columns(["node", "rank_micro"]),
+        batch_format="pyarrow")

@@ -260,3 +260,31 @@ def test_rel_window_distinct_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["rel_window_distinct"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_kg_pagerank_weighted_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_pagerank_weighted"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_pagerank_weighted"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_pagerank_weighted_mass_follows_weight(ray_session):
+    """Star a-b (weight 9) vs a-c (weight 1): b must outrank c, and with
+    equal weights they tie."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import pagerank_weighted
+
+    t = pa.table({"norm_a": ["a", "a"], "norm_b": ["b", "c"],
+                  "n_pages": pa.array([9, 1], pa.int64())})
+    r = (to_pandas(pagerank_weighted(rd.from_arrow(t), iters=3))
+         .set_index("node")["rank_micro"])
+    assert r["b"] > r["c"]
+    t2 = pa.table({"norm_a": ["a", "a"], "norm_b": ["b", "c"],
+                   "n_pages": pa.array([5, 5], pa.int64())})
+    r2 = (to_pandas(pagerank_weighted(rd.from_arrow(t2), iters=3))
+          .set_index("node")["rank_micro"])
+    assert r2["b"] == r2["c"]

@@ -1070,6 +1070,21 @@ def _q_kg_pagerank_weighted(sf_dir: str):
     return pagerank_weighted(_q_kg_cooccurrence(sf_dir), iters=5)
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Directed shingle-containment pairs (subset-duplicate detection)."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        ngram_containment_pairs)
+
+    return ngram_containment_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_rel_cume_dist(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        cume_dist_orders)
+
+    return cume_dist_orders(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1224,6 +1239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_history": _q_rel_history,
         "rel_window_distinct": _q_rel_window_distinct,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "dedup_containment": _q_dedup_containment,
+        "rel_cume_dist": _q_rel_cume_dist,
     }
 
 
@@ -2143,4 +2160,24 @@ SELECT make_timestamp(win_us) AS win_start,
 FROM x GROUP BY win_us
 """,
         "kg_pagerank_weighted": _pagerank_weighted_sql(),
+        "dedup_containment": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+       FROM t, unnest(range(1, len(l) - 1)) AS r(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       ((1000000 * i) // sa.n)::BIGINT AS containment_micro
+FROM inter JOIN sz sa ON sa.doc_id = da
+WHERE (1000000 * i) // sa.n >= 500000
+""",
+        "rel_cume_dist": """
+SELECT o_orderkey, o_custkey,
+       ((1000000 * row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey))
+        // count(*) OVER (PARTITION BY o_custkey))::BIGINT AS cd_micro
+FROM orders
+""",
     }

@@ -105,7 +105,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "rel_cumsum", "rel_skew_join", "dedup_editdist",
                  "mm_phash_dups", "kg_link_jaccard", "ta_collocations",
                  "rel_retention", "ta_keywords", "rel_history",
-                 "rel_window_distinct", "kg_pagerank_weighted"):
+                 "rel_window_distinct", "kg_pagerank_weighted",
+                 "dedup_containment", "rel_cume_dist"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

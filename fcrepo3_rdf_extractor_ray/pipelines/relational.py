@@ -1932,3 +1932,32 @@ def hopping_window_distinct_users(sf_dir: str, size_hours: int = 2,
                          "n_users": pc.cast(t["n_users"], pa.int64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def cume_dist_orders(sf_dir: str, n_parts: int = 32):
+    """Per-customer CUME_DIST (integer micro): each order's position in
+    the customer's (o_orderdate, o_orderkey) sequence divided by the
+    customer's order count — ``cd_micro = (1_000_000 · seq) // n``.
+
+    One customer-hash exchange; per partition a vectorized sort +
+    grouped cumcount/size — the same shape as ``cumulative_spend``."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["o_custkey"], n_parts - 1),
+                       pa.int32())
+        return t.append_column("part", part)
+
+    def cd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        seq = df.groupby("o_custkey").cumcount().to_numpy() + 1
+        n = df.groupby("o_custkey")["o_orderkey"].transform(
+            "size").to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+            "o_custkey": df["o_custkey"].astype("int64").to_numpy(),
+            "cd_micro": ((1_000_000 * seq) // n).astype("int64")})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(cd, batch_format="pandas"))

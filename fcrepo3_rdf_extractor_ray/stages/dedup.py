@@ -659,14 +659,14 @@ def embedding_neardup_pairs(emb_ds, dim: int, threshold: float = 0.99,
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact similarity, inverted-index candidates)
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
-                        text_col="text", id_col="doc_id",
-                        max_df: int = 4096, n_parts: int = 64):
-    """EXACT word-k-gram Jaccard near-dup pairs via a distributed
-    inverted index — no approximation (unlike MinHash): for docs a, b
-    with distinct-k-gram sets A, B, J = |A∩B| / (|A|+|B|-|A∩B|), where
-    the intersection count falls out of the index itself (each shared
-    k-gram contributes one (a, b) co-occurrence).
+def _ngram_pair_counts(docs_ds, k: int, text_col: str, id_col: str,
+                       max_df: int, n_parts: int):
+    """Shared plumbing for the EXACT k-gram pair family
+    (``ngram_jaccard_pairs``, ``ngram_containment_pairs``): per ordered
+    doc pair (a < b), the distinct-k-gram intersection count c plus both
+    set sizes, via a distributed inverted index — each shared k-gram
+    contributes one (a, b) co-occurrence, so c falls out of the index
+    itself, with no approximation (unlike MinHash).
 
     Plan: per-doc distinct k-gram hashes (+ the doc's set size carried
     on every row — 8 bytes beats a separate size join) → hash-partition
@@ -770,6 +770,19 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
          .groupby("pp")
          .map_groups(combine_pairs, batch_format="pyarrow"))
 
+    return g
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                        text_col="text", id_col="doc_id",
+                        max_df: int = 4096, n_parts: int = 64):
+    """EXACT word-k-gram Jaccard near-dup pairs — see
+    ``_ngram_pair_counts`` for the two-exchange inverted-index plan and
+    the df-cap caveat; this wrapper applies the symmetric
+    ``J = c / (na + nb - c)`` threshold with the float64 expression
+    shape mirrored by the SQL oracle."""
+    g = _ngram_pair_counts(docs_ds, k, text_col, id_col, max_df, n_parts)
+
     def finish(t: pa.Table) -> pa.Table:
         c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = t["max(na)"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -784,6 +797,38 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
             "jaccard_micro": pa.array(
                 np.floor(jm[np.asarray(keep)]).astype(np.int64), pa.int64()),
         })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                            text_col="text", id_col="doc_id",
+                            max_df: int = 4096, n_parts: int = 64):
+    """ASYMMETRIC shingle CONTAINMENT pairs — |A∩B| / |A| ≥ threshold,
+    emitted DIRECTED (doc_a contained-in doc_b and vice versa as
+    separate rows): the subset-duplicate detector (a short page quoted
+    wholesale inside a longer one never reaches a symmetric Jaccard
+    threshold, but its containment is ~1). Same two-exchange
+    inverted-index plan as ``ngram_jaccard_pairs``; integer
+    ``containment_micro = (1_000_000 · c) // |A|`` so the oracle replays
+    bit-exactly."""
+    g = _ngram_pair_counts(docs_ds, k, text_col, id_col, max_df, n_parts)
+    thr = int(threshold * 1_000_000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["max(na)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["max(nb)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = (1_000_000 * c) // na  # a contained in b
+        cb = (1_000_000 * c) // nb  # b contained in a
+        src = np.concatenate([a[ca >= thr], b[cb >= thr]])
+        dst = np.concatenate([b[ca >= thr], a[cb >= thr]])
+        cm = np.concatenate([ca[ca >= thr], cb[cb >= thr]])
+        return pa.table({"doc_a": pa.array(src, pa.int64()),
+                         "doc_b": pa.array(dst, pa.int64()),
+                         "containment_micro": pa.array(cm, pa.int64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
 

@@ -288,3 +288,34 @@ def test_pagerank_weighted_mass_follows_weight(ray_session):
     r2 = (to_pandas(pagerank_weighted(rd.from_arrow(t2), iters=3))
           .set_index("node")["rank_micro"])
     assert r2["b"] == r2["c"]
+
+
+@pytest.mark.parametrize("name", ["dedup_containment", "rel_cume_dist"])
+def test_containment_cumedist_oracles(sf_dir, duck, name):
+    import __ray_entry__ as em
+
+    got = em.queries()[name](sf_dir)
+    expected = duck.execute(em.oracle_sql()[name]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_containment_is_asymmetric(ray_session):
+    """A short doc fully quoted inside a long one: containment(short in
+    long)=1.0 fires, the reverse stays below threshold, and symmetric
+    Jaccard would have missed the pair entirely."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array([short, long_], pa.string())})
+    ds = rd.from_arrow(docs)
+    out = ngram_containment_pairs(ds, threshold=0.9).to_pandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].values)) == {(1, 2)}
+    assert out["containment_micro"].iloc[0] == 1_000_000
+    jac = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(jac) == 0  # symmetric measure misses the subset dup

@@ -81,3 +81,42 @@ def test_frozen_corpus_edge_cases_present():
     assert "<https://ex11.org/p/11> <kg:description>" not in want
     assert ('<https://ex1.org/p/1> <kg:description> "About plain" <kg:web> .'
             in want)
+
+
+def test_frozen_graph_operators(ray_session):
+    """Graph operators vs the frozen, INDEPENDENTLY computed expectation
+    (pure-Python union-find / brute-force triangles / set-intersection
+    jaccard over the fixture's mention rows, checked in as
+    ``golden/expected_graph.json``) — guards engine+oracle co-drift the
+    same way the N-Quads golden file does for extraction."""
+    import json
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        connected_components, neighborhood_jaccard, triangle_count)
+    from fcrepo3_rdf_extractor_ray.stages.ner import (detect_mentions,
+                                                      mention_cooccurrence)
+
+    with open(os.path.join(GOLD, "expected_graph.json")) as fh:
+        want = json.load(fh)
+
+    pages = rd.read_parquet(
+        os.path.join(GOLD, "pages_fixture.parquet")).repartition(3)
+    co = mention_cooccurrence(detect_mentions(pages)).materialize()
+
+    got_edges = sorted([r["norm_a"], r["norm_b"], r["n_pages"]]
+                       for r in co.take_all())
+    assert got_edges == sorted(want["edges"])
+
+    comp = {r["node"]: r["component"]
+            for r in connected_components(co).take_all()}
+    assert comp == want["components"]
+
+    tri = triangle_count(co)
+    assert tri["n_triangles"].tolist() == [want["n_triangles"]]
+
+    lj = {f'{r["norm_a"]}|{r["norm_b"]}': [r["common_neighbors"],
+                                           r["jaccard_micro"]]
+          for r in neighborhood_jaccard(co).take_all()}
+    assert lj == want["link_jaccard"]

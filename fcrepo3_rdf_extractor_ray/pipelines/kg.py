@@ -199,11 +199,10 @@ def adjacency_table(quads_ds, n_parts: int = 64):
     import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def add_part(t: pa.Table) -> pa.Table:
-        h = siphash64_batch(t["subj"].to_pylist())
-        part = pa.array((h % n_parts).astype(np.int32))
+        part = pa.array(fast_part_hash(t["subj"], n_parts))
         return t.select(["subj", "pred", "obj"]).append_column("part", part)
 
     ds = quads_ds.map_batches(add_part, batch_format="pyarrow")

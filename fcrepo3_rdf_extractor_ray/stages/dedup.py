@@ -928,13 +928,12 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
     should length-bucket first."""
     import pandas as pd
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         u = pc.unique(t[col].combine_chunks())
-        h = siphash64_batch(u.to_pylist())
         return pa.table({"s": u,
-                         "part": pa.array((h % n_parts).astype(np.int32))})
+                         "part": pa.array(fast_part_hash(u, n_parts))})
 
     def part_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df[["s"]].drop_duplicates()
@@ -951,10 +950,9 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
             for i in range(len(s)):
                 sigs.append(s[:i] + s[i + 1:])
                 vals.append(s)
-        h = siphash64_batch(sigs)
         return pa.table({"sig": pa.array(sigs, pa.string()),
                          "s": pa.array(vals, pa.string()),
-                         "part": pa.array((h % n_parts).astype(np.int32))})
+                         "part": pa.array(fast_part_hash(sigs, n_parts))})
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
@@ -977,9 +975,8 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
     def tag_pair(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["surface_a"], t["surface_b"],
                                           "\x1f")
-        h = siphash64_batch(key.to_pylist())
         return t.append_column("part",
-                               pa.array((h % n_parts).astype(np.int32)))
+                               pa.array(fast_part_hash(key, n_parts)))
 
     def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df[["surface_a", "surface_b"]].drop_duplicates()

@@ -88,14 +88,13 @@ def mention_cooccurrence(mentions_ds, n_parts: int = 32):
     import pandas as pd
     import pyarrow.compute as pc
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def distinct_batch(t: pa.Table) -> pa.Table:
         g = (t.select(["src_url", "norm"])
              .group_by(["src_url", "norm"]).aggregate([]))
-        h = siphash64_batch(g["src_url"].to_pylist())
-        part = pa.array((h % n_parts).astype(np.int32))
-        return g.append_column("part", part)
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["src_url"], n_parts)))
 
     ds = mentions_ds.map_batches(distinct_batch, batch_format="pyarrow")
 

@@ -213,13 +213,13 @@ def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
     SQL oracle."""
     import pyarrow.compute as pc
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.split().explode().dropna()
         counts = toks.value_counts()
         tokens = counts.index.to_numpy(dtype=object)
-        part = (siphash64_batch(list(tokens)) % n_parts).astype(np.int32)
+        part = fast_part_hash(list(tokens), n_parts)
         return pd.DataFrame({
             "token": tokens,
             "n": counts.to_numpy().astype("int64"),
@@ -252,7 +252,7 @@ def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
     import pyarrow.compute as pc
     import ray
 
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
         toks = df.set_index(id_col)[text_col].str.split().explode().dropna()
@@ -266,8 +266,7 @@ def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
 
     # df: distinct doc count per token — each (doc, token) row counts one
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        part = (siphash64_batch(list(df["token"].to_numpy(dtype=object)))
-                % n_parts).astype(np.int32)
+        part = fast_part_hash(df["token"], n_parts)
         return pd.DataFrame({"token": df["token"], "one": np.int64(1),
                              "part": part})
 
@@ -336,7 +335,7 @@ def bigram_top(docs_ds, k: int = 20, text_col="text"):
     top-k prune → tiny global sort+limit. The shuffle moves one row per
     distinct bigram per batch — never one per occurrence — and only k
     rows per partition reach the final sort."""
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     n_parts = 32
 
@@ -358,7 +357,7 @@ def bigram_top(docs_ds, k: int = 20, text_col="text"):
             flat[:-1][valid].astype("U"), " "), flat[1:][valid].astype("U"))
         vc = pd.Series(big).value_counts()
         bigrams = vc.index.to_numpy(dtype=object)
-        part = (siphash64_batch(list(bigrams)) % n_parts).astype(np.int32)
+        part = fast_part_hash(list(bigrams), n_parts)
         return pd.DataFrame({"bigram": bigrams,
                              "n": vc.to_numpy().astype("int64"),
                              "part": part})
@@ -441,7 +440,7 @@ def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
     partition then colocates every partial list and the per-partition
     final re-sorts ≤ k × n_blocks ids per token. The posting string is
     bounded by construction."""
-    from ..functions.hashing import siphash64_batch
+    from ..functions.hashing import fast_part_hash
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.split(" ")
@@ -453,8 +452,7 @@ def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
         }).drop_duplicates()
         pairs = (pairs.sort_values(id_col).groupby("token", sort=False)
                  .head(k).reset_index(drop=True))
-        part = (siphash64_batch(list(pairs["token"].to_numpy(dtype=object)))
-                % n_parts).astype(np.int32)
+        part = fast_part_hash(pairs["token"], n_parts)
         return pairs.assign(part=part)
 
     ds = docs_ds.map_batches(partial, batch_format="pandas")

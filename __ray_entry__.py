@@ -1085,6 +1085,20 @@ def _q_rel_cume_dist(sf_dir: str):
     return cume_dist_orders(sf_dir)
 
 
+def _q_ml_knn_classify(sf_dir: str):
+    """Majority-label k-NN classification of the held-out query vectors."""
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import knn_classify
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding", "label"],
+                         override_num_blocks=_blocks())
+    return knn_classify(ds, _query_vectors(sf_dir), k=5)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1241,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "dedup_containment": _q_dedup_containment,
         "rel_cume_dist": _q_rel_cume_dist,
+        "ml_knn_classify": _q_ml_knn_classify,
     }
 
 
@@ -2179,5 +2194,28 @@ SELECT o_orderkey, o_custkey,
             ORDER BY o_orderdate, o_orderkey))
         // count(*) OVER (PARTITION BY o_custkey))::BIGINT AS cd_micro
 FROM orders
+""",
+        "ml_knn_classify": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qe, q.qe)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+         AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY floor(cos * 1000000) DESC, nid) AS rn
+  FROM pairs),
+lab AS (SELECT r.qid, e.label::BIGINT AS l
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.nid
+        WHERE r.rn <= 5),
+cnt AS (SELECT qid, l, count(*) AS v FROM lab GROUP BY 1, 2),
+best AS (SELECT qid, l, v, row_number() OVER (PARTITION BY qid
+             ORDER BY v DESC, l) AS rn2 FROM cnt)
+SELECT qid AS query_id, l AS label, v::BIGINT AS votes
+FROM best WHERE rn2 = 1
 """,
     }

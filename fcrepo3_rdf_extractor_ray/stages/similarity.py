@@ -343,3 +343,45 @@ def kmeans_lloyd(emb_ds, k: int = 4, iters: int = 2,
                                              .astype(np.int64))})
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_classify(emb_ds, query_vectors, k: int = 5,
+                 id_col="vec_id", vec_col="embedding", label_col="label"):
+    """k-NN CLASSIFICATION: each query vector gets the majority label of
+    its k nearest neighbors (exact cosine, self excluded), ties broken
+    by the smallest label — the classic labeled-corpus propagation /
+    data-labeling primitive.
+
+    Scale shape: the neighbor search is the broadcast-query brute-force
+    top-k (per-block partials, bounded merge). Labels for the ≤ k·|Q|
+    winning neighbors come from ONE streaming filtered pass over the
+    embedding table (`is_in` on the bounded neighbor-id set) — the full
+    label column is never collected. The vote itself is k·|Q| rows on
+    the driver. Returns (query_id, label, votes)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nn = knn_bruteforce(emb_ds, query_vectors, k=k, id_col=id_col,
+                        vec_col=vec_col)
+    wanted = pa.array(sorted(set(nn["neighbor_id"].astype(int))),
+                      pa.int64())
+
+    def grab_labels(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[id_col], value_set=wanted)
+        t = t.filter(m)
+        return pa.table({"neighbor_id": pc.cast(t[id_col], pa.int64()),
+                         "label": pc.cast(t[label_col], pa.int64())})
+
+    labels = emb_ds.map_batches(grab_labels,
+                                batch_format="pyarrow").to_pandas()
+    j = nn.merge(labels, on="neighbor_id")
+    cnt = (j.groupby(["query_id", "label"], as_index=False)
+           .size().rename(columns={"size": "votes"}))
+    cnt = cnt.sort_values(["query_id", "votes", "label"],
+                          ascending=[True, False, True])
+    out = cnt.groupby("query_id", as_index=False).head(1)
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype("int64").to_numpy(),
+        "label": out["label"].astype("int64").to_numpy(),
+        "votes": out["votes"].astype("int64").to_numpy()})

@@ -60,3 +60,42 @@ def test_knn_ivf_deterministic():
     a = knn_ivf(ds, queries, k=4, n_clusters=4)
     b = knn_ivf(ds, queries, k=4, n_clusters=4)
     assert a.equals(b)
+
+
+def test_ml_knn_classify_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+    from conftest import assert_frames_equivalent
+
+    got = em.queries()["ml_knn_classify"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ml_knn_classify"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_knn_classify_majority_and_tiebreak(ray_session):
+    """Hand set: query at origin+x; 3 neighbors labeled 1 closest, 2
+    labeled 0 farther -> majority 1. With a 2-2 split among k=4, the
+    smaller label wins the tie."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.similarity import knn_classify
+
+    def vec(theta):
+        return [float(np.cos(theta)), float(np.sin(theta))]
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "embedding": pa.array([vec(0.01), vec(0.02), vec(0.03),
+                               vec(0.3), vec(0.4)],
+                              pa.list_(pa.float64())),
+        "label": pa.array([1, 1, 1, 0, 0], pa.int32()),
+    })
+    out = knn_classify(rd.from_arrow(t), {100: np.array([1.0, 0.0])}, k=5)
+    assert out["label"].tolist() == [1] and out["votes"].tolist() == [3]
+    out2 = knn_classify(rd.from_arrow(t), {100: np.array([1.0, 0.0])}, k=4)
+    # k=4 -> labels {1,1,1,0} -> still 1; k's tie case: take 2+2 subset
+    t2 = t.slice(1)  # drop one label-1 vector -> 2 vs 2 at k=4
+    out3 = knn_classify(rd.from_arrow(t2), {100: np.array([1.0, 0.0])}, k=4)
+    assert out3["label"].tolist() == [0]  # tie -> smaller label

@@ -1099,6 +1099,13 @@ def _q_ml_knn_classify(sf_dir: str):
     return knn_classify(ds, _query_vectors(sf_dir), k=5)
 
 
+def _q_rel_unpivot(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        unpivot_lineitem_metrics)
+
+    return unpivot_lineitem_metrics(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1256,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "rel_cume_dist": _q_rel_cume_dist,
         "ml_knn_classify": _q_ml_knn_classify,
+        "rel_unpivot": _q_rel_unpivot,
     }
 
 
@@ -2217,5 +2225,16 @@ best AS (SELECT qid, l, v, row_number() OVER (PARTITION BY qid
              ORDER BY v DESC, l) AS rn2 FROM cnt)
 SELECT qid AS query_id, l AS label, v::BIGINT AS votes
 FROM best WHERE rn2 = 1
+""",
+        "rel_unpivot": """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       'quantity' AS metric,
+       round(l_quantity * 100)::BIGINT AS value_cents FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, 'extendedprice',
+       round(l_extendedprice * 100)::BIGINT FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, 'discount',
+       round(l_discount * 100)::BIGINT FROM lineitem
 """,
     }

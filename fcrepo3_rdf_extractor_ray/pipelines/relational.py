@@ -1961,3 +1961,31 @@ def cume_dist_orders(sf_dir: str, n_parts: int = 32):
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("part").map_groups(cd, batch_format="pandas"))
+
+
+def unpivot_lineitem_metrics(sf_dir: str):
+    """UNPIVOT / melt (the dual of ``pivot``): each lineitem's three
+    numeric measures become three (metric, value_cents) rows — the
+    wide→long reshape that feeds metric-generic downstream consumers.
+    Pure per-batch column surgery (concat of three projected views);
+    zero shuffle, zero per-row Python."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    metrics = (("quantity", "l_quantity"), ("extendedprice",
+                                            "l_extendedprice"),
+               ("discount", "l_discount"))
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for name, col in metrics:
+            cents = pc.cast(pc.round(pc.multiply(t[col], 100)), pa.int64())
+            parts.append(pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "metric": pa.array([name] * t.num_rows, pa.string()),
+                "value_cents": cents}))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -319,3 +319,12 @@ def test_containment_is_asymmetric(ray_session):
     assert out["containment_micro"].iloc[0] == 1_000_000
     jac = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
     assert len(jac) == 0  # symmetric measure misses the subset dup
+
+
+def test_rel_unpivot_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_unpivot"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_unpivot"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

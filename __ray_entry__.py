@@ -1106,6 +1106,14 @@ def _q_rel_unpivot(sf_dir: str):
     return unpivot_lineitem_metrics(sf_dir)
 
 
+def _q_kg_entity_profile(sf_dir: str):
+    """Composite per-entity profile: mention pages x degree x component."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (entity_profile,
+                                                        pages_for_sf)
+
+    return entity_profile(pages_for_sf(sf_dir))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1264,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cume_dist": _q_rel_cume_dist,
         "ml_knn_classify": _q_ml_knn_classify,
         "rel_unpivot": _q_rel_unpivot,
+        "kg_entity_profile": _q_kg_entity_profile,
     }
 
 
@@ -2237,4 +2246,29 @@ UNION ALL
 SELECT l_orderkey, l_linenumber::BIGINT, 'discount',
        round(l_discount * 100)::BIGINT FROM lineitem
 """,
+        # composite per-entity profile: pages x degree x component
+        "kg_entity_profile": (
+            _U_CTE.replace("WITH u", "WITH RECURSIVE u", 1)
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+np AS (SELECT norm, count(*)::BIGINT AS n_pages FROM d GROUP BY norm),
+ed AS (SELECT DISTINCT a.norm AS na, b.norm AS nb
+       FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm),
+und AS (SELECT na AS src, nb AS dst FROM ed
+        UNION ALL SELECT nb, na FROM ed),
+deg AS (SELECT src AS norm, count(*)::BIGINT AS degree
+        FROM und GROUP BY src),
+vs AS (SELECT DISTINCT src AS v FROM und),
+r(v, m2) AS (
+    SELECT v, v FROM vs
+  UNION
+    SELECT r.v, u.dst FROM r JOIN und u ON u.src = r.m2
+),
+comp AS (SELECT v AS norm, min(m2) AS component FROM r GROUP BY v)
+SELECT np.norm, np.n_pages, coalesce(deg.degree, 0)::BIGINT AS degree,
+       coalesce(comp.component, np.norm) AS component
+FROM np LEFT JOIN deg USING (norm) LEFT JOIN comp USING (norm)
+"""
+        ),
     }

@@ -106,7 +106,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "mm_phash_dups", "kg_link_jaccard", "ta_collocations",
                  "rel_retention", "ta_keywords", "rel_history",
                  "rel_window_distinct", "kg_pagerank_weighted",
-                 "dedup_containment", "rel_cume_dist", "ml_knn_classify"):
+                 "dedup_containment", "rel_cume_dist", "ml_knn_classify",
+                 "kg_entity_profile"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -291,3 +291,97 @@ def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
             NQuadsDatasink(nq_dir)
         )
     return out_dir
+
+
+def entity_profile(pages_ds, n_parts: int = 32):
+    """Per-entity PROFILE — the composite consumers build dashboards
+    from: for every mentioned entity, (a) how many pages mention it,
+    (b) its co-occurrence degree (distinct neighbors), (c) its
+    connected-component label (min entity id; itself when isolated).
+
+    Composes three derived datasets — distinct mention pairs, the
+    co-occurrence edge list, and the contraction-union-find component
+    labels — and assembles them with ONE norm-keyed co-partitioned
+    tag-union merge (kinds 0/1/2), zero joins. Every exchanged table is
+    #entities-scale."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..stages.graph import connected_components
+    from ..stages.ner import detect_mentions, mention_cooccurrence
+
+    mentions = detect_mentions(pages_ds)
+
+    # distinct (url, norm) pairs are per-batch distinct only — the final
+    # per-norm page count dedupes ACROSS batches inside the merge via a
+    # (url, norm)-keyed exchange first
+    def pair_rows(t: pa.Table) -> pa.Table:
+        g = (t.select(["src_url", "norm"])
+             .group_by(["src_url", "norm"]).aggregate([]))
+        g = g.rename_columns(["src_url", "norm"])
+        key = pc.binary_join_element_wise(g["src_url"], g["norm"], "\x1f")
+        return g.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
+
+    def pair_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["src_url", "norm"])
+        g = d.groupby("norm", as_index=False).size().rename(
+            columns={"size": "n_pages"})
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g
+
+    n_pages = (mentions.map_batches(pair_rows, batch_format="pyarrow")
+               .groupby("part").map_groups(pair_count,
+                                           batch_format="pandas"))
+
+    co = mention_cooccurrence(mentions, n_parts=n_parts).materialize()
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays([t["norm_a"].combine_chunks(),
+                                t["norm_b"].combine_chunks()])
+        out = pa.table({"norm": src,
+                        "degree": pa.array(np.ones(len(src), np.int64))}
+                       ).group_by("norm").aggregate([("degree", "sum")])
+        return out.rename_columns(["norm", "degree"])
+
+    degree = co.map_batches(deg_rows, batch_format="pyarrow")
+    comp = connected_components(co, n_parts=n_parts)
+
+    def tag(ds, kind, val_col, val_type=pa.int64()):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "norm": t["norm" if "norm" in t.schema.names else "node"],
+                "n_pages": (pc.cast(t[val_col], pa.int64()) if kind == 0
+                            else pa.nulls(t.num_rows, pa.int64())),
+                "degree": (pc.cast(t[val_col], pa.int64()) if kind == 1
+                           else pa.nulls(t.num_rows, pa.int64())),
+                "component": (t[val_col] if kind == 2
+                              else pa.nulls(t.num_rows, pa.string())),
+            })
+
+        tagged = ds.map_batches(fn, batch_format="pyarrow")
+        return tagged.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(fast_part_hash(t["norm"], n_parts))),
+            batch_format="pyarrow")
+
+    union = (tag(n_pages, 0, "n_pages")
+             .union(tag(degree, 1, "degree"))
+             .union(tag(comp, 2, "component")))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        np_ = df.dropna(subset=["n_pages"]).groupby("norm")["n_pages"].sum()
+        dg = df.dropna(subset=["degree"]).groupby("norm")["degree"].sum()
+        cp = (df.dropna(subset=["component"])
+              .drop_duplicates("norm").set_index("norm")["component"])
+        norms = np_.index  # every mentioned entity has a page count
+        return pd.DataFrame({
+            "norm": norms.to_numpy(),
+            "n_pages": np_.astype("int64").to_numpy(),
+            "degree": dg.reindex(norms).fillna(0).astype("int64").to_numpy(),
+            "component": cp.reindex(norms).fillna(
+                pd.Series(norms, index=norms)).to_numpy()})
+
+    return union.groupby("part").map_groups(assemble, batch_format="pandas")

@@ -328,3 +328,12 @@ def test_rel_unpivot_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["rel_unpivot"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_kg_entity_profile_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_entity_profile"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_entity_profile"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

@@ -1114,6 +1114,15 @@ def _q_kg_entity_profile(sf_dir: str):
     return entity_profile(pages_for_sf(sf_dir))
 
 
+def _q_prep_neardup(sf_dir: str):
+    """End-to-end near-dup corpus dedup: jaccard pairs -> components ->
+    keep min doc per cluster."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import (
+        neardup_filter_corpus)
+
+    return neardup_filter_corpus(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1273,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_knn_classify": _q_ml_knn_classify,
         "rel_unpivot": _q_rel_unpivot,
         "kg_entity_profile": _q_kg_entity_profile,
+        "prep_neardup": _q_prep_neardup,
     }
 
 
@@ -2271,4 +2281,35 @@ SELECT np.norm, np.n_pages, coalesce(deg.degree, 0)::BIGINT AS degree,
 FROM np LEFT JOIN deg USING (norm) LEFT JOIN comp USING (norm)
 """
         ),
+        "prep_neardup": """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(greatest(len(ts) - 2, 0)),
+                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS ng
+  FROM t WHERE len(ts) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE 1000000.0 * i.c / (sa.n + sb.n - i.c) >= 500000.0),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+vs AS (SELECT DISTINCT src AS v FROM und),
+r(v, m2) AS (
+    SELECT v, v FROM vs
+  UNION
+    SELECT r.v, u.dst FROM r JOIN und u ON u.src = r.m2
+),
+dropped AS (SELECT v FROM r GROUP BY v HAVING min(m2) <> v)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT v FROM dropped)
+""",
     }

@@ -53,3 +53,62 @@ def prep_corpus(sf_dir: str, min_tokens: int = 20,
         return pa.table({"doc_id": t["keep_id"], "n_tokens": n_tok})
 
     return deduped.map_batches(sample, batch_format="pyarrow")
+
+
+def neardup_filter_corpus(sf_dir: str, threshold: float = 0.5):
+    """END-TO-END near-duplicate corpus dedup — the canonical
+    training-data cleaning pipeline: exact k-gram Jaccard pairs →
+    connected components over the near-dup graph → keep ONE document
+    per cluster (the minimum doc_id); singletons survive untouched.
+    Returns the surviving (doc_id) set as a Dataset.
+
+    Everything reuses the engine's primitives: the inverted-index pair
+    stage, the contraction union-find (doc ids zero-padded so the
+    lexicographic component min IS the numeric min), and a broadcast
+    drop-set filter (bounded by the number of near-dup documents — at
+    web scale near-dups are a few percent of the corpus, so the
+    broadcast side stays tiny next to the stream it filters)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import connected_components
+
+    import os
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+
+    def pad(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "norm_a": pa.array([f"{x:012d}" for x in a], pa.string()),
+            "norm_b": pa.array([f"{x:012d}" for x in b], pa.string())})
+
+    comp = connected_components(pairs.map_batches(pad,
+                                                  batch_format="pyarrow"))
+
+    # the CC node set here is ONLY the docs that appear in a near-dup
+    # pair — a few percent of any real corpus — so collecting the
+    # (node, component) table is bounded by dup volume, not corpus size
+    comp_df = comp.to_pandas()
+    if len(comp_df):
+        dropped = comp_df.loc[comp_df["node"] != comp_df["component"],
+                              "node"]
+        drop_set = pa.array(sorted(int(x) for x in dropped), pa.int64())
+    else:
+        drop_set = pa.array([], pa.int64())
+    drop_ref = ray.put(drop_set)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        if len(ds_):
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=ds_)))
+        return t.select(["doc_id"])
+
+    return docs.map_batches(survivors, batch_format="pyarrow")

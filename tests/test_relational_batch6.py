@@ -337,3 +337,28 @@ def test_kg_entity_profile_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["kg_entity_profile"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_prep_neardup_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["prep_neardup"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["prep_neardup"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_neardup_filter_keeps_one_per_cluster(sf_dir):
+    """Survivors = corpus minus non-minimal cluster members: every
+    near-dup cluster keeps exactly its min doc_id."""
+    import duckdb as _d
+
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import (
+        neardup_filter_corpus)
+
+    kept = set(to_pandas(neardup_filter_corpus(sf_dir))["doc_id"])
+    total = _d.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(kept) < total          # something was dropped
+    assert len(kept) == len(set(kept))

@@ -1123,6 +1123,13 @@ def _q_prep_neardup(sf_dir: str):
     return neardup_filter_corpus(sf_dir)
 
 
+def _q_rel_first_order(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        first_order_per_customer)
+
+    return first_order_per_customer(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1283,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_unpivot": _q_rel_unpivot,
         "kg_entity_profile": _q_kg_entity_profile,
         "prep_neardup": _q_prep_neardup,
+        "rel_first_order": _q_rel_first_order,
     }
 
 
@@ -2311,5 +2319,13 @@ r(v, m2) AS (
 dropped AS (SELECT v FROM r GROUP BY v HAVING min(m2) <> v)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT v FROM dropped)
+""",
+        "rel_first_order": """
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP AS o_orderdate,
+       o_orderpriority,
+       round(o_totalprice * 100)::BIGINT AS first_cents
+FROM r WHERE rn = 1
 """,
     }

@@ -1989,3 +1989,38 @@ def unpivot_lineitem_metrics(sf_dir: str):
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def first_order_per_customer(sf_dir: str):
+    """Grouped ARGMIN: each customer's FIRST order (by o_orderdate,
+    tie-break lowest o_orderkey) with its priority and value — the
+    acquisition-cohort seed record, and the mirror of
+    ``latest_event_per_user``'s argmax. Argmin is associative, so a
+    per-batch combiner keeps one candidate row per customer per block
+    and the exchange moves candidates only."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority", "o_totalprice"])
+
+    def pick_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        g = df.groupby("o_custkey", as_index=False).head(1)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_orderdate": g["o_orderdate"],
+            "o_orderpriority": g["o_orderpriority"],
+            "first_cents": (g["o_totalprice"] * 100).round().astype("int64"),
+        })
+
+    combined = ds.map_batches(pick_first, batch_format="pandas")
+    g = combined.groupby("o_custkey").map_groups(
+        lambda df: df.sort_values(["o_orderdate", "o_orderkey"]).head(1),
+        batch_format="pandas")
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("o_orderdate")
+        return t.set_column(i, "o_orderdate",
+                            pc.cast(t["o_orderdate"], pa.timestamp("us")))
+
+    return g.map_batches(fix_unit, batch_format="pyarrow")

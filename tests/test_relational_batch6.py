@@ -362,3 +362,12 @@ def test_neardup_filter_keeps_one_per_cluster(sf_dir):
     ).fetchone()[0]
     assert len(kept) < total          # something was dropped
     assert len(kept) == len(set(kept))
+
+
+def test_rel_first_order_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_first_order"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_first_order"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

@@ -1130,6 +1130,13 @@ def _q_rel_first_order(sf_dir: str):
     return first_order_per_customer(sf_dir)
 
 
+def _q_rel_bucketed_join(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        bucketed_join_orders_customer)
+
+    return bucketed_join_orders_customer(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1291,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_profile": _q_kg_entity_profile,
         "prep_neardup": _q_prep_neardup,
         "rel_first_order": _q_rel_first_order,
+        "rel_bucketed_join": _q_rel_bucketed_join,
     }
 
 
@@ -2327,5 +2335,10 @@ SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP AS o_orderdate,
        o_orderpriority,
        round(o_totalprice * 100)::BIGINT AS first_cents
 FROM r WHERE rn = 1
+""",
+        "rel_bucketed_join": """
+SELECT o.o_orderkey, o.o_custkey, c.c_nationkey::BIGINT AS c_nationkey,
+       round(o.o_totalprice * 100)::BIGINT AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
     }

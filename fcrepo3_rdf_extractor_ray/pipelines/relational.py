@@ -2024,3 +2024,68 @@ def first_order_per_customer(sf_dir: str):
                             pc.cast(t["o_orderdate"], pa.timestamp("us")))
 
     return g.map_batches(fix_unit, batch_format="pyarrow")
+
+
+def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
+                                  bucket_root: str | None = None):
+    """BUCKETED STORAGE JOIN — the 'pick one partitioning key and reuse
+    it across stages' technique: both tables are written ONCE to
+    hash-bucketed Parquet (bucket = key mod n_buckets, one directory per
+    bucket), and the join then runs bucket-by-bucket with NO shuffle —
+    each task reads the two co-located bucket files and merges locally.
+    At 100 TB this is the layout that turns every subsequent key-joined
+    pipeline into a narrow map; the bucketed write is also the resumable
+    layout (a failed run re-reads only unfinished buckets).
+
+    Output: (o_orderkey, o_custkey, c_nationkey, total_cents) — exactly
+    a plain inner join (the oracle)."""
+    import os
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    root = bucket_root or os.path.join(
+        "/tmp", f"bucketed_{os.path.basename(os.path.normpath(sf_dir))}")
+
+    def write_bucketed(table: str, cols, key: str):
+        out = os.path.join(root, table)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = pc.cast(pc.bit_wise_and(t[key], n_buckets - 1), pa.int32())
+            return t.append_column("bucket", b)
+
+        (_read(sf_dir, table, cols)
+         .map_batches(add_bucket, batch_format="pyarrow")
+         .write_parquet(out, partition_cols=["bucket"]))
+        return out
+
+    o_dir = write_bucketed("orders",
+                           ["o_orderkey", "o_custkey", "o_totalprice"],
+                           "o_custkey")
+    c_dir = write_bucketed("customer", ["c_custkey", "c_nationkey"],
+                           "c_custkey")
+
+    def join_buckets(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for b in t["bucket"].to_pylist():  # ≤ n_buckets ids, not a hot loop
+            o = pq.read_table(os.path.join(o_dir, f"bucket={int(b)}"))
+            c = pq.read_table(os.path.join(c_dir, f"bucket={int(b)}"))
+            j = o.join(c, keys=["o_custkey"], right_keys=["c_custkey"])
+            cents = pc.cast(pc.round(pc.multiply(j["o_totalprice"], 100)),
+                            pa.int64())
+            outs.append(pa.table({
+                "o_orderkey": pc.cast(j["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(j["o_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(j["c_nationkey"], pa.int64()),
+                "total_cents": cents}))
+        return pa.concat_tables(outs)
+
+    buckets = rd.from_items([{"bucket": b} for b in range(n_buckets)],
+                            override_num_blocks=n_buckets)
+    return buckets.map_batches(join_buckets, batch_format="pyarrow",
+                               batch_size=1)

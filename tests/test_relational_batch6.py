@@ -371,3 +371,31 @@ def test_rel_first_order_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["rel_first_order"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_rel_bucketed_join_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_bucketed_join"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_bucketed_join"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_bucketed_join_layout_is_resumable(sf_dir, tmp_path):
+    """The bucketed write leaves one directory per bucket — the
+    resumable unit — and every customer key lands in exactly the bucket
+    its hash names."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        bucketed_join_orders_customer)
+
+    root = str(tmp_path / "buckets")
+    bucketed_join_orders_customer(sf_dir, bucket_root=root).count()
+    cdirs = sorted(os.listdir(os.path.join(root, "customer")))
+    assert len(cdirs) == 16 and all(d.startswith("bucket=") for d in cdirs)
+    t = pq.read_table(os.path.join(root, "customer", "bucket=3"))
+    assert (t["c_custkey"].to_pandas() % 16 == 3).all()

@@ -614,6 +614,33 @@ def _q_mm_phash_dups(sf_dir: str):
     return phash_neardup_pairs(items)
 
 
+def _q_mm_scene_change(sf_dir: str):
+    """Shot-boundary detection over synthetic 'videos' (concatenated
+    real-P6 frames): each doc gets 6 frames whose base image switches at
+    frame 3, so every item has exactly one planted cut. Rows-only (the
+    aHash grid has no SQL form); the cut contract is pinned in pytest."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (scene_changes,
+                                                             synthetic_ppm)
+
+    def to_video(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            frames = [synthetic_ppm(d, 16, 16)] * 3
+            frames += [synthetic_ppm(d + 7919, 16, 16)] * 3
+            payloads.append(b"".join(frames))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_video, batch_format="pyarrow", batch_size=64)
+    return scene_changes(items)
+
+
 def _q_mm_image_decode(sf_dir: str):
     """REAL image decode under oracle check: each doc gets a deterministic
     uncompressed P6 PPM (pixel byte i = (doc_id*K + i) mod 256, per-doc
@@ -1299,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_neardup": _q_prep_neardup,
         "rel_first_order": _q_rel_first_order,
         "rel_bucketed_join": _q_rel_bucketed_join,
+        "mm_scene_change": _q_mm_scene_change,
     }
 
 

@@ -505,3 +505,70 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
     return (pairs.map_batches(tag_pair, batch_format="pyarrow")
             .groupby("part").map_groups(pair_distinct,
                                         batch_format="pandas"))
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6-PPM 'video' payload into its frames —
+    a REAL sequential container parse: each frame's length is derived
+    from its own header (dims → pixel-plane size), so variable-sized
+    frames are fine. Raises ValueError on a malformed frame so callers
+    can contain per-item."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, _ = decode_ppm(payload[pos:])
+        header_end = payload.index(b"255\n", pos) + 4
+        end = header_end + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+class SceneChangeStage:
+    """'video' (concatenated PPM frames) → per-frame rows with the
+    perceptual-hash distance to the previous frame and a cut flag —
+    the shot-boundary / scene-change detector, built on the REAL frame
+    container parse + the all-integer aHash. Frame 0 has distance 0 and
+    is never a cut. Errors (malformed container) are contained per item
+    and counted, never failing the batch."""
+
+    def __init__(self, cut_hamming: int = 12, id_col="item_id",
+                 payload_col="payload"):
+        self.cut_hamming = cut_hamming
+        self.id_col, self.payload_col = id_col, payload_col
+        self.errors = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_no, dist, cut = [], [], [], []
+        for i, payload in zip(t[self.id_col].to_pylist(),
+                              t[self.payload_col].to_pylist()):
+            try:
+                hashes = [phash64(f) for f in split_ppm_stream(payload)]
+            except ValueError:
+                self.errors += 1
+                continue
+            prev = None
+            for f, hsh in enumerate(hashes):
+                d = 0 if prev is None else int(bin(prev ^ hsh).count("1"))
+                ids.append(i)
+                frame_no.append(f)
+                dist.append(d)
+                cut.append(f > 0 and d >= self.cut_hamming)
+                prev = hsh
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_no": pa.array(frame_no, pa.int64()),
+            "hamming_prev": pa.array(dist, pa.int64()),
+            "is_cut": pa.array(cut, pa.bool_()),
+        })
+
+
+def scene_changes(items_ds, cut_hamming: int = 12, id_col="item_id",
+                  payload_col="payload"):
+    """Actor-pool scene-change detection over a binary 'video' column
+    (small batches — payloads are the wide part)."""
+    return items_ds.map_batches(
+        SceneChangeStage,
+        fn_constructor_kwargs={"cut_hamming": cut_hamming,
+                               "id_col": id_col,
+                               "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=32, concurrency=2)

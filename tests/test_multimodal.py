@@ -211,3 +211,29 @@ def test_phash_neardup_planted(ray_session):
     # inversion flips (nearly) every aHash bit
     d = bin(phash64(base) ^ phash64(inverted)).count("1")
     assert d > 32
+
+
+def test_scene_change_planted_cut(ray_session):
+    """Concatenated-PPM video with two shots (3 identical frames each):
+    exactly one cut, at the shot boundary; identical consecutive frames
+    have hamming 0; a malformed item is contained, not fatal."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        scene_changes, split_ppm_stream, synthetic_ppm)
+
+    a = synthetic_ppm(1, 16, 16)
+    b = synthetic_ppm(4242, 12, 20)  # different dims too
+    video = a + a + a + b + b
+    assert [len(f) for f in split_ppm_stream(video)] == [len(a)] * 3 + \
+        [len(b)] * 2
+    items = pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([video, b"not a ppm"], pa.binary()),
+    })
+    out = scene_changes(rd.from_arrow(items)).to_pandas()
+    assert set(out["item_id"]) == {1}  # malformed item contained
+    cuts = out[out["is_cut"]]
+    assert cuts["frame_no"].tolist() == [3]
+    assert (out[out["frame_no"].isin([1, 2, 4])]["hamming_prev"] == 0).all()

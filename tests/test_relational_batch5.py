@@ -247,7 +247,8 @@ def test_connected_components_long_chain(ray_session):
         "norm_b": pa.array([b for _, b in chain + tri]),
     })
     out = to_pandas(connected_components(rd.from_arrow(edges)
-                                         .repartition(4)))
+                                         .repartition(4),
+                                         small_graph_edges=0))
     comp = out.set_index("node")["component"]
     assert (comp[[f"v{i:02d}" for i in range(30)]] == "v00").all()
     assert (comp[["z1", "z2", "z3"]] == "z1").all()

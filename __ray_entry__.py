@@ -1189,6 +1189,12 @@ def _q_rel_zorder(sf_dir: str):
     return zorder_orders(sf_dir)
 
 
+def _q_ml_linreg(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import linreg_by_flag
+
+    return linreg_by_flag(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1354,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_scene_change": _q_mm_scene_change,
         "dedup_incremental": _q_dedup_incremental,
         "rel_zorder": _q_rel_zorder,
+        "ml_linreg": _q_ml_linreg,
     }
 
 
@@ -2444,6 +2451,26 @@ SELECT o_orderkey,
          (((y >> 14) & 1) << 29) +
          (((x >> 15) & 1) << 30) +
          (((y >> 15) & 1) << 31))::BIGINT AS zvalue
+FROM s
+""",
+        "ml_linreg": """
+WITH s AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(round(l_discount * 100)::BIGINT)::BIGINT AS sx,
+         sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sy,
+         sum(round(l_discount * 100)::BIGINT
+             * round(l_discount * 100)::BIGINT)::BIGINT AS sxx,
+         sum(round(l_discount * 100)::BIGINT
+             * round(l_quantity * 100)::BIGINT)::BIGINT AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n AS n_rows,
+       floor(1000000.0 * ((n * sxy - sx * sy)::DOUBLE
+                          / (n * sxx - sx * sx)::DOUBLE))::BIGINT
+           AS slope_micro,
+       floor(1000000.0 * ((sy::DOUBLE
+              - ((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+             / n::DOUBLE))::BIGINT AS intercept_micro
 FROM s
 """,
     }

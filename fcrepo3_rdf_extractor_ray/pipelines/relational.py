@@ -2119,3 +2119,40 @@ def zorder_orders(sf_dir: str, bits: int = 16):
             "zvalue": pa.array(z.astype(np.int64), pa.int64())})
 
     return ds.map_batches(zval, batch_format="pyarrow")
+
+
+def linreg_by_flag(sf_dir: str):
+    """Grouped simple LINEAR REGRESSION (OLS, y = quantity on
+    x = discount, per return flag) — the distributed model-fitting
+    kernel: the exact integer sufficient statistics stream through the
+    `corr_sufficient_stats` combiner, and slope/intercept come from ONE
+    float division each per group, micro-floored. Both engine and
+    oracle divide the same two exact int64 values, so the IEEE result
+    (and its floor) is bit-identical — no accumulation-order drift."""
+    stats = corr_sufficient_stats(sf_dir)
+
+    def fit(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # corr_sufficient_stats carries x = quantity, y = discount; the
+        # regression here is quantity ON discount, so the regressor is
+        # the y-moments and the response the x-moments
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_resp = t["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_reg = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_regsq = t["sum_yy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_cross = t["sum_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * s_cross - s_reg * s_resp
+        den = n * s_regsq - s_reg * s_reg
+        slope = num.astype(np.float64) / den.astype(np.float64)
+        intercept = (s_resp.astype(np.float64)
+                     - slope * s_reg.astype(np.float64)) / n.astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_rows": pa.array(n),
+            "slope_micro": pa.array(np.floor(1e6 * slope).astype(np.int64)),
+            "intercept_micro": pa.array(
+                np.floor(1e6 * intercept).astype(np.int64)),
+        })
+
+    return stats.map_batches(fit, batch_format="pyarrow")

@@ -454,3 +454,12 @@ def test_zorder_locality_property():
         z |= ((x >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
         z |= ((y >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
     assert int(z) == 0b0101
+
+
+def test_ml_linreg_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["ml_linreg"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["ml_linreg"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

@@ -1195,6 +1195,13 @@ def _q_ml_linreg(sf_dir: str):
     return linreg_by_flag(sf_dir)
 
 
+def _q_kg_entity_timeline(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.ner import entity_timeline
+
+    return entity_timeline(pages_for_sf(sf_dir))
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1361,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "rel_zorder": _q_rel_zorder,
         "ml_linreg": _q_ml_linreg,
+        "kg_entity_timeline": _q_kg_entity_timeline,
     }
 
 
@@ -2473,4 +2481,19 @@ SELECT l_returnflag, n AS n_rows,
              / n::DOUBLE))::BIGINT AS intercept_micro
 FROM s
 """,
+        "kg_entity_timeline": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT m.src_url, m.norm FROM m),
+uts AS (SELECT url,
+               make_timestamp(1700000000000000
+                              + doc_id * 86400000000) AS wts
+        FROM u)
+SELECT d.norm, min(uts.wts) AS first_seen, max(uts.wts) AS last_seen,
+       count(*)::BIGINT AS n_pages
+FROM d JOIN uts ON uts.url = d.src_url
+GROUP BY d.norm
+"""
+        ),
     }

@@ -115,3 +115,75 @@ def mention_cooccurrence(mentions_ds, n_parts: int = 32):
     return g.map_batches(
         lambda t: t.rename_columns(["norm_a", "norm_b", "n_pages"]),
         batch_format="pyarrow")
+
+
+def entity_timeline(pages_ds, n_parts: int = 32):
+    """Per-entity TIMELINE: first and last time each entity was seen and
+    on how many distinct pages — the temporal facet a KG consumer needs
+    for freshness filtering and burst detection.
+
+    One url-keyed co-partitioned tag-union merge attaches each page's
+    fetch timestamp to its (deduped) mentions — the page table streams,
+    it is never broadcast — then a min/max/count combiner and one
+    entity-keyed exchange finish. All timestamps stay microsecond
+    integers end-to-end (bit-stable vs the SQL oracle)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+
+    mentions = detect_mentions(pages_ds)
+
+    def tag_m(t: pa.Table) -> pa.Table:
+        g = (t.select(["src_url", "norm"])
+             .group_by(["src_url", "norm"]).aggregate([]))
+        g = g.rename_columns(["src_url", "norm"])
+        return pa.table({
+            "url": g["src_url"], "norm": g["norm"],
+            "ts_us": pa.nulls(g.num_rows, pa.int64()),
+            "part": pa.array(fast_part_hash(g["src_url"], n_parts))})
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "url": t["url"], "norm": pa.nulls(t.num_rows, pa.string()),
+            "ts_us": ts,
+            "part": pa.array(fast_part_hash(t["url"], n_parts))})
+
+    tagged = (mentions.map_batches(tag_m, batch_format="pyarrow")
+              .union(pages_ds.map_batches(tag_p, batch_format="pyarrow")))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
+              .drop_duplicates("url").set_index("url")["ts_us"])
+        rows = df[df["norm"].notna()]
+        got = rows["url"].map(ts).astype("int64")
+        # per-partition combiner: one row per norm per partition
+        out = pd.DataFrame({"norm": rows["norm"].to_numpy(),
+                            "first_us": got.to_numpy(),
+                            "last_us": got.to_numpy(),
+                            "n_pages": np.ones(len(rows), dtype=np.int64)})
+        g = out.groupby("norm", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"),
+            n_pages=("n_pages", "sum"))
+        g["p2"] = fast_part_hash(g["norm"], n_parts)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("norm", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"),
+            n_pages=("n_pages", "sum"))
+        return g
+
+    g = (tagged.groupby("part").map_groups(attach, batch_format="pandas")
+         .groupby("p2").map_groups(finish, batch_format="pandas"))
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm": t["norm"],
+            "first_seen": pc.cast(t["first_us"], pa.timestamp("us")),
+            "last_seen": pc.cast(t["last_us"], pa.timestamp("us")),
+            "n_pages": pc.cast(t["n_pages"], pa.int64())})
+
+    return g.map_batches(to_ts, batch_format="pyarrow")

@@ -463,3 +463,12 @@ def test_ml_linreg_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["ml_linreg"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_kg_entity_timeline_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["kg_entity_timeline"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["kg_entity_timeline"]).df()
+    assert len(expected) > 0
+    assert_frames_equivalent(got, expected)

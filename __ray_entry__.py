@@ -1202,6 +1202,12 @@ def _q_kg_entity_timeline(sf_dir: str):
     return entity_timeline(pages_for_sf(sf_dir))
 
 
+def _q_prep_report(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import corpus_report
+
+    return corpus_report(sf_dir)
+
+
 def _q_ta_bm25(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.stages.text_analysis import bm25_scores
 
@@ -1369,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zorder": _q_rel_zorder,
         "ml_linreg": _q_ml_linreg,
         "kg_entity_timeline": _q_kg_entity_timeline,
+        "prep_report": _q_prep_report,
     }
 
 
@@ -2496,4 +2503,19 @@ FROM d JOIN uts ON uts.url = d.src_url
 GROUP BY d.norm
 """
         ),
+        "prep_report": """
+WITH s AS (SELECT count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       count(DISTINCT text)::BIGINT AS n_distinct_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs
+  FROM documents)
+SELECT n_docs, n_tokens, n_distinct_docs,
+       ((1000000 * (n_docs - n_distinct_docs)) // n_docs)::BIGINT
+           AS dup_rate_micro,
+       n_langs,
+       ((1000000 * n_chars) // n_docs)::BIGINT AS mean_chars_micro
+FROM s
+""",
     }

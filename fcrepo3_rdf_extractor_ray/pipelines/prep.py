@@ -112,3 +112,53 @@ def neardup_filter_corpus(sf_dir: str, threshold: float = 0.5):
         return t.select(["doc_id"])
 
     return docs.map_batches(survivors, batch_format="pyarrow")
+
+
+def corpus_report(sf_dir: str):
+    """CORPUS HEALTH REPORT — the one-row dashboard a data-pipeline
+    owner checks before training: document count, token volume, exact
+    duplicate rate, language count and mean doc length, all from
+    streaming combiner passes (no shuffle wider than the tiny dedup
+    exchange). Returns a single-row frame."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().str.len()
+        return pd.DataFrame({
+            "n_docs": [len(df)],
+            "n_tokens": [int(toks.sum())],
+            "n_chars": [int(df["text"].str.len().sum())],
+        })
+
+    agg = (docs.map_batches(partials, batch_format="pandas")
+           .aggregate(Sum("n_docs"), Sum("n_tokens"), Sum("n_chars")))
+
+    from ..stages.dedup import dedup_exact_docs
+
+    n_distinct = dedup_exact_docs(docs).count()
+
+    def langs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"].unique()})
+
+    n_langs = (docs.map_batches(langs, batch_format="pandas")
+               .to_pandas()["lang"].nunique())
+
+    n_docs = agg["sum(n_docs)"]
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_tokens": pd.array([agg["sum(n_tokens)"]], dtype="int64"),
+        "n_distinct_docs": pd.array([n_distinct], dtype="int64"),
+        "dup_rate_micro": pd.array(
+            [(1_000_000 * (n_docs - n_distinct)) // n_docs], dtype="int64"),
+        "n_langs": pd.array([n_langs], dtype="int64"),
+        "mean_chars_micro": pd.array(
+            [(1_000_000 * agg["sum(n_chars)"]) // n_docs], dtype="int64"),
+    })

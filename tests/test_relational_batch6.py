@@ -472,3 +472,12 @@ def test_kg_entity_timeline_oracle(sf_dir, duck):
     expected = duck.execute(em.oracle_sql()["kg_entity_timeline"]).df()
     assert len(expected) > 0
     assert_frames_equivalent(got, expected)
+
+
+def test_prep_report_oracle(sf_dir, duck):
+    import __ray_entry__ as em
+
+    got = em.queries()["prep_report"](sf_dir)
+    expected = duck.execute(em.oracle_sql()["prep_report"]).df()
+    assert len(expected) == 1
+    assert_frames_equivalent(got, expected)

@@ -1249,8 +1249,75 @@ def _q_rel_intervals(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered so entries WITHOUT a green driver CORRECTNESS row come
+    # first: the driver's gate samples the first 50 entries per round,
+    # so rotation converts one-off verification into durable signal
+    # (VERDICT r02 ask #1). Rotate again next round for the remainder.
     return {
-        # KG construction (flagship)
+        "mm_frame_sample": _q_mm_frame_sample,
+        "mm_image_decode": _q_mm_image_decode,
+        "mm_audio_windows": _q_mm_audio_windows,
+        "rel_global_rank": _q_rel_global_rank,
+        "rel_outer_join": _q_rel_outer_join,
+        "ta_group_concat": _q_ta_group_concat,
+        "rel_funnel": _q_rel_funnel,
+        "rel_rollup": _q_rel_rollup,
+        "rel_except": _q_rel_except,
+        "rel_gaps": _q_rel_gaps,
+        "rel_corr_stats": _q_rel_corr_stats,
+        "rel_histogram": _q_rel_histogram,
+        "ta_repetition": _q_ta_repetition,
+        "ta_bigrams": _q_ta_bigrams,
+        "ta_redact": _q_ta_redact,
+        "ta_sources": _q_ta_sources,
+        "rel_ntile": _q_rel_ntile,
+        "kg_degree": _q_kg_degree,
+        "ta_postings": _q_ta_postings,
+        "ta_feature_hash": _q_ta_feature_hash,
+        "rel_semi_join_bloom": _q_rel_semi_join_bloom,
+        "rel_heavy_hitters": _q_rel_heavy_hitters,
+        "rel_latest_event": _q_rel_latest_event,
+        "rel_hopping_window": _q_rel_hopping_window,
+        "ta_decontam": _q_ta_decontam,
+        "ta_pack": _q_ta_pack,
+        "ta_classifier": _q_ta_classifier,
+        "ta_resample": _q_ta_resample,
+        "rel_intervals": _q_rel_intervals,
+        "dedup_spans": _q_dedup_spans,
+        "ml_kmeans": _q_ml_kmeans,
+        "kg_reach": _q_kg_reach,
+        "ta_bm25": _q_ta_bm25,
+        "kg_components": _q_kg_components,
+        "kg_triangles": _q_kg_triangles,
+        "rel_cube": _q_rel_cube,
+        "rel_mode": _q_rel_mode,
+        "rel_cumsum": _q_rel_cumsum,
+        "rel_skew_join": _q_rel_skew_join,
+        "dedup_editdist": _q_dedup_editdist,
+        "kg_link_jaccard": _q_kg_link_jaccard,
+        "ta_collocations": _q_ta_collocations,
+        "rel_retention": _q_rel_retention,
+        "ta_keywords": _q_ta_keywords,
+        "rel_history": _q_rel_history,
+        "rel_window_distinct": _q_rel_window_distinct,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "dedup_containment": _q_dedup_containment,
+        "rel_cume_dist": _q_rel_cume_dist,
+        "ml_knn_classify": _q_ml_knn_classify,
+        "rel_unpivot": _q_rel_unpivot,
+        "kg_entity_profile": _q_kg_entity_profile,
+        "prep_neardup": _q_prep_neardup,
+        "rel_first_order": _q_rel_first_order,
+        "rel_bucketed_join": _q_rel_bucketed_join,
+        "dedup_incremental": _q_dedup_incremental,
+        "rel_zorder": _q_rel_zorder,
+        "ml_linreg": _q_ml_linreg,
+        "kg_entity_timeline": _q_kg_entity_timeline,
+        "prep_report": _q_prep_report,
+        "ta_fingerprint_rolling": _q_ta_fingerprint_rolling,
+        "dedup_simhash": _q_dedup_simhash,
+        "mm_phash_dups": _q_mm_phash_dups,
+        "mm_scene_change": _q_mm_scene_change,
         "kg_page_quads": _q_kg_page_quads,
         "kg_meta_quads": _q_kg_meta_quads,
         "kg_fact_quads": _q_kg_fact_quads,
@@ -1258,23 +1325,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_quads_join_resolve": _q_kg_quads_join_resolve,
         "kg_mentions": _q_kg_mentions,
         "kg_extracted_text": _q_kg_extracted_text,
-        # text analysis
         "ta_token_count": _q_ta_token_count,
         "ta_quality": _q_ta_quality,
         "ta_lang_id": _q_ta_lang_id,
         "ta_fingerprint": _q_ta_fingerprint,
-        "ta_fingerprint_rolling": _q_ta_fingerprint_rolling,
-        # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
-        # similarity search
         "sim_knn_brute": _q_sim_knn_brute,
         "sim_knn_filtered": _q_sim_knn_filtered,
         "sim_knn_ivf": _q_sim_knn_ivf,
-        # relational operators
         "rel_pricing_summary": _q_rel_pricing,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
@@ -1307,75 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
-        # multimodal plumbing (stubbed codec)
         "mm_image_features": _q_mm_image_features,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "mm_image_decode": _q_mm_image_decode,
-        "mm_audio_windows": _q_mm_audio_windows,
-        "rel_global_rank": _q_rel_global_rank,
-        "rel_outer_join": _q_rel_outer_join,
-        "ta_group_concat": _q_ta_group_concat,
-        # sequential / rollup / set / window / stats / binning
-        "rel_funnel": _q_rel_funnel,
-        "rel_rollup": _q_rel_rollup,
-        "rel_except": _q_rel_except,
-        "rel_gaps": _q_rel_gaps,
-        "rel_corr_stats": _q_rel_corr_stats,
-        "rel_histogram": _q_rel_histogram,
-        # corpus text statistics
-        "ta_repetition": _q_ta_repetition,
-        "ta_bigrams": _q_ta_bigrams,
-        "ta_redact": _q_ta_redact,
-        "ta_sources": _q_ta_sources,
-        # ranking / graph profiling / retrieval-index / featurization
-        "rel_ntile": _q_rel_ntile,
-        "kg_degree": _q_kg_degree,
-        "ta_postings": _q_ta_postings,
-        "ta_feature_hash": _q_ta_feature_hash,
-        # scale-path joins / sketch-verify / CDC compaction / windows
-        "rel_semi_join_bloom": _q_rel_semi_join_bloom,
-        "rel_heavy_hitters": _q_rel_heavy_hitters,
-        "rel_latest_event": _q_rel_latest_event,
-        "rel_hopping_window": _q_rel_hopping_window,
-        "ta_decontam": _q_ta_decontam,
-        "ta_pack": _q_ta_pack,
-        "ta_classifier": _q_ta_classifier,
-        # corpus rebalancing / interval analytics / span-level dedup
-        "ta_resample": _q_ta_resample,
-        "rel_intervals": _q_rel_intervals,
-        "dedup_spans": _q_dedup_spans,
-        "ml_kmeans": _q_ml_kmeans,
-        "kg_reach": _q_kg_reach,
-        "ta_bm25": _q_ta_bm25,
-        "kg_components": _q_kg_components,
-        "kg_triangles": _q_kg_triangles,
-        "rel_cube": _q_rel_cube,
-        "rel_mode": _q_rel_mode,
-        "rel_cumsum": _q_rel_cumsum,
-        "rel_skew_join": _q_rel_skew_join,
-        "dedup_editdist": _q_dedup_editdist,
-        "mm_phash_dups": _q_mm_phash_dups,
-        "kg_link_jaccard": _q_kg_link_jaccard,
-        "ta_collocations": _q_ta_collocations,
-        "rel_retention": _q_rel_retention,
-        "ta_keywords": _q_ta_keywords,
-        "rel_history": _q_rel_history,
-        "rel_window_distinct": _q_rel_window_distinct,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
-        "dedup_containment": _q_dedup_containment,
-        "rel_cume_dist": _q_rel_cume_dist,
-        "ml_knn_classify": _q_ml_knn_classify,
-        "rel_unpivot": _q_rel_unpivot,
-        "kg_entity_profile": _q_kg_entity_profile,
-        "prep_neardup": _q_prep_neardup,
-        "rel_first_order": _q_rel_first_order,
-        "rel_bucketed_join": _q_rel_bucketed_join,
-        "mm_scene_change": _q_mm_scene_change,
-        "dedup_incremental": _q_dedup_incremental,
-        "rel_zorder": _q_rel_zorder,
-        "ml_linreg": _q_ml_linreg,
-        "kg_entity_timeline": _q_kg_entity_timeline,
-        "prep_report": _q_prep_report,
     }
 
 
@@ -1462,6 +1455,28 @@ SELECT doc_id,
 FROM b
 """,
         "ta_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        # Karp-Rabin fold (base 1000003, mod 2^61-1) over md5-prefix token
+        # hashes, replayed as a recursive CTE: r.h at step i is the hash of
+        # the first i tokens; empty docs keep h=0. HUGEINT holds the
+        # pre-mod product (< 2^81). Tokenizer mirror of Python str.split().
+        "ta_fingerprint_rolling": r"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+pos AS (SELECT doc_id, i,
+               CAST('0x' || substring(md5(ts[i]), 1, 15) AS BIGINT)::HUGEINT
+                   AS th
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+n AS (SELECT doc_id, len(ts)::BIGINT AS n FROM tk),
+r AS (
+  SELECT doc_id, 0::BIGINT AS i, 0::HUGEINT AS h FROM documents
+  UNION ALL
+  SELECT r.doc_id, r.i + 1,
+         (r.h * 1000003 + p.th) % 2305843009213693951::HUGEINT
+  FROM r JOIN pos p ON p.doc_id = r.doc_id AND p.i = r.i + 1)
+SELECT r.doc_id, r.h::BIGINT AS fp_rolling
+FROM r JOIN n USING (doc_id) WHERE r.i = n.n
+""",
         # ta_fingerprint_rolling: order-sensitive Karp-Rabin — not
         # SQL-expressible; driver records rows-only.
         # --- dedup ---
@@ -1675,6 +1690,33 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
              JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE 1000000.0 * i.c / (sa.n + sb.n - i.c) >= 500000.0
+""",
+        # SimHash signatures recomputed exactly: md5-prefix 64-bit token
+        # hash, strict-majority bit vote (2*ones > n), empty docs → sig 0;
+        # the engine's 4×16-bit pigeonhole banding finds ALL pairs with
+        # hamming ≤ 3, so the all-pairs SQL is the same set.
+        "dedup_simhash": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS tok FROM documents),
+h AS (SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS th
+      FROM tk),
+n AS (SELECT doc_id, count(*)::BIGINT AS n FROM h GROUP BY doc_id),
+bits AS (SELECT doc_id, b, sum(((th >> b) & 1)::BIGINT)::BIGINT AS ones
+         FROM h CROSS JOIN (SELECT unnest(range(64))::UBIGINT AS b) bb
+         GROUP BY doc_id, b),
+sig AS (SELECT bits.doc_id,
+               sum(CASE WHEN 2 * ones > n.n
+                        THEN (1::HUGEINT << b::BIGINT) ELSE 0 END)::HUGEINT
+                   AS sig
+        FROM bits JOIN n USING (doc_id) GROUP BY bits.doc_id),
+sigs AS (SELECT d.doc_id, coalesce(sig.sig, 0)::UBIGINT AS sig
+         FROM documents d LEFT JOIN sig USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """,
         "rel_rolling": """
 SELECT event_id, user_id, ts,

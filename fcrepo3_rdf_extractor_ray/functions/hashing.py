@@ -126,6 +126,63 @@ def rolling_fingerprint(tokens) -> int:
 
 
 # ---------------------------------------------------------------------------
+# md5-derived token hashes — the SQL-REPLAYABLE family. DuckDB exposes
+# md5() but no SipHash, so query surfaces that want an exact DuckDB oracle
+# (ta_fingerprint_rolling, dedup_simhash) hash tokens with md5 prefixes;
+# SipHash remains the internal shuffle/content-hash family.
+
+def md5_hash64(s: str) -> int:
+    """First 16 hex chars of md5 → unsigned 64-bit int.
+    SQL mirror: CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def md5_hash60(s: str) -> int:
+    """First 15 hex chars of md5 → 60-bit int (< 2^61-1, so usable mod-p
+    without bias handling). SQL mirror: CAST('0x' || substring(md5(s),
+    1, 15) AS BIGINT)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def md5_token_hashes(tokens: list[str], memo: dict | None = None) -> np.ndarray:
+    """uint64 md5-prefix hash per token, memoized across calls (same
+    amortization as ``token_hashes``, different — SQL-replayable — family)."""
+    if memo is None:
+        return np.fromiter((md5_hash64(t) for t in tokens),
+                           dtype=np.uint64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = md5_hash64(t)
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def md5_rolling_fingerprint(tokens, memo: dict | None = None) -> int:
+    """Polynomial rolling hash (base 1000003, mod 2^61-1) over md5-prefix
+    token hashes — bit-identical to the DuckDB recursive-CTE replay in
+    ``oracle_sql()['ta_fingerprint_rolling']``."""
+    h = 0
+    if memo is None:
+        for t in tokens:
+            h = (h * _KR_BASE + md5_hash60(t)) % _KR_MOD
+    else:
+        for t in tokens:
+            th = memo.get(t)
+            if th is None:
+                th = md5_hash60(t)
+                memo[t] = th
+            h = (h * _KR_BASE + th) % _KR_MOD
+    return h
+
+
+# ---------------------------------------------------------------------------
 # MinHash / SimHash
 
 def _perm_params(num_perm: int, seed: int = 7):
@@ -222,11 +279,14 @@ def simhash64(tokens: list[str], memo: dict | None = None) -> int:
 
 
 def simhash64_batch(token_lists: list[list[str]],
-                    memo: dict | None = None) -> np.ndarray:
+                    memo: dict | None = None,
+                    hash_fn=None) -> np.ndarray:
     """Vectorized ``simhash64`` over many documents at once: one memoized
     token-hash pass over the concatenated tokens, one (total_tokens × 64)
     bit expansion, and a per-doc segment sum via ``np.add.reduceat`` —
-    no per-document Python loop. Bit-identical to ``simhash64``."""
+    no per-document Python loop. Bit-identical to ``simhash64`` with the
+    default (SipHash) family; pass ``hash_fn=md5_token_hashes`` for the
+    SQL-replayable family used by the ``dedup_simhash`` oracle."""
     counts = np.array([len(ts) for ts in token_lists], dtype=np.int64)
     out = np.zeros(len(token_lists), dtype=np.uint64)
     nonempty = counts > 0
@@ -235,7 +295,7 @@ def simhash64_batch(token_lists: list[list[str]],
     flat: list[str] = []
     for ts in token_lists:
         flat.extend(ts)
-    H = token_hashes(flat, memo)
+    H = (hash_fn or token_hashes)(flat, memo)
     shifts = np.arange(64, dtype=np.uint64)
     # little-endian byte view + bitorder='little' puts bit k of the uint64
     # at column k — an 8× smaller intermediate than a 64-wide shift matrix

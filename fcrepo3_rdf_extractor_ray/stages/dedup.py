@@ -172,12 +172,22 @@ def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 # actor-pool spawn/ramp — the W1 stateful-stage benefit in task form.
 # Capped so a long-lived worker can't grow it unboundedly.
 _TOKEN_MEMO: dict[str, int] = {}
+# Separate memo for the md5-prefix family (dedup_simhash's SQL-replayable
+# hashes) — must NEVER share a dict with the SipHash memo, or whichever
+# stage runs first poisons the other's cache.
+_MD5_TOKEN_MEMO: dict[str, int] = {}
 
 
 def _worker_memo(cap: int = 1_000_000) -> dict:
     if len(_TOKEN_MEMO) > cap:
         _TOKEN_MEMO.clear()
     return _TOKEN_MEMO
+
+
+def _md5_worker_memo(cap: int = 1_000_000) -> dict:
+    if len(_MD5_TOKEN_MEMO) > cap:
+        _MD5_TOKEN_MEMO.clear()
+    return _MD5_TOKEN_MEMO
 
 
 def minhash_sig_batch(t: pa.Table, text_col="text", id_col="doc_id",
@@ -487,12 +497,15 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
     hamming ≤ 3 over 64 bits ⇒ at least one of 4 chunks identical), verify
     hamming distance exactly within buckets, global pair dedup."""
     def sim_sigs(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import simhash64_batch
+        from ..functions.hashing import md5_token_hashes, simhash64_batch
 
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # md5-prefix token hashes: the SQL-replayable family, so the
+        # dedup_simhash oracle recomputes signatures exactly in DuckDB
         sigs = simhash64_batch([txt.split()
                                 for txt in t[text_col].to_pylist()],
-                               memo=_worker_memo())
+                               memo=_md5_worker_memo(),
+                               hash_fn=md5_token_hashes)
         # explode each doc into its 4×16-bit chunks, vectorized
         # (pigeonhole: hamming ≤ 3 over 64 bits ⇒ ≥1 chunk identical)
         c = np.arange(4, dtype=np.uint64)

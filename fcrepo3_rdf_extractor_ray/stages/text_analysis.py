@@ -103,9 +103,16 @@ def lang_id(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+_ROLL_MEMO: dict = {}  # per-worker-process token-hash memo
+
+
 def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
-    """md5 hex fingerprint (SQL-exact) + rolling Karp-Rabin token hash."""
+    """md5 hex fingerprint (SQL-exact) + rolling Karp-Rabin token hash over
+    md5-prefix token hashes — BOTH columns now replay exactly in DuckDB
+    (``oracle_sql()['ta_fingerprint_rolling']`` is a recursive-CTE fold)."""
     import hashlib
+
+    from ..functions.hashing import md5_rolling_fingerprint
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -113,7 +120,8 @@ def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
             "fp_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
                        for t in df[text_col]],
             # mod 2^61-1 < int64 max, fits signed directly
-            "fp_rolling": [np.int64(rolling_fingerprint(_tokens(t)))
+            "fp_rolling": [np.int64(md5_rolling_fingerprint(_tokens(t),
+                                                            _ROLL_MEMO))
                            for t in df[text_col]],
         })
 

@@ -1431,13 +1431,24 @@ def latest_event_per_user(sf_dir: str):
             "value_cents": (g["value"] * 100).round().astype("int64"),
         })
 
+    # final pick mirrors first_order_per_customer: bounded hash partition
+    # + vectorized per-partition tail(1), not a per-key map_groups
+    n_parts = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1),
+                       pa.int32())
+        return t.append_column("part", part)
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
-        return df.groupby("user_id", as_index=False).tail(1)
+        out = df.groupby("user_id", as_index=False, sort=False).tail(1)
+        return out.drop(columns=["part"])
 
     combined = ds.map_batches(
         lambda df: pick_latest(df), batch_format="pandas")
-    g = combined.groupby("user_id").map_groups(finish, batch_format="pandas")
+    g = (combined.map_batches(tag, batch_format="pyarrow")
+         .groupby("part").map_groups(finish, batch_format="pandas"))
 
     def fix_unit(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("ts")
@@ -2014,9 +2025,26 @@ def first_order_per_customer(sf_dir: str):
         })
 
     combined = ds.map_batches(pick_first, batch_format="pandas")
-    g = combined.groupby("o_custkey").map_groups(
-        lambda df: df.sort_values(["o_orderdate", "o_orderkey"]).head(1),
-        batch_format="pandas")
+
+    # final pick: ONE exchange keyed on a bounded hash partition, then a
+    # vectorized sort + per-customer head(1) PER PARTITION — not per key
+    # (groupby(<raw key>).map_groups invokes the UDF once per key: ~15k
+    # pandas calls at sf0.1, millions at scale; the event_type_history
+    # pattern does the same work in n_parts vectorized calls).
+    n_parts = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["o_custkey"], n_parts - 1),
+                       pa.int32())
+        return t.append_column("part", part)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        out = df.groupby("o_custkey", as_index=False, sort=False).head(1)
+        return out.drop(columns=["part"])
+
+    g = (combined.map_batches(tag, batch_format="pyarrow")
+         .groupby("part").map_groups(finish, batch_format="pandas"))
 
     def fix_unit(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("o_orderdate")

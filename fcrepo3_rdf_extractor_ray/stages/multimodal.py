@@ -48,13 +48,11 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
         np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Binary P6 PPM → (width, height, H×W×3 uint8).
-
-    A real decode: header tokenizer (handles ``#`` comments per the
-    netpbm spec), then a zero-copy ``np.frombuffer`` view of the pixel
-    plane. Raises ValueError on anything malformed (wrong magic, bad
-    dims, truncated plane) so callers can contain per-row."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header → (width, height, pixel_plane_offset). The
+    offset is authoritative for frame framing — container splitters must
+    use it rather than searching for a header substring (a literal like
+    b'255\\n' also matches a 255-valued dimension token)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     pos, tokens = 2, []
@@ -80,6 +78,17 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PPM dimensions")
+    return width, height, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary P6 PPM → (width, height, H×W×3 uint8).
+
+    A real decode: header tokenizer (handles ``#`` comments per the
+    netpbm spec), then a zero-copy ``np.frombuffer`` view of the pixel
+    plane. Raises ValueError on anything malformed (wrong magic, bad
+    dims, truncated plane) so callers can contain per-row."""
+    width, height, pos = _ppm_header(payload)
     n = width * height * 3
     pix = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
     if pix.size < n:
@@ -431,13 +440,24 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
     for hamming ≤ 3 (4 bands, so ≤ 3 bit errors leave one band clean);
     at 4-6 it is high-recall best-effort — raise the band count for a
     stricter guarantee. Precision is exact (every emitted pair is
-    verified). Returns (item_a, item_b, hamming)."""
+    verified). Returns (item_a, item_b, hamming).
+
+    HOT-BUCKET NOTE (web scale): near-uniform images (black frames,
+    blank thumbnails) all share the same aHash and pile into one band
+    bucket, making its verify O(b²). The verify is vectorized
+    (triu_indices + XOR-popcount, ~10⁸ pairs/s/core), but at 100 TB
+    pre-salt such buckets: split any bucket above ~10⁴ members by a
+    secondary key (e.g. phash's other bands, or item_id ranges) and
+    accept the recall loss only within the degenerate bucket — exact
+    dups inside it are better handled by the exact-hash pass anyway."""
     import pandas as pd
+
+    from ..runtime import pool as _pool
 
     sigs = items_ds.map_batches(
         PhashStage,
         fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col},
-        batch_format="pyarrow", batch_size=64, concurrency=2,
+        batch_format="pyarrow", batch_size=64, concurrency=_pool(0.5),
     ).materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
@@ -464,7 +484,10 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
             "part", pa.array((key % n_parts).astype(np.int32)))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h = [], [], []
+        # vectorized wedge emission + XOR-popcount (the triangle_count
+        # pattern) — no interpreted per-pair loop, so a degenerate
+        # bucket of near-identical images costs numpy time, not Python
+        chunks = []
         for _, grp in df.groupby(["band", "band_val"]):
             if len(grp) < 2:
                 continue
@@ -472,19 +495,19 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
             hs = grp["phash"].to_numpy().astype(np.uint64)
             order = np.argsort(ids)
             ids, hs = ids[order], hs[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if d <= max_hamming:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_h.append(d)
+            ia, ja = np.triu_indices(len(ids), k=1)
+            x = hs[ia] ^ hs[ja]
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                              axis=1).sum(axis=1).astype(np.int64)
+            keep = (d <= max_hamming) & (ids[ia] != ids[ja])
+            chunks.append(np.stack([ids[ia][keep], ids[ja][keep],
+                                    d[keep]], axis=1))
+        P = (np.concatenate(chunks) if chunks
+             else np.empty((0, 3), dtype=np.int64))
         return pd.DataFrame({
-            "item_a": pd.array(out_a, dtype="int64"),
-            "item_b": pd.array(out_b, dtype="int64"),
-            "hamming": pd.array(out_h, dtype="int64")})
+            "item_a": P[:, 0].astype("int64"),
+            "item_b": P[:, 1].astype("int64"),
+            "hamming": P[:, 2].astype("int64")})
 
     pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
              .map_batches(tag, batch_format="pyarrow")
@@ -515,9 +538,13 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
     can contain per-item."""
     frames, pos = [], 0
     while pos < len(payload):
-        w, h, _ = decode_ppm(payload[pos:])
-        header_end = payload.index(b"255\n", pos) + 4
-        end = header_end + w * h * 3
+        # frame end = this frame's own header length + pixel-plane size;
+        # NEVER search for a header substring (b"255\n" also matches a
+        # 255-valued dimension token and would mis-split the stream)
+        w, h, hdr_len = _ppm_header(payload[pos:])
+        end = pos + hdr_len + w * h * 3
+        if end > len(payload):
+            raise ValueError("truncated PPM frame in stream")
         frames.append(payload[pos:end])
         pos = end
     return frames
@@ -565,10 +592,14 @@ class SceneChangeStage:
 def scene_changes(items_ds, cut_hamming: int = 12, id_col="item_id",
                   payload_col="payload"):
     """Actor-pool scene-change detection over a binary 'video' column
-    (small batches — payloads are the wide part)."""
+    (small batches — payloads are the wide part). The pool autoscales
+    with the cluster (a hardcoded concurrency starved this — the only
+    expensive — stage at 32 CPUs)."""
+    from ..runtime import pool as _pool
+
     return items_ds.map_batches(
         SceneChangeStage,
         fn_constructor_kwargs={"cut_hamming": cut_hamming,
                                "id_col": id_col,
                                "payload_col": payload_col},
-        batch_format="pyarrow", batch_size=32, concurrency=2)
+        batch_format="pyarrow", batch_size=32, concurrency=_pool(0.75))

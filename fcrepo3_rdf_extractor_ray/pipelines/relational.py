@@ -587,6 +587,46 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def _range_window_sums(tsv: np.ndarray, gid: np.ndarray,
+                       cents: np.ndarray, delta: int) -> np.ndarray:
+    """Trailing-range window sums per segment: for each row i, the sum of
+    ``cents`` over rows j in the same gid segment with
+    ``tsv[i]-delta <= tsv[j] <= tsv[i]`` (peers included). Rows must
+    arrive sorted by (gid, tsv).
+
+    Fast path packs (gid, rebased ts) into one int64 key so both range
+    probes are single global ``searchsorted`` calls; each segment is
+    rebased to its own min, so the stride scales with the max PER-USER
+    span, and the int64 bound is CHECKED — on overflow (users/partition
+    × per-user span beyond ~9.2e18) it falls back to exact per-segment
+    probes instead of silently wrapping."""
+    n = len(tsv)
+    if not n:
+        return np.empty(0, dtype=np.int64)
+    cum = np.cumsum(cents)
+    seg_first = np.unique(gid, return_index=True)[1]
+    seg_len = np.diff(np.append(seg_first, n))
+    rebased = tsv - np.repeat(tsv[seg_first], seg_len)
+    span = int(rebased.max())
+    stride = span + delta + 1
+    if int(gid[-1]) * stride + span < np.iinfo(np.int64).max:
+        # prev segment's max key = g*stride - delta - 1 < any query key
+        # g*stride + rebased - delta, so probes can't cross segments
+        key = rebased + gid * stride
+        lo = np.searchsorted(key, key - delta, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        s = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+    else:
+        s = np.empty(n, dtype=np.int64)
+        bounds = np.append(seg_first, n)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = tsv[a:b]
+            lo = a + np.searchsorted(seg, seg - delta, side="left")
+            hi = a + np.searchsorted(seg, seg, side="right")
+            s[a:b] = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+    return s.astype(np.int64)
+
+
 def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int = 32):
     """TIME-RANGE windowed aggregate (RANGE frame, not row frame): each
     event gains the sum of the same user's event values inside the
@@ -616,15 +656,8 @@ def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int = 32):
             drop=True)
         tsv = df["ts"].values.astype("datetime64[us]").astype(np.int64)
         gid = df.groupby("user_id", sort=False).ngroup().values
-        if len(tsv):
-            tsv = tsv - tsv.min()  # rebase so gid*stride can't overflow
-        stride = (tsv.max() + delta + 1) if len(tsv) else 1
-        key = tsv + gid * stride
-        cum = np.cumsum(df["cents"].values)
-        lo = np.searchsorted(key, key - delta, side="left")
-        hi = np.searchsorted(key, key, side="right")  # last peer included
-        s = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
-        df["win_cents"] = s.astype(np.int64)
+        s = _range_window_sums(tsv, gid, df["cents"].values, int(delta))
+        df["win_cents"] = s
         return df[["event_id", "user_id", "ts", "win_cents"]]
 
     return ds.groupby("part").map_groups(win, batch_format="pandas")
@@ -2066,15 +2099,22 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
     layout (a failed run re-reads only unfinished buckets).
 
     Output: (o_orderkey, o_custkey, c_nationkey, total_cents) — exactly
-    a plain inner join (the oracle)."""
+    a plain inner join (the oracle).
+
+    ``bucket_root`` defaults to a fresh per-run directory (tempfile):
+    a fixed default raced two concurrent runs over the same corpus —
+    each rmtree'd the other's bucket files mid-read. Pass an explicit
+    root to REUSE a previously-written layout across pipelines (the
+    actual point of bucketing); the caller then owns its lifecycle."""
     import os
     import shutil
+    import tempfile
 
     import ray
     import ray.data as rd
 
-    root = bucket_root or os.path.join(
-        "/tmp", f"bucketed_{os.path.basename(os.path.normpath(sf_dir))}")
+    root = bucket_root or tempfile.mkdtemp(
+        prefix=f"bucketed_{os.path.basename(os.path.normpath(sf_dir))}_")
 
     def write_bucketed(table: str, cols, key: str):
         out = os.path.join(root, table)

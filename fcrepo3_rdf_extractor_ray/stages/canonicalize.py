@@ -104,9 +104,17 @@ class AliasLinkStage:
 
     def __init__(self, alias_ref, emb_threshold: float = 0.99):
         alias_tbl: pa.Table = ray.get(alias_ref)
-        self.alias: dict[str, str] = dict(
-            zip(alias_tbl["surface"].to_pylist(), alias_tbl["entity_id"].to_pylist())
-        )
+        surfaces = alias_tbl["surface"].to_pylist()
+        ids = alias_tbl["entity_id"].to_pylist()
+        # duplicate surfaces: last wins (dict semantics of the original
+        # per-row path); the dedup'd arrays feed the vectorized index_in
+        import pandas as pd
+
+        s = pd.Series(ids, index=surfaces)
+        s = s[~s.index.duplicated(keep="last")]
+        self.surface_arr = pa.array(s.index.to_numpy(dtype=object),
+                                    pa.string())
+        self.id_arr = pa.array(s.to_numpy(dtype=object), pa.string())
         emb = np.asarray(alias_tbl["embedding"].to_pylist(), dtype=np.float64)
         if emb.size:
             self.emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
@@ -127,16 +135,35 @@ class AliasLinkStage:
         return v / n if n else v
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        norms = t["norm"].to_pylist()
-        cands = []
-        for norm in norms:
-            hit = self.alias.get(norm)
-            if hit is None and len(self.emb):
-                sims = self.emb @ self._surface_embedding(norm)
-                j = int(np.argmax(sims))
-                if sims[j] >= self.emb_threshold:
-                    hit = self.emb_ids[j]
-            cands.append(hit if hit is not None else skolem_iri(norm))
+        # dict hits resolved in ONE Arrow pass (index_in + take); only
+        # the misses pay Python — their embeddings batch into a single
+        # (n_miss × 16) @ (16 × n_alias) matmul instead of a per-norm
+        # probe + matmul (this sits on the flagship path)
+        import pyarrow.compute as pc
+
+        norm_col = t["norm"].combine_chunks() if isinstance(
+            t["norm"], pa.ChunkedArray) else t["norm"]
+        idx = pc.index_in(norm_col, value_set=self.surface_arr)
+        cands = pc.take(self.id_arr, idx).to_numpy(zero_copy_only=False)
+        miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        if miss.any():
+            miss_norms = np.asarray(norm_col.to_pylist(),
+                                    dtype=object)[miss]
+            if len(self.emb):
+                M = np.stack([self._surface_embedding(n)
+                              for n in miss_norms])
+                sims = M @ self.emb.T
+                j = sims.argmax(axis=1)
+                best = sims[np.arange(len(j)), j]
+                resolved = np.array(
+                    [self.emb_ids[jj] if bb >= self.emb_threshold
+                     else skolem_iri(n)
+                     for n, jj, bb in zip(miss_norms, j, best)],
+                    dtype=object)
+            else:
+                resolved = np.array([skolem_iri(n) for n in miss_norms],
+                                    dtype=object)
+            cands[miss] = resolved
         return pa.table({
             "norm": t["norm"],
             "candidate_id": pa.array(cands, pa.string()),

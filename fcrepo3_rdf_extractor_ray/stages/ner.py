@@ -155,15 +155,19 @@ def entity_timeline(pages_ds, n_parts: int = 32):
               .union(pages_ds.map_batches(tag_p, batch_format="pyarrow")))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
-              .drop_duplicates("url").set_index("url")["ts_us"])
-        rows = df[df["norm"].notna()]
-        got = rows["url"].map(ts).astype("int64")
+        # aggregate the page side PER URL first (min/max ts, row count):
+        # a url fetched twice with different warc_ts must contribute both
+        # timestamps and both rows, exactly as the oracle's d JOIN uts
+        # (drop_duplicates kept one arbitrary timestamp)
+        agg = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
+               .groupby("url")["ts_us"].agg(["min", "max", "count"]))
+        rows = df[df["norm"].notna()].merge(
+            agg, left_on="url", right_index=True, how="left")
         # per-partition combiner: one row per norm per partition
         out = pd.DataFrame({"norm": rows["norm"].to_numpy(),
-                            "first_us": got.to_numpy(),
-                            "last_us": got.to_numpy(),
-                            "n_pages": np.ones(len(rows), dtype=np.int64)})
+                            "first_us": rows["min"].astype("int64").to_numpy(),
+                            "last_us": rows["max"].astype("int64").to_numpy(),
+                            "n_pages": rows["count"].astype("int64").to_numpy()})
         g = out.groupby("norm", as_index=False).agg(
             first_us=("first_us", "min"), last_us=("last_us", "max"),
             n_pages=("n_pages", "sum"))

@@ -237,3 +237,25 @@ def test_scene_change_planted_cut(ray_session):
     cuts = out[out["is_cut"]]
     assert cuts["frame_no"].tolist() == [3]
     assert (out[out["frame_no"].isin([1, 2, 4])]["hamming_prev"] == 0).all()
+
+
+def test_split_ppm_stream_255_dimension_frame():
+    """Regression: a frame whose height (or width) is 255 puts the bytes
+    b'255\\n' inside the dimension tokens; frame boundaries must come
+    from each frame's own header length + pixel-plane size, not from
+    searching for a header substring."""
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        split_ppm_stream, synthetic_ppm)
+
+    tall = synthetic_ppm(7, 2, 255)   # header: P6\n2 255\n255\n
+    wide = synthetic_ppm(9, 255, 2)
+    small = synthetic_ppm(3, 4, 4)
+    video = tall + small + wide + small
+    frames = split_ppm_stream(video)
+    assert [len(f) for f in frames] == [len(tall), len(small),
+                                        len(wide), len(small)]
+    # and a truncated tail frame raises (per-item containment upstream)
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_ppm_stream(video + small[:-10])

@@ -175,3 +175,42 @@ def test_grouped_quantiles_cont_matches_numpy(tmp_path):
             expect = int(np.floor(np.percentile(vals, q * 100,
                                                 method="linear") * 1e6))
             assert out.loc[lang, col] == expect, (lang, col)
+
+
+def test_range_window_sums_overflow_fallback_exact():
+    """The packed-key fast path and the per-segment fallback must agree
+    with a brute-force reference; the fallback engages (instead of
+    silently wrapping int64) when segments × per-user span exceed the
+    packable range."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        _range_window_sums)
+
+    rng = np.random.RandomState(11)
+    delta = 1000
+
+    def brute(tsv, gid, cents):
+        out = np.empty(len(tsv), dtype=np.int64)
+        for i in range(len(tsv)):
+            m = (gid == gid[i]) & (tsv >= tsv[i] - delta) & (tsv <= tsv[i])
+            out[i] = cents[m].sum()
+        return out
+
+    # normal magnitudes → fast path
+    gid = np.sort(rng.randint(0, 7, size=200))
+    tsv = np.concatenate([np.sort(rng.randint(0, 5000, size=(gid == g).sum()))
+                          for g in np.unique(gid)]).astype(np.int64)
+    cents = rng.randint(-50, 50, size=200).astype(np.int64)
+    got = _range_window_sums(tsv, gid, cents, delta)
+    assert (got == brute(tsv, gid, cents)).all()
+
+    # huge per-user spans → gid*stride would wrap int64; the fallback
+    # must produce the same exact sums
+    big = np.int64(4_000_000_000_000_000_000)  # ~4.0e18 µs span
+    tsv2 = np.concatenate([np.sort(rng.randint(0, 3, size=(gid == g).sum())
+                                   .astype(np.int64)) + (g % 2) * big
+                           for g in np.unique(gid)])
+    assert int(gid.max()) * (int(big) + delta + 1) > np.iinfo(np.int64).max
+    got2 = _range_window_sums(tsv2, gid, cents, delta)
+    assert (got2 == brute(tsv2, gid, cents)).all()

@@ -111,6 +111,36 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
     return dedup_quads(resolved, n_salts=n_salts)
 
 
+def run_kg_parse_once(sf_dir: str, with_mentions: bool = False,
+                      use_join_resolve: bool = False, n_salts: int = 1,
+                      repeat: int = 1, skip_empty_literals: bool = True):
+    """Flagship over the PARSE-ONCE backbone: pages run through
+    ``parse_pages`` exactly once; quad extraction AND mention detection
+    both derive from the same materialized parsed table (which drops
+    the html column — the widest bytes die at the parse stage).
+
+    Byte-identical quads to ``run_kg`` (oracle-checked as
+    ``kg_quads_parse_once``); with ``with_mentions=True`` also returns
+    the mentions Dataset from the SAME parse (oracle-checked as
+    ``kg_mentions_parse_once``) — the shape a production run wants when
+    it consumes both outputs."""
+    from ..stages.extract import extract_quads_from_parsed, parse_pages
+
+    pages = pages_for_sf(sf_dir, repeat=repeat)
+    parsed = parse_pages(pages).materialize()
+    raw = extract_quads_from_parsed(
+        parsed, skip_empty_literals=skip_empty_literals).materialize()
+    alias = build_alias_table()
+    mapping = build_entity_map(raw, alias, n_salts=n_salts)
+    resolved = resolve_quads(raw, mapping)
+    quads = dedup_quads(resolved, n_salts=n_salts)
+    if with_mentions:
+        from ..stages.ner import mentions_from_parsed
+
+        return quads, mentions_from_parsed(parsed)
+    return quads
+
+
 def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
                      wave_size: int = 4,
                      concurrency: int | tuple | None = None,
@@ -312,7 +342,10 @@ def entity_profile(pages_ds, n_parts: int = 32):
     from ..stages.graph import connected_components
     from ..stages.ner import detect_mentions, mention_cooccurrence
 
-    mentions = detect_mentions(pages_ds)
+    # materialized: mentions feed BOTH the page-count branch and the
+    # co-occurrence branch — without the pin, each branch re-executes
+    # detect_mentions and the pages are parsed twice per run
+    mentions = detect_mentions(pages_ds).materialize()
 
     # distinct (url, norm) pairs are per-batch distinct only — the final
     # per-norm page count dedupes ACROSS batches inside the merge via a

@@ -277,6 +277,58 @@ class ExtractTextStage:
                          "text": pa.array(texts, pa.string())})
 
 
+def parse_pages(pages_ds, batch_size: int = 4096):
+    """pages → structured parsed rows (ParsePagesStage in task form):
+    the PARSE-ONCE backbone. Downstream quad extraction AND mention
+    detection both read this dataset, so ``parse_page`` runs exactly
+    once per page per run (the html column dies here — the parsed table
+    carries only text/title/metas/fact_sentences)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return ParsePagesStage()(t)
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
+def extract_quads_from_parsed(parsed_ds, skip_empty_literals: bool = True,
+                              batch_size: int = 4096):
+    """Quads from an already-parsed pages dataset — byte-identical
+    output to ``extract_quads_batch`` (same constant/meta/fact rows,
+    same containment: a malformed page, parse_ok=false, emits only its
+    constant quads), but with no ``parse_page`` call: the parse-once
+    path for runs that also need mentions from the same parse."""
+    def fn(batch: pa.Table, skip_empty_literals: bool = True) -> pa.Table:
+        const_quads = page_quads_batch(batch)
+        rows: list[tuple] = []
+        for url, ok, title, names, vals, sents in zip(
+                batch["url"].to_pylist(), batch["parse_ok"].to_pylist(),
+                batch["title"].to_pylist(),
+                batch["meta_names"].to_pylist(),
+                batch["meta_values"].to_pylist(),
+                batch["fact_sentences"].to_pylist()):
+            if not ok:
+                continue  # contained at parse time: constant quads only
+            try:
+                page = ParsedPage(title=title,
+                                  metas=list(zip(names, vals)),
+                                  fact_sentences=sents or [])
+                page_rows = list(meta_quad_rows(url, page))
+                page_rows.extend(fact_quad_rows(fact_rows_for_page(url, page)))
+            except Exception:
+                continue
+            rows.extend(page_rows)
+        out = pa.concat_tables([const_quads, _rows_to_quads(rows)])
+        if skip_empty_literals:
+            from .filters import skip_empty_literals_table
+
+            out = skip_empty_literals_table(out)
+        return out
+
+    return parsed_ds.map_batches(
+        fn, fn_kwargs={"skip_empty_literals": skip_empty_literals},
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 class ParsePagesStage:
     """pages batch → one structured row per page (unfused path): url,
     parse_ok, title, meta names/values, text, fact sentence list. Feeds the

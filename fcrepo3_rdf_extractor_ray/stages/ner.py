@@ -26,13 +26,38 @@ class NerStage:
     """pages batch → (src_url, surface, norm) mention rows, one row per
     mention occurrence in the page's candidate sentences. Regex (or
     model) bound once per actor; per-row error containment as in the
-    extraction stage."""
+    extraction stage.
 
-    def __init__(self):
+    ``weights_ref`` is the REAL model slot: a ``ray.put`` object ref to
+    a checkpoint artifact (here a pickled vocabulary dict + embedding
+    matrix; a torch/sklearn checkpoint slots in identically). It is
+    fetched from the object store ONCE per actor in ``__init__`` — the
+    W1 pattern (ObjectProcessor.java:96-139) — never per batch; when
+    provided, mentions whose norm is outside the vocabulary are
+    dropped (the model's gazetteer behavior). ``load_counter`` names a
+    Ray counter actor used by tests to assert one load per actor."""
+
+    def __init__(self, weights_ref=None, load_counter: str | None = None):
+        self.vocab = None
+        if weights_ref is not None:
+            import ray
+
+            vocab, emb = ray.get(weights_ref)  # once per ACTOR
+            self.vocab = vocab
+            self.emb = emb
+        if load_counter is not None:
+            import ray
+
+            ray.get(ray.get_actor(load_counter).incr_load.remote())
+        self._load_counter = load_counter
         self.pattern = _MENTION_RE
         self.errors = 0
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self._load_counter is not None:
+            import ray
+
+            ray.get(ray.get_actor(self._load_counter).incr_batch.remote())
         urls, surfaces, norms = [], [], []
         for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
             try:
@@ -42,9 +67,12 @@ class NerStage:
                 continue
             for sent in page.fact_sentences:
                 for m in self.pattern.findall(sent):
+                    n = norm_surface(m)
+                    if self.vocab is not None and n not in self.vocab:
+                        continue
                     urls.append(url)
                     surfaces.append(m)
-                    norms.append(norm_surface(m))
+                    norms.append(n)
         return pa.table({
             "src_url": pa.array(urls, pa.string()),
             "surface": pa.array(surfaces, pa.string()),
@@ -52,14 +80,18 @@ class NerStage:
         })
 
 
-def detect_mentions(pages_ds, concurrency=None, batch_size: int = 4096):
+def detect_mentions(pages_ds, concurrency=None, batch_size: int = 4096,
+                    weights_ref=None, load_counter: str | None = None):
     """Default is task form on warm workers (the regex "model" is a
     module-level compiled pattern — no per-actor setup worth a pool
     ramp); pass ``concurrency`` for the actor-pool form, the right shape
-    once a real NER model loads per actor."""
+    once a real NER model loads per actor (``weights_ref`` = ray.put
+    checkpoint ref, fetched once per actor in ``__init__``)."""
     if concurrency is not None:
         return pages_ds.map_batches(
             NerStage,
+            fn_constructor_kwargs={"weights_ref": weights_ref,
+                                   "load_counter": load_counter},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -70,6 +102,31 @@ def detect_mentions(pages_ds, concurrency=None, batch_size: int = 4096):
 
     return pages_ds.map_batches(ner_batch, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+def mentions_from_parsed(parsed_ds, batch_size: int = 4096):
+    """Mentions from an already-parsed pages dataset (the
+    ``fact_sentences`` column of ``extract.parse_pages``) — identical
+    rows to ``detect_mentions`` but with NO ``parse_page`` call: the
+    parse-once path. Malformed pages carry an empty sentence list from
+    the parse stage, preserving the containment semantics."""
+    def fn(t: pa.Table) -> pa.Table:
+        urls, surfaces, norms = [], [], []
+        for url, sents in zip(t["url"].to_pylist(),
+                              t["fact_sentences"].to_pylist()):
+            for sent in sents or ():
+                for m in _MENTION_RE.findall(sent):
+                    urls.append(url)
+                    surfaces.append(m)
+                    norms.append(norm_surface(m))
+        return pa.table({
+            "src_url": pa.array(urls, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "norm": pa.array(norms, pa.string()),
+        })
+
+    return parsed_ds.map_batches(fn, batch_format="pyarrow",
+                                 batch_size=batch_size)
 
 
 def mention_cooccurrence(mentions_ds, n_parts: int = 32):

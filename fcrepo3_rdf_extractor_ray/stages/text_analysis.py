@@ -39,6 +39,22 @@ def _tokens(s: str) -> list[str]:
     return s.split()
 
 
+def _split_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """``split(" ")`` in Arrow: (per-doc token counts int64, flattened
+    token object array). Replaces the ``Series.str.split`` +
+    ``Series.map(len)`` + ``np.concatenate`` idiom — the split, the
+    lengths and the flatten all stay in C, and no per-row Python list
+    is ever materialized. Exact ``str.split(" ")`` parity (empties
+    kept: '' → [''])."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.split_pattern(pa.array(texts, pa.string()), " ")
+    lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return lens, flat
+
+
 def token_counts(docs_ds, text_col="text", id_col="doc_id"):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.split()
@@ -316,11 +332,8 @@ def repetition_stats(docs_ds, text_col="text", id_col="doc_id"):
     groupby; no shuffle (per-doc stats stay in their block)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
+        lens, flat = _split_flat(df[text_col])
         ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
         vc = (pd.DataFrame({"d": ids, "t": flat})
               .groupby(["d", "t"], sort=False).size())
         g = vc.groupby(level=0, sort=False).agg(["sum", "size", "max"])
@@ -348,10 +361,7 @@ def bigram_top(docs_ds, k: int = 20, text_col="text"):
     n_parts = 32
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        lens, flat = _split_flat(df[text_col])
         n = len(flat)
         if n < 2:
             return pd.DataFrame({"bigram": pd.array([], dtype=object),
@@ -451,12 +461,10 @@ def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
     from ..functions.hashing import fast_part_hash
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
+        lens, flat = _split_flat(df[text_col])
         pairs = pd.DataFrame({
             id_col: np.repeat(df[id_col].to_numpy(np.int64), lens),
-            "token": (np.concatenate(toks.to_numpy()) if len(df)
-                      else np.array([], dtype=object)),
+            "token": flat,
         }).drop_duplicates()
         pairs = (pairs.sort_values(id_col).groupby("token", sort=False)
                  .head(k).reset_index(drop=True))
@@ -495,10 +503,7 @@ def feature_hash(docs_ds, n_buckets: int = 64, text_col="text",
         raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        lens, flat = _split_flat(df[text_col])
         uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
         ub = np.fromiter(
             (hashlib.md5(t.encode("utf-8")).digest()[0] % n_buckets
@@ -531,9 +536,7 @@ def _shingle_hashes(texts: pd.Series, n: int):
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
     if not len(texts):
         return empty
-    toks = texts.str.split(" ")
-    lens = toks.map(len).to_numpy(np.int64)
-    flat = np.concatenate(toks.to_numpy())
+    lens, flat = _split_flat(texts)
     m = len(flat)
     if m < n:
         return empty
@@ -622,7 +625,7 @@ def pack_documents(docs_ds, budget: int = 256, group_col="source",
 
     def pack_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col).reset_index(drop=True)
-        tok = df[text_col].str.split(" ").map(len).to_numpy(np.int64)
+        tok = _split_flat(df[text_col])[0]
         cum = np.cumsum(tok)
         packs = np.zeros(len(df), dtype=np.int64)
         start, base, p = 0, 0, 0
@@ -662,10 +665,7 @@ def classifier_scores(docs_ds, n_buckets: int = 64, text_col="text",
         raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        lens, flat = _split_flat(df[text_col])
         uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
         ub = np.fromiter(
             (hashlib.md5(t.encode("utf-8")).digest()[0] % n_buckets
@@ -705,10 +705,7 @@ def bm25_scores(docs_ds, query_terms=("hash", "join", "vector"),
     terms = list(query_terms)
 
     def _flat(texts: pd.Series):
-        toks = texts.str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(texts)
-                else np.array([], dtype=object))
+        lens, flat = _split_flat(texts)
         doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
         return flat, doc_idx, lens
 
@@ -769,9 +766,7 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
     from ..functions.hashing import fast_part_hash
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        flat = _split_flat(df[text_col])[1]
         vc = pd.Series(flat).value_counts()
         w = vc.index.to_numpy(dtype=object)
         return pd.DataFrame({
@@ -786,10 +781,7 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
            .materialize())
 
     def big_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        lens = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        lens, flat = _split_flat(df[text_col])
         n = len(flat)
         empty = pd.DataFrame({"w1": pd.array([], dtype=object),
                               "w2": pd.array([], dtype=object),
@@ -888,10 +880,7 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
     from ..functions.hashing import fast_part_hash
 
     def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split(" ")
-        n_tok = toks.map(len).to_numpy(np.int64)
-        flat = (np.concatenate(toks.to_numpy()) if len(df)
-                else np.array([], dtype=object))
+        n_tok, flat = _split_flat(df[text_col])
         ids = np.repeat(df[id_col].to_numpy(), n_tok)
         g = (pd.DataFrame({"doc_id": ids, "term": flat})
              .groupby(["doc_id", "term"], as_index=False).size()

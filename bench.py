@@ -79,7 +79,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     kg_sec, n_triples = _flagship(sf_dir)
     timings["kg_quads_all"] = round(kg_sec, 3)
 
-    for name in ("kg_extracted_text", "kg_mentions", "ta_quality",
+    for name in ("kg_quads_parse_once", "kg_mentions_parse_once",
+                 "kg_extracted_text", "kg_mentions", "ta_quality",
                  "ta_lang_id", "ta_vocab", "ta_regex_extract",
                  "ta_group_concat", "ta_quantiles_cont", "ta_chunks",
                  "dedup_exact", "dedup_minhash",

@@ -452,13 +452,17 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
     dups inside it are better handled by the exact-hash pass anyway."""
     import pandas as pd
 
-    from ..runtime import pool as _pool
+    # task form on warm workers: phash64 is stateless (the aHash grid
+    # needs no loaded model), so the signature stage scales with the
+    # task scheduler and pays no actor-pool ramp; the sig stream feeds
+    # one consumer, so no materialize barrier either. An actor-pool
+    # variant belongs only where a real perceptual model loads per
+    # actor (mirror detect_mentions' concurrency switch).
+    def sig_batch(t: pa.Table) -> pa.Table:
+        return PhashStage(id_col=id_col, payload_col=payload_col)(t)
 
-    sigs = items_ds.map_batches(
-        PhashStage,
-        fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col},
-        batch_format="pyarrow", batch_size=64, concurrency=_pool(0.5),
-    ).materialize()
+    sigs = items_ds.map_batches(sig_batch, batch_format="pyarrow",
+                                batch_size=64)
 
     def explode_bands(t: pa.Table) -> pa.Table:
         h = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -590,16 +594,25 @@ class SceneChangeStage:
 
 
 def scene_changes(items_ds, cut_hamming: int = 12, id_col="item_id",
-                  payload_col="payload"):
-    """Actor-pool scene-change detection over a binary 'video' column
-    (small batches — payloads are the wide part). The pool autoscales
-    with the cluster (a hardcoded concurrency starved this — the only
-    expensive — stage at 32 CPUs)."""
-    from ..runtime import pool as _pool
+                  payload_col="payload", concurrency=None):
+    """Scene-change detection over a binary 'video' column (small
+    batches — payloads are the wide part). Default is TASK form on warm
+    workers: the decode+aHash walk is stateless, so it scales with the
+    task scheduler and pays no actor ramp (a hardcoded concurrency=2
+    starved this stage at 32 CPUs; a full-width pool over-provisioned
+    it at toy scale). Pass ``concurrency`` (e.g. ``runtime.pool()``)
+    for the actor-pool form once a real shot-boundary model loads per
+    actor."""
+    kwargs = {"cut_hamming": cut_hamming, "id_col": id_col,
+              "payload_col": payload_col}
+    if concurrency is not None:
+        return items_ds.map_batches(
+            SceneChangeStage, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", batch_size=32,
+            concurrency=concurrency)
 
-    return items_ds.map_batches(
-        SceneChangeStage,
-        fn_constructor_kwargs={"cut_hamming": cut_hamming,
-                               "id_col": id_col,
-                               "payload_col": payload_col},
-        batch_format="pyarrow", batch_size=32, concurrency=_pool(0.75))
+    def scene_batch(t: pa.Table) -> pa.Table:
+        return SceneChangeStage(**kwargs)(t)
+
+    return items_ds.map_batches(scene_batch, batch_format="pyarrow",
+                                batch_size=32)

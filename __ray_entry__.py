@@ -601,9 +601,10 @@ def _q_mm_phash_dups(sf_dir: str):
     decodes. Near-dups are planted deterministically: docs sharing
     ``doc_id // 3`` render the same base image with a per-doc +0/+1/+2
     brightness offset (aHash-invariant), so every triple of consecutive
-    ids forms a near-dup cluster. Rows-only check (the 8×8 block-mean
-    grid over variable image dims has no tractable SQL form); the
-    planted-cluster recall contract is pinned by pytest instead."""
+    ids forms a near-dup cluster. EXACT oracle: the synthetic pixel
+    formula, integer luma, block means and majority bits all replay in
+    SQL, and the oracle mirrors the engine's pigeonhole pair predicate
+    (hamming ≤ 6 ∧ ≥1 identical 16-bit band)."""
     import pyarrow as pa
 
     from fcrepo3_rdf_extractor_ray.stages.multimodal import (
@@ -638,8 +639,9 @@ def _q_mm_phash_dups(sf_dir: str):
 def _q_mm_scene_change(sf_dir: str):
     """Shot-boundary detection over synthetic 'videos' (concatenated
     real-P6 frames): each doc gets 6 frames whose base image switches at
-    frame 3, so every item has exactly one planted cut. Rows-only (the
-    aHash grid has no SQL form); the cut contract is pinned in pytest."""
+    frame 3, so every item has exactly one planted cut. EXACT oracle:
+    per-frame aHash replayed in SQL from the pixel formula, hamming to
+    the previous frame via lag(), cut = frame>0 ∧ hamming ≥ 12."""
     import pyarrow as pa
 
     from fcrepo3_rdf_extractor_ray.stages.multimodal import (scene_changes,
@@ -2588,4 +2590,96 @@ FROM s
     # paths — same oracles, checked independently by the driver
     d["kg_quads_parse_once"] = d["kg_quads_all"]
     d["kg_mentions_parse_once"] = d["kg_mentions"]
+    # aHash is all-integer over deterministic synthetic pixels, so the
+    # full perceptual-hash pipeline replays in SQL: pixel formula →
+    # integer luma → 8×8 block means → strict-majority bits. The pair
+    # predicate mirrors the engine's pigeonhole blocking exactly
+    # (hamming ≤ 6 AND ≥ 1 identical 16-bit band): complete for ≤ 3 by
+    # pigeonhole, and the SAME high-recall set in the 4-6 zone.
+    d["mm_phash_dups"] = r"""
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS seed, doc_id % 3 AS off,
+         8 + (doc_id // 3) % 9 AS w,
+         8 + ((doc_id // 3) * 3) % 9 AS h,
+         (doc_id // 3) * 2654435761 % 256 AS base
+  FROM documents),
+lum AS (
+  SELECT d.doc_id, y.y, x.x,
+         ((least(255, (d.base + ((y.y * d.w + x.x) * 3 + 0)) % 256 + d.off))
+        + (least(255, (d.base + ((y.y * d.w + x.x) * 3 + 1)) % 256 + d.off))
+        + (least(255, (d.base + ((y.y * d.w + x.x) * 3 + 2)) % 256 + d.off)))
+         // 3 AS luma,
+         d.w, d.h
+  FROM d
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS y) y
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS x) x
+  WHERE y.y < d.h AND x.x < d.w),
+blk AS (
+  SELECT doc_id, i.i, j.j, sum(luma)::BIGINT // count(*)::BIGINT AS cell
+  FROM lum
+  CROSS JOIN (SELECT unnest(range(8))::BIGINT AS i) i
+  CROSS JOIN (SELECT unnest(range(8))::BIGINT AS j) j
+  WHERE lum.y >= (i.i * lum.h) // 8 AND lum.y < ((i.i + 1) * lum.h) // 8
+    AND lum.x >= (j.j * lum.w) // 8 AND lum.x < ((j.j + 1) * lum.w) // 8
+  GROUP BY doc_id, i.i, j.j),
+m AS (SELECT doc_id, sum(cell)::BIGINT // 64 AS mean FROM blk
+      GROUP BY doc_id),
+sig AS (
+  SELECT blk.doc_id,
+         sum(CASE WHEN cell > mean
+                  THEN (1::UBIGINT << (63 - (i * 8 + j))::BIGINT)
+                  ELSE 0 END)::HUGEINT::UBIGINT AS sig
+  FROM blk JOIN m USING (doc_id) GROUP BY blk.doc_id)
+SELECT a.doc_id AS item_a, b.doc_id AS item_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 6
+  AND (  (xor(a.sig, b.sig) >> 0)  & 65535 = 0
+      OR (xor(a.sig, b.sig) >> 16) & 65535 = 0
+      OR (xor(a.sig, b.sig) >> 32) & 65535 = 0
+      OR (xor(a.sig, b.sig) >> 48) & 65535 = 0)
+"""
+    # same aHash replay per frame (16×16 → exact 2×2 blocks), hamming to
+    # the previous frame via lag(), cut = frame>0 AND hamming ≥ 12
+    d["mm_scene_change"] = r"""
+WITH sd AS (
+  SELECT DISTINCT s.seed FROM documents
+  CROSS JOIN LATERAL (SELECT unnest([doc_id, doc_id + 7919]) AS seed) s),
+lum AS (
+  SELECT sd.seed, y.y, x.x,
+         (((sd.seed * 2654435761 % 256) + ((y.y * 16 + x.x) * 3 + 0)) % 256
+        + ((sd.seed * 2654435761 % 256) + ((y.y * 16 + x.x) * 3 + 1)) % 256
+        + ((sd.seed * 2654435761 % 256) + ((y.y * 16 + x.x) * 3 + 2)) % 256)
+         // 3 AS luma
+  FROM sd
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS y) y
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS x) x),
+blk AS (
+  SELECT seed, y // 2 AS i, x // 2 AS j, sum(luma)::BIGINT // 4 AS cell
+  FROM lum GROUP BY seed, y // 2, x // 2),
+m AS (SELECT seed, sum(cell)::BIGINT // 64 AS mean FROM blk GROUP BY seed),
+sig AS (
+  SELECT blk.seed,
+         sum(CASE WHEN cell > mean
+                  THEN (1::UBIGINT << (63 - (i * 8 + j))::BIGINT)
+                  ELSE 0 END)::HUGEINT::UBIGINT AS sig
+  FROM blk JOIN m USING (seed) GROUP BY blk.seed),
+fr AS (
+  SELECT d.doc_id AS item_id, f.fr AS frame_no,
+         CASE WHEN f.fr < 3 THEN d.doc_id ELSE d.doc_id + 7919 END AS seed
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(6))::BIGINT AS fr) f),
+w AS (
+  SELECT fr.item_id, fr.frame_no, sig.sig,
+         lag(sig.sig) OVER (PARTITION BY fr.item_id
+                            ORDER BY fr.frame_no) AS prev
+  FROM fr JOIN sig USING (seed))
+SELECT item_id, frame_no,
+       CASE WHEN prev IS NULL THEN 0
+            ELSE bit_count(xor(sig, prev)) END::BIGINT AS hamming_prev,
+       (frame_no > 0 AND
+        CASE WHEN prev IS NULL THEN 0
+             ELSE bit_count(xor(sig, prev)) END >= 12) AS is_cut
+FROM w
+"""
     return d

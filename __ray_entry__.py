@@ -238,6 +238,39 @@ def _q_kg_mentions(sf_dir: str):
     return detect_mentions(pages_for_sf(sf_dir))
 
 
+def _q_ta_token_bpe(sf_dir: str):
+    """Whitespace + BPE-ish pre-tokenizer piece counts, both as Arrow
+    RE2 kernels; the oracle replays the identical RE2 patterns with
+    DuckDB regexp_extract_all."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        token_counts_bpe)
+
+    return token_counts_bpe(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_mm_image_resize(sf_dir: str):
+    """Block-mean image RESIZE to 8×8 over REAL P6 decodes (same
+    deterministic generator as mm_image_decode); long-format resized
+    pixels under an exact SQL replay of the block means."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (resize_images,
+                                                             synthetic_ppm)
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_ppm(d, 8 + d % 9, 8 + (d * 3) % 9) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_ppm, batch_format="pyarrow")
+    return resize_images(items)
+
+
 def _q_kg_quads_parse_once(sf_dir: str):
     """Flagship quads via the parse-once backbone (parse_pages →
     extract_quads_from_parsed) — byte-identical to kg_quads_all, with
@@ -577,11 +610,10 @@ def _q_mm_frame_sample(sf_dir: str):
     frames = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         to_payload, batch_format="pyarrow"
     ).map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"k": 4},
+        # task form: stateless sampler, no model to load per actor
+        lambda t: FrameSampleStage(k=4)(t),
         batch_format="pyarrow",
         batch_size=64,  # binary payloads: small batches
-        concurrency=2,
     )
 
     def numeric_surface(t: pa.Table) -> pa.Table:
@@ -688,10 +720,10 @@ def _q_mm_image_decode(sf_dir: str):
     items = _docs(sf_dir, ["doc_id"]).map_batches(
         to_ppm, batch_format="pyarrow")
     return items.map_batches(
-        PpmStatsStage,
+        # task form: the numpy PPM codec is stateless (no actor ramp)
+        lambda t: PpmStatsStage()(t),
         batch_format="pyarrow",
         batch_size=64,  # binary payloads: small batches
-        concurrency=2,
     )
 
 
@@ -739,11 +771,10 @@ def _q_mm_audio_windows(sf_dir: str):
     items = _docs(sf_dir, ["doc_id"]).map_batches(
         to_wav, batch_format="pyarrow")
     return items.map_batches(
-        AudioWindowStage,
-        fn_constructor_kwargs={"window": 256},
+        # task form: stateless RIFF/PCM16 windower
+        lambda t: AudioWindowStage(window=256)(t),
         batch_format="pyarrow",
         batch_size=64,  # binary payloads: small batches
-        concurrency=2,
     )
 
 
@@ -1279,6 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
+        "ta_token_bpe": _q_ta_token_bpe,
+        "mm_image_resize": _q_mm_image_resize,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2681,5 +2714,42 @@ SELECT item_id, frame_no,
         CASE WHEN prev IS NULL THEN 0
              ELSE bit_count(xor(sig, prev)) END >= 12) AS is_cut
 FROM w
+"""
+    # identical RE2 patterns on both sides (Arrow count_substring_regex
+    # and DuckDB regexp_extract_all are both RE2) — byte parity
+    d["ta_token_bpe"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_ws,
+       len(regexp_extract_all(
+           text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))::BIGINT
+           AS n_pieces
+FROM documents
+"""
+    # block-mean resize replay: same pixel formula as mm_image_decode,
+    # same uneven (i*h)//8 block partition as the phash oracle
+    d["mm_image_resize"] = r"""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h,
+         doc_id * 2654435761 % 256 AS base
+  FROM documents),
+px AS (
+  SELECT d.doc_id, y.y, x.x, d.w, d.h,
+         (d.base + ((y.y * d.w + x.x) * 3 + 0)) % 256 AS r,
+         (d.base + ((y.y * d.w + x.x) * 3 + 1)) % 256 AS g,
+         (d.base + ((y.y * d.w + x.x) * 3 + 2)) % 256 AS b
+  FROM d
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS y) y
+  CROSS JOIN (SELECT unnest(range(16))::BIGINT AS x) x
+  WHERE y.y < d.h AND x.x < d.w)
+SELECT doc_id AS item_id, i.i AS y, j.j AS x,
+       sum(px.r)::BIGINT // count(*)::BIGINT AS r,
+       sum(px.g)::BIGINT // count(*)::BIGINT AS g,
+       sum(px.b)::BIGINT // count(*)::BIGINT AS b
+FROM px
+CROSS JOIN (SELECT unnest(range(8))::BIGINT AS i) i
+CROSS JOIN (SELECT unnest(range(8))::BIGINT AS j) j
+WHERE px.y >= (i.i * px.h) // 8 AND px.y < ((i.i + 1) * px.h) // 8
+  AND px.x >= (j.j * px.w) // 8 AND px.x < ((j.j + 1) * px.w) // 8
+GROUP BY doc_id, i.i, j.j
 """
     return d

@@ -383,6 +383,65 @@ def image_features(items_ds, id_col="item_id", payload_col="payload",
                                 batch_size=batch_size)
 
 
+def resize_block_mean(payload: bytes, out_w: int = 8,
+                      out_h: int = 8) -> np.ndarray:
+    """REAL decode → per-channel block-mean RESIZE to (out_h, out_w):
+    integer floor means over the same uneven block partition the aHash
+    grid uses ((i*h)//out_h boundaries), so the result is bit-stable
+    across platforms and replays exactly in SQL. Returns
+    (out_h, out_w, 3) int64."""
+    w, h, px = decode_ppm(payload)
+    p = px.astype(np.int64)
+    ys = (np.arange(out_h + 1, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w + 1, dtype=np.int64) * w) // out_w
+    out = np.empty((out_h, out_w, 3), np.int64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            blk = p[y0:y1, x0:x1, :].reshape(-1, 3)
+            out[i, j] = blk.sum(axis=0) // blk.shape[0]
+    return out
+
+
+def resize_images(items_ds, out_w: int = 8, out_h: int = 8,
+                  id_col="item_id", payload_col="payload",
+                  batch_size: int = 64):
+    """Image RESIZE stage (the thumbnail / model-input-normalization
+    step): binary P6 payloads → long-format resized pixels
+    (item_id, y, x, r, g, b). Task form (stateless numpy codec);
+    per-item error containment — a malformed payload drops its rows,
+    never the batch."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ys_, xs_, rs, gs, bs = [], [], [], [], [], []
+        yy, xx = np.meshgrid(np.arange(out_h, dtype=np.int64),
+                             np.arange(out_w, dtype=np.int64),
+                             indexing="ij")
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                grid = resize_block_mean(payload, out_w=out_w, out_h=out_h)
+            except ValueError:
+                continue  # contained per item
+            n = out_h * out_w
+            ids.append(np.full(n, i, dtype=np.int64))
+            ys_.append(yy.reshape(-1))
+            xs_.append(xx.reshape(-1))
+            rs.append(grid[:, :, 0].reshape(-1))
+            gs.append(grid[:, :, 1].reshape(-1))
+            bs.append(grid[:, :, 2].reshape(-1))
+
+        def cat(parts):
+            return pa.array(np.concatenate(parts) if parts
+                            else np.array([], dtype=np.int64), pa.int64())
+
+        return pa.table({"item_id": cat(ids), "y": cat(ys_), "x": cat(xs_),
+                         "r": cat(rs), "g": cat(gs), "b": cat(bs)})
+
+    return items_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hash (aHash) + hamming near-dup over decoded images
 

@@ -66,6 +66,32 @@ def token_counts(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-portable ASCII classes so
+# the Arrow kernel (RE2) and the DuckDB oracle (RE2) match byte-for-byte:
+# a piece is an optional-leading-space letter run, digit run, or
+# punctuation run, or a bare space run — the BPE *pre*-split (merges
+# happen inside pieces, so piece counts bound BPE token counts).
+BPE_PIECE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def token_counts_bpe(docs_ds, text_col="text", id_col="doc_id"):
+    """BPE-ish token counting: whitespace tokens AND pre-tokenizer piece
+    counts per doc, both as pure Arrow kernels (count_substring_regex is
+    RE2 — zero Python per row, no shuffle)."""
+    ws_re = r"[^ ]+"
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[text_col], pa.string())
+        return pa.table({
+            id_col: t[id_col],
+            "n_ws": pc.cast(pc.count_substring_regex(s, ws_re), pa.int64()),
+            "n_pieces": pc.cast(pc.count_substring_regex(s, BPE_PIECE_RE),
+                                pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_scores(docs_ds, text_col="text", id_col="doc_id"):
     """Quality signals; ratios are emitted as micro-units (×1e6, floored
     to int64) so engine/oracle compare exactly without float-hash drift."""

@@ -88,3 +88,25 @@ def test_simhash64_batch_bit_identical():
     got = simhash64_batch(docs, memo={})
     for toks, g in zip(docs, got):
         assert int(g) == simhash64(toks, memo={})
+
+
+def test_token_counts_bpe_piece_semantics(ray_session):
+    """Arrow RE2 piece counts match the leftmost-first reference split."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        BPE_PIECE_RE, token_counts_bpe)
+
+    texts = ["Hello world", "a1b2", "  double  space", "", "x!!y 42",
+             "trailing ", "UPPER lower 007 ..."]
+    expected = [len(re.findall(BPE_PIECE_RE, t)) for t in texts]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = token_counts_bpe(ds).to_pandas().sort_values("doc_id")
+    assert out["n_pieces"].tolist() == expected
+    assert out["n_ws"].tolist() == [len(t.split(" ")) - t.split(" ").count("")
+                                    for t in texts]

@@ -259,3 +259,28 @@ def test_split_ppm_stream_255_dimension_frame():
 
     with pytest.raises(ValueError):
         split_ppm_stream(video + small[:-10])
+
+
+def test_resize_block_mean_identity_and_containment(ray_session):
+    """Resizing an 8×8 image to 8×8 is the identity on pixel values
+    (every block is one pixel); malformed payloads drop their rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        decode_ppm, resize_block_mean, resize_images, synthetic_ppm)
+
+    img = synthetic_ppm(5, 8, 8)
+    w, h, px = decode_ppm(img)
+    grid = resize_block_mean(img, 8, 8)
+    assert (grid == px.astype("int64")).all()
+
+    items = pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([img, b"junk"], pa.binary()),
+    })
+    out = resize_images(rd.from_arrow(items)).to_pandas()
+    assert set(out["item_id"]) == {1}
+    assert len(out) == 64
+    row = out[(out["y"] == 3) & (out["x"] == 4)].iloc[0]
+    assert (row[["r", "g", "b"]].to_numpy() == px[3, 4]).all()

@@ -97,15 +97,18 @@ def quality_scores(docs_ds, text_col="text", id_col="doc_id"):
     to int64) so engine/oracle compare exactly without float-hash drift."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         text = df[text_col]
         n_chars = text.str.len().astype("int64")
         toks = text.str.split()
         n_tokens = toks.str.len().fillna(0).astype("int64")
-        n_distinct = toks.map(lambda t: len(set(t)) if isinstance(t, list) else 0)
-        stop = toks.map(
-            lambda t: sum(1 for w in t if w in ("the", "a", "and", "of"))
-            if isinstance(t, list) else 0
-        )
+        # distinct/stopword counts via one explode + C-level groupbys
+        # (was a per-row Python set/loop lambda)
+        ex = toks.explode().dropna()
+        n_distinct = (ex.groupby(level=0).nunique()
+                      .reindex(df.index).fillna(0).astype("int64"))
+        stop = (ex.isin(("the", "a", "and", "of")).groupby(level=0).sum()
+                .reindex(df.index).fillna(0).astype("int64"))
         ttr = np.floor(1e6 * n_distinct / n_tokens.clip(lower=1)).astype("int64")
         stop_ratio = np.floor(1e6 * stop / n_tokens.clip(lower=1)).astype("int64")
         return pd.DataFrame({
@@ -127,14 +130,14 @@ def lang_id(docs_ds, text_col="text", id_col="doc_id"):
     langs = sorted(LANG_MARKERS)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split()
+        df = df.reset_index(drop=True)
+        ex = df[text_col].str.split().explode().dropna()
         scores = {}
         for lang in langs:
-            markers = set(LANG_MARKERS[lang])
-            scores[lang] = toks.map(
-                lambda t: sum(1 for w in t if w in markers)
-                if isinstance(t, list) else 0
-            ).astype("int64")
+            # marker hits with multiplicity, one isin + groupby per lang
+            scores[lang] = (ex.isin(LANG_MARKERS[lang])
+                            .groupby(level=0).sum()
+                            .reindex(df.index).fillna(0).astype("int64"))
         S = pd.DataFrame(scores)
         best = S.max(axis=1)
         # unique argmax required; ties → unk (deterministic)

@@ -238,6 +238,15 @@ def _q_kg_mentions(sf_dir: str):
     return detect_mentions(pages_for_sf(sf_dir))
 
 
+def _q_ta_split(sf_dir: str):
+    """Content-addressed train/val/test split (md5-bucketed, stable
+    under re-ingestion); the oracle replays the bucket hash exactly."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        train_val_test_split)
+
+    return train_val_test_split(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ta_token_bpe(sf_dir: str):
     """Whitespace + BPE-ish pre-tokenizer piece counts, both as Arrow
     RE2 kernels; the oracle replays the identical RE2 patterns with
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
         "mm_image_resize": _q_mm_image_resize,
+        "ta_split": _q_ta_split,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2751,5 +2761,19 @@ CROSS JOIN (SELECT unnest(range(8))::BIGINT AS j) j
 WHERE px.y >= (i.i * px.h) // 8 AND px.y < ((i.i + 1) * px.h) // 8
   AND px.x >= (j.j * px.w) // 8 AND px.x < ((j.j + 1) * px.w) // 8
 GROUP BY doc_id, i.i, j.j
+"""
+    # same md5-bucket idiom as ta_resample; boundaries 96/98 are the
+    # default val_pct=test_pct=2
+    d["ta_split"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 100
+             AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 96 THEN 'train'
+            WHEN bucket < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """
     return d

@@ -173,6 +173,34 @@ def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pandas")
 
 
+def train_val_test_split(docs_ds, val_pct: int = 2, test_pct: int = 2,
+                         text_col="text", id_col="doc_id"):
+    """Deterministic CONTENT-ADDRESSED train/val/test assignment — the
+    dataset-split primitive of a training pipeline. Bucket = first 8
+    md5 hex chars of the text mod 100 (stable under re-ingestion,
+    re-sharding and doc-id reassignment, and exactly replayable in
+    DuckDB, the same hash idiom as ``ta_resample``); the top
+    ``test_pct`` buckets are test, the next ``val_pct`` are val.
+    Stateless map_batches, no shuffle; a hashlib pass per row is the
+    only per-row cost (md5 is the published contract)."""
+    import hashlib
+
+    train_hi = 100 - val_pct - test_pct
+    val_hi = 100 - test_pct
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 100
+             for t in df[text_col]), dtype=np.int64, count=len(df))
+        split = np.where(b < train_hi, "train",
+                         np.where(b < val_hi, "val", "test"))
+        return pd.DataFrame({id_col: df[id_col],
+                             "bucket": b,
+                             "split": split})
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
 def normalize_texts(docs_ds, text_col="text", id_col="doc_id"):
     """Text CLEANING / canonicalization: Unicode NFC + lowercase +
     ASCII-whitespace collapse + trim — the standard pre-tokenization

@@ -15,6 +15,7 @@ ROUND3_ORACLE_QUERIES = [
     "kg_mentions_parse_once",
     "ta_token_bpe",
     "mm_image_resize",
+    "ta_split",
 ]
 
 

@@ -803,7 +803,7 @@ def bm25_scores(docs_ds, query_terms=("hash", "join", "vector"),
 
 
 def collocations(docs_ds, min_count: int = 5, text_col="text",
-                 n_parts: int = 32):
+                 n_parts: int = 32, broadcast_vocab_limit: int = 2_000_000):
     """COLLOCATION scoring: bigrams ranked by integer LIFT —
     ``lift_micro = (1_000_000 · N_bigrams · c_xy) // (c_x · c_y)`` (the
     exp(PMI) numerator/denominator, micro-floored; log-free so the
@@ -817,7 +817,13 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
     word), never a join operator. int64 bound: requires
     ``1e6 · N_bigrams · max_count < 2^63`` (~9e18) — fine below ~10^5
     occurrences of a bigram in a 10^7-bigram corpus; shift to a
-    per-partition float fallback beyond."""
+    per-partition float fallback beyond.
+
+    Small-vocab fast path: when the unigram table fits a broadcast
+    (≤ ``broadcast_vocab_limit`` rows) both count-attach exchanges are
+    replaced by one ``ray.put`` + per-batch ``index_in`` lookups — the
+    same dual-path rule as the entity map. The tag-union exchanges
+    remain the web-scale path (vocabularies grow with the corpus)."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import fast_part_hash
@@ -903,6 +909,33 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
              .union(uni.map_batches(tag_u, batch_format="pyarrow")))
         return u.groupby("part").map_groups(merge, batch_format="pandas")
 
+    def _lift(n, c1, c2):
+        return (1_000_000 * nb * n) // (c1 * c2)
+
+    if uni.count() <= broadcast_vocab_limit:
+        import ray
+
+        tabs = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+        utab = (pa.concat_tables(tabs) if tabs
+                else pa.table({"w": pa.array([], pa.string()),
+                               "c": pa.array([], pa.int64())}))
+        uref = ray.put((utab["w"].combine_chunks(),
+                        pc.cast(utab["c"].combine_chunks(), pa.int64())))
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            words, counts = ray.get(uref)
+            n = pc.cast(t["n"], pa.int64()).to_numpy()
+            c1 = pc.take(counts, pc.index_in(t["w1"], value_set=words)
+                         ).to_numpy(zero_copy_only=False).astype(np.int64)
+            c2 = pc.take(counts, pc.index_in(t["w2"], value_set=words)
+                         ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"w1": t["w1"], "w2": t["w2"],
+                             "n_pair": pa.array(n.astype(np.int64)),
+                             "lift_micro": pa.array(
+                                 _lift(n, c1, c2).astype(np.int64))})
+
+        return flt.map_batches(finish_bcast, batch_format="pyarrow")
+
     step1 = attach(flt, "w1", "c1",
                    {"w1": pa.string(), "w2": pa.string(), "n": pa.int64()})
     step2 = attach(step1, "w2", "c2",
@@ -913,10 +946,10 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
         c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lift = (1_000_000 * nb * n) // (c1 * c2)
         return pa.table({"w1": t["w1"], "w2": t["w2"],
                          "n_pair": pa.array(n),
-                         "lift_micro": pa.array(lift.astype(np.int64))})
+                         "lift_micro": pa.array(
+                             _lift(n, c1, c2).astype(np.int64))})
 
     return step2.map_batches(finish, batch_format="pyarrow")
 

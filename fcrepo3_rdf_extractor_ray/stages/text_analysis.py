@@ -961,12 +961,13 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
     IDF so the distributed result replays bit-exactly in SQL), ties
     broken by term ascending.
 
-    Shape: (1) document frequencies via distinct-(doc,term) combiner and
-    one term-keyed bounded exchange; (2) per-(doc,term) tf partials
-    re-keyed on the TERM to attach df per partition (tag-union merge);
-    (3) one doc-keyed exchange with a vectorized per-partition
-    sort + head(k). The corpus streams once per pass; every exchange
-    carries (doc, term)-bounded rows, never raw text."""
+    Shape: TWO exchanges total. The tf partials are keyed on the TERM
+    hash, so the partition that finalizes per-(doc,term) tf sums
+    already colocates every row of a term — document frequency and the
+    score fuse into that same per-partition pass (no separate df
+    exchange, no broadcast); then one doc-keyed exchange runs the
+    vectorized per-partition sort + head(k). The corpus streams once;
+    every exchange carries (doc, term)-bounded rows, never raw text."""
     from ..functions.hashing import fast_part_hash
 
     def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -979,29 +980,18 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
         g["part"] = fast_part_hash(g["term"].to_list(), n_parts)
         return g
 
-    tf = (docs_ds.map_batches(tf_partial, batch_format="pandas")
-          .groupby("part").map_groups(
-              lambda df: df.groupby(["doc_id", "term"],
-                                    as_index=False)["tf"].sum(),
-              batch_format="pandas")
-          .materialize())
-
     n_docs = docs_ds.count()
 
-    # df per term from the tf table (one row per (doc, term) already):
-    # partition by term is ALREADY the tf exchange key, so df and the
-    # attach happen in one more term-keyed pass
-    def tag_term(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "part", pa.array(fast_part_hash(t["term"], n_parts)))
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        dfreq = df.groupby("term")["doc_id"].transform("size")
+    def tf_df_score(df: pd.DataFrame) -> pd.DataFrame:
+        # finalize tf, derive df and score in ONE term-partition pass
+        # (all rows of a term are colocated by tf_partial's part key)
+        g = df.groupby(["doc_id", "term"], as_index=False)["tf"].sum()
+        dfreq = g.groupby("term")["doc_id"].transform("size")
         idf = (1_000_000 * n_docs) // dfreq.to_numpy()
         out = pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64").to_numpy(),
-            "term": df["term"].to_numpy(),
-            "score": (df["tf"].to_numpy() * idf).astype("int64")})
+            "doc_id": g["doc_id"].astype("int64").to_numpy(),
+            "term": g["term"].to_numpy(),
+            "score": (g["tf"].to_numpy() * idf).astype("int64")})
         out["part"] = (out["doc_id"] % n_parts).astype("int32")
         return out
 
@@ -1011,6 +1001,6 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
         g = df.groupby("doc_id", as_index=False).head(k)
         return g[["doc_id", "term", "score"]]
 
-    return (tf.map_batches(tag_term, batch_format="pyarrow")
-            .groupby("part").map_groups(score, batch_format="pandas")
+    return (docs_ds.map_batches(tf_partial, batch_format="pandas")
+            .groupby("part").map_groups(tf_df_score, batch_format="pandas")
             .groupby("part").map_groups(topk, batch_format="pandas"))

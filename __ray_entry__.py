@@ -238,6 +238,39 @@ def _q_kg_mentions(sf_dir: str):
     return detect_mentions(pages_for_sf(sf_dir))
 
 
+def _q_web_url_canon(sf_dir: str):
+    """URL canonicalization over deterministically-messied urls (upper
+    case, default ports, fragments, trailing slashes, unsorted +
+    tracking query params by doc_id%5); every rule replays in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import canonicalize_urls
+
+    def messy(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (d % 20).astype("U")
+        i = d.astype("U")
+        base = np.char.add(np.char.add(np.char.add(
+            "https://ex", m), ".org/p/"), i)
+        v = d % 5
+        u = base.copy()
+        u = np.where(v == 1, np.char.add(np.char.add(np.char.add(
+            np.char.add("HTTPS://EX", m), ".ORG/p/"), i), "#sec"), u)
+        u = np.where(v == 2, np.char.add(np.char.add(np.char.add(
+            np.char.add("https://ex", m), ".org:443/p/"), i), "/"), u)
+        u = np.where(v == 3, np.char.add(base, "?utm_source=x&b=2&a=1"), u)
+        u = np.where(v == 4,
+                     np.char.add(base, "?z=1&a=2&utm_campaign=y#frag"), u)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(u.tolist(), pa.string()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(messy, batch_format="pyarrow")
+    return canonicalize_urls(ds)
+
+
 def _q_ta_split(sf_dir: str):
     """Content-addressed train/val/test split (md5-bucketed, stable
     under re-ingestion); the oracle replays the bucket hash exactly."""
@@ -1322,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_token_bpe": _q_ta_token_bpe,
         "mm_image_resize": _q_mm_image_resize,
         "ta_split": _q_ta_split,
+        "web_url_canon": _q_web_url_canon,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2775,5 +2809,61 @@ SELECT doc_id, bucket,
             WHEN bucket < 98 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+    # URL canonicalization: same messy generator, same RE2 parse, same
+    # rule set (lowercase scheme/host, default-port strip, fragment
+    # drop, path normalization, utm_* drop + lexicographic param sort)
+    d["web_url_canon"] = r"""
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 1 THEN 'HTTPS://EX' || (doc_id % 20)::VARCHAR || '.ORG/p/'
+                  || doc_id::VARCHAR || '#sec'
+      WHEN 2 THEN 'https://ex' || (doc_id % 20)::VARCHAR || '.org:443/p/'
+                  || doc_id::VARCHAR || '/'
+      WHEN 3 THEN 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+                  || doc_id::VARCHAR || '?utm_source=x&b=2&a=1'
+      WHEN 4 THEN 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+                  || doc_id::VARCHAR || '?z=1&a=2&utm_campaign=y#frag'
+      ELSE 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+           || doc_id::VARCHAR
+    END AS u
+  FROM documents),
+p AS (
+  SELECT doc_id, u,
+         regexp_matches(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$')
+             AS parse_ok,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+             AS scheme,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+             AS host0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+             AS path0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+             AS query0
+  FROM m),
+c AS (
+  SELECT doc_id, u, parse_ok,
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 ELSE regexp_replace(host0, ':443$', '') END
+         || CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END
+         || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+                 ELSE '' END AS canon
+  FROM p, LATERAL (
+    SELECT list_sort(list_filter(str_split(ltrim(query0, '?'), '&'),
+                                 y -> y <> ''
+                                      AND NOT starts_with(y, 'utm_')))
+           AS ps) q)
+SELECT doc_id, CASE WHEN parse_ok THEN canon ELSE u END AS url_canon,
+       parse_ok
+FROM c
 """
     return d

@@ -1,0 +1,79 @@
+"""Web-corpus URL operators.
+
+URL canonicalization is the first dedup key of any crawl pipeline
+(conceptual ancestor: the reference's deterministic id→path mapping,
+HashPathIdMapper.java:145-160 — one canonical address per object).
+Rules implemented here are the standard crawl-frontier set, chosen so
+BOTH sides replay exactly: every step is RE2 + lexicographic list
+sort, mirrored 1:1 in the DuckDB oracle.
+
+Canonical form of ``scheme://host[:port]path[?query][#frag]``:
+
+- scheme and host lowercased
+- default ports stripped (``:80`` for http, ``:443`` for https)
+- fragment dropped
+- empty path → ``/``; trailing slashes stripped from non-root paths
+- query: ``utm_*`` tracking params dropped, the rest sorted
+  lexicographically (byte order); empty result drops the ``?``
+- urls that do not parse as http(s) pass through unchanged (flagged)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+URL_RE = r"^(?i)(?P<scheme>https?)://(?P<host>[^/?#]+)(?P<path>[^?#]*)" \
+         r"(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
+
+
+def canonicalize_urls(ds, url_col: str = "url", id_col: str = "doc_id",
+                      batch_size: int = 8192):
+    """(id, url) → (id, url_canon, parse_ok). One vectorized RE2 parse
+    (``pc.extract_regex``), Arrow kernels for case/port/path, and a
+    split→explode→sort→re-join pandas pass for query params (C paths,
+    no per-row Python). Stateless map_batches, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[url_col], pa.string())
+        parts = pc.extract_regex(s, URL_RE)
+        ok = pc.is_valid(parts)
+        scheme = pc.utf8_lower(pc.coalesce(
+            pc.struct_field(parts, "scheme"), ""))
+        host = pc.utf8_lower(pc.coalesce(pc.struct_field(parts, "host"), ""))
+        # strip the scheme's default port only
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", ""),
+            pc.replace_substring_regex(host, r":443$", ""))
+        path = pc.coalesce(pc.struct_field(parts, "path"), "")
+        path = pc.replace_substring_regex(path, r"/+$", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        query = pc.coalesce(pc.struct_field(parts, "query"), "")
+
+        # query params: split, drop utm_*, sort, re-join — via ONE
+        # explode + sort + groupby join (no per-row Python)
+        q = pd.Series(query.to_pandas()).str.lstrip("?")
+        parts_df = q.str.split("&").explode().reset_index()
+        parts_df.columns = ["row", "param"]
+        parts_df = parts_df[(parts_df["param"].notna())
+                            & (parts_df["param"] != "")
+                            & ~parts_df["param"].str.startswith("utm_")]
+        parts_df = parts_df.sort_values(["row", "param"])
+        joined = parts_df.groupby("row")["param"].agg("&".join)
+        qs = pd.Series("", index=q.index, dtype=object)
+        qs.loc[joined.index] = "?" + joined
+        canon = pc.binary_join_element_wise(
+            scheme, pa.array(["://"] * t.num_rows), host, path,
+            pa.array(qs.to_numpy(dtype=object), pa.string()), "")
+        out_url = pc.if_else(ok, canon, s)  # non-http(s): pass through
+        return pa.table({
+            id_col: t[id_col],
+            "url_canon": out_url,
+            "parse_ok": ok,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -16,6 +16,7 @@ ROUND3_ORACLE_QUERIES = [
     "ta_token_bpe",
     "mm_image_resize",
     "ta_split",
+    "web_url_canon",
 ]
 
 
@@ -46,3 +47,34 @@ def test_collocations_paths_bit_identical(sf_dir, ray_session):
     b = (collocations(docs, broadcast_vocab_limit=0).to_pandas()[cols]
          .sort_values(cols).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_url_canonicalization_edges(ray_session):
+    """Rules beyond the oracle corpus: non-http passthrough, wrong-scheme
+    port preserved, root path, all-utm query drops the '?'."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import canonicalize_urls
+
+    urls = [
+        "ftp://ex.org/x",                      # not http(s): unchanged
+        "HTTP://Ex.Org:80",                    # default port + no path
+        "https://ex.org:80/a",                 # :80 is NOT https default
+        "http://ex.org/a///",                  # trailing slashes
+        "https://ex.org/?utm_a=1&utm_b=2",     # only tracking params
+        "https://ex.org/p?b=2&a=10&a=1",       # duplicate keys sorted
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(urls)), pa.int64()),
+                  "url": pa.array(urls, pa.string())})
+    out = (canonicalize_urls(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id"))
+    assert out["url_canon"].tolist() == [
+        "ftp://ex.org/x",
+        "http://ex.org/",
+        "https://ex.org:80/a",
+        "http://ex.org/a",
+        "https://ex.org/",
+        "https://ex.org/p?a=1&a=10&b=2",
+    ]
+    assert out["parse_ok"].tolist() == [False, True, True, True, True, True]

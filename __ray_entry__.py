@@ -271,6 +271,39 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_web_dedup_canon(sf_dir: str):
+    """Crawl dedup by canonical url: the messy generator maps PAIRS of
+    docs (doc_id // 2) onto the same base address through different
+    surface forms (fragment / port / trailing slash / tracking
+    params), so canonicalization is what actually merges them; keep
+    the min doc_id per canonical url."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import dedup_by_canonical_url
+
+    def messy(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = d // 2  # two docs share each base address
+        m = (b % 20).astype("U")
+        i = b.astype("U")
+        base = np.char.add(np.char.add(np.char.add(
+            "https://ex", m), ".org/p/"), i)
+        v = d % 4
+        u = base.copy()
+        u = np.where(v == 1, np.char.add(base, "/#top"), u)
+        u = np.where(v == 2, np.char.add(base, "?utm_ref=a"), u)
+        u = np.where(v == 3, np.char.add(np.char.add(np.char.add(
+            np.char.add("HTTPS://EX", m), ".ORG:443/p/"), i), "#x"), u)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(u.tolist(), pa.string()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(messy, batch_format="pyarrow")
+    return dedup_by_canonical_url(ds)
+
+
 def _q_ta_split(sf_dir: str):
     """Content-addressed train/val/test split (md5-bucketed, stable
     under re-ingestion); the oracle replays the bucket hash exactly."""
@@ -1356,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_resize": _q_mm_image_resize,
         "ta_split": _q_ta_split,
         "web_url_canon": _q_web_url_canon,
+        "web_dedup_canon": _q_web_dedup_canon,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2865,5 +2899,55 @@ c AS (
 SELECT doc_id, CASE WHEN parse_ok THEN canon ELSE u END AS url_canon,
        parse_ok
 FROM c
+"""
+    # crawl dedup: FULL canonicalization replay over the pair-sharing
+    # messy generator, then min doc_id per canonical url (the oracle
+    # does not assume the variants collapse — it re-derives it)
+    d["web_dedup_canon"] = r"""
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 1 THEN 'https://ex' || ((doc_id // 2) % 20)::VARCHAR
+                  || '.org/p/' || (doc_id // 2)::VARCHAR || '/#top'
+      WHEN 2 THEN 'https://ex' || ((doc_id // 2) % 20)::VARCHAR
+                  || '.org/p/' || (doc_id // 2)::VARCHAR || '?utm_ref=a'
+      WHEN 3 THEN 'HTTPS://EX' || ((doc_id // 2) % 20)::VARCHAR
+                  || '.ORG:443/p/' || (doc_id // 2)::VARCHAR || '#x'
+      ELSE 'https://ex' || ((doc_id // 2) % 20)::VARCHAR
+           || '.org/p/' || (doc_id // 2)::VARCHAR
+    END AS u
+  FROM documents),
+p AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+             AS scheme,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+             AS host0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+             AS path0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+             AS query0
+  FROM m),
+c AS (
+  SELECT doc_id,
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 ELSE regexp_replace(host0, ':443$', '') END
+         || CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END
+         || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+                 ELSE '' END AS url_canon
+  FROM p, LATERAL (
+    SELECT list_sort(list_filter(str_split(ltrim(query0, '?'), '&'),
+                                 y -> y <> ''
+                                      AND NOT starts_with(y, 'utm_')))
+           AS ps) q)
+SELECT url_canon, min(doc_id)::BIGINT AS doc_id
+FROM c GROUP BY url_canon
 """
     return d

@@ -77,3 +77,30 @@ def canonicalize_urls(ds, url_col: str = "url", id_col: str = "doc_id",
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def dedup_by_canonical_url(ds, url_col: str = "url", id_col: str = "doc_id",
+                           n_parts: int = 32):
+    """CRAWL DEDUP: canonicalize urls, then keep the minimum-id row per
+    canonical url — the address-level first stage every crawl pipeline
+    runs before content-level dedup. Shape: canonicalize (stateless
+    map) → per-batch min-id combiner → ONE canon-url-hash exchange →
+    vectorized per-partition min. Returns (url_canon, doc_id)."""
+    from ..functions.hashing import fast_part_hash
+
+    canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (pa.table({"url_canon": t["url_canon"], id_col: t[id_col]})
+             .group_by("url_canon").aggregate([(id_col, "min")]))
+        g = g.rename_columns(["url_canon", id_col])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["url_canon"], n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("url_canon", as_index=False)[id_col].min()
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return (canon.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))

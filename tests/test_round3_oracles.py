@@ -17,6 +17,7 @@ ROUND3_ORACLE_QUERIES = [
     "mm_image_resize",
     "ta_split",
     "web_url_canon",
+    "web_dedup_canon",
 ]
 
 

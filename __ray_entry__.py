@@ -271,6 +271,17 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_kg_kcore(sf_dir: str):
+    """2-core of the mention co-occurrence graph via bounded
+    simultaneous peel (20 rounds) — engine and the recursive-CTE
+    oracle run the identical bounded iteration. (k=2 keeps the result
+    non-trivial on this corpus: the peel strips degree-1 tendrils;
+    the 3-core of the co-occurrence graph is empty.)"""
+    from fcrepo3_rdf_extractor_ray.stages.graph import kcore_nodes
+
+    return kcore_nodes(_q_kg_cooccurrence(sf_dir), k=2, max_rounds=20)
+
+
 def _q_web_dedup_canon(sf_dir: str):
     """Crawl dedup by canonical url: the messy generator maps PAIRS of
     docs (doc_id // 2) onto the same base address through different
@@ -1390,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_split": _q_ta_split,
         "web_url_canon": _q_web_url_canon,
         "web_dedup_canon": _q_web_dedup_canon,
+        "kg_kcore": _q_kg_kcore,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2950,4 +2962,29 @@ c AS (
 SELECT url_canon, min(doc_id)::BIGINT AS doc_id
 FROM c GROUP BY url_canon
 """
+    # k-core: the SAME bounded Jacobi peel the engine runs (20 rounds,
+    # k=2), as a recursive CTE carrying a round counter — each round
+    # recomputes all degrees via window counts over the symmetric edge
+    # set and keeps only edges whose BOTH endpoints hold degree ≥ k;
+    # converged graphs are re-emitted unchanged until r = 20
+    d["kg_kcore"] = (
+        _U_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", m AS (" + _MENTIONS_SQL + ")"
+        + r"""
+, dd AS (SELECT DISTINCT src_url, norm FROM m),
+co AS (SELECT a.norm AS na, b.norm AS nb
+       FROM dd a JOIN dd b ON a.src_url = b.src_url AND a.norm < b.norm
+       GROUP BY 1, 2),
+sym AS (SELECT na AS u, nb AS v FROM co UNION ALL SELECT nb, na FROM co),
+peel AS (
+  SELECT 0 AS r, u, v FROM sym
+  UNION ALL
+  SELECT r + 1, u, v FROM (
+    SELECT r, u, v,
+           count(*) OVER (PARTITION BY r, u) AS du,
+           count(*) OVER (PARTITION BY r, v) AS dv
+    FROM peel) t
+  WHERE du >= 2 AND dv >= 2 AND r < 20)
+SELECT DISTINCT u AS node FROM peel WHERE r = 20
+""")
     return d

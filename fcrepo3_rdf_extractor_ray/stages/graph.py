@@ -876,3 +876,110 @@ def pagerank_weighted(edges_ds, a_col: str = "norm_a",
     return rd.from_arrow(rank_tbl).map_batches(
         lambda t: t.rename_columns(["node", "rank_micro"]),
         batch_format="pyarrow")
+
+
+def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
+                b_col: str = "norm_b", max_rounds: int = 20,
+                n_parts: int = 16, small_graph_edges: int = 200_000):
+    """k-CORE decomposition by BOUNDED SIMULTANEOUS PEEL: nodes of the
+    maximal subgraph where every node keeps degree ≥ k, computed as
+    ``max_rounds`` Jacobi peel iterations (each round computes ALL
+    degrees, then drops every node below k at once). Input must be
+    distinct undirected pairs (a < b), e.g. the co-occurrence edges.
+
+    The SQL oracle runs the IDENTICAL bounded peel (a recursive CTE
+    carrying a round counter), so engine and oracle agree even on a
+    pathological graph that has not converged at the bound; real
+    graphs converge in a handful of rounds and both sides early-stay
+    at the fixpoint.
+
+    Distributed shape per round: per-batch degree combiner over both
+    endpoint columns → ONE node-keyed exchange → the DROPPED node set
+    (bounded by that round's drops) broadcasts back to filter edges.
+    Graphs at or below ``small_graph_edges`` short-circuit to one
+    exact single-task peel — the same small-graph rule as
+    ``connected_components``."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    def peel_local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["a", "b"]]
+        for _ in range(max_rounds):
+            if not len(df):
+                break
+            deg = pd.concat([df["a"], df["b"]],
+                            ignore_index=True).value_counts()
+            bad = deg[deg < k].index
+            if not len(bad):
+                break
+            bad = set(bad)
+            keep = ~(df["a"].isin(bad) | df["b"].isin(bad))
+            df = df[keep]
+        nodes = pd.unique(pd.concat([df["a"], df["b"]],
+                                    ignore_index=True))
+        return pd.DataFrame({"node": np.sort(nodes.astype(object))})
+
+    edges = edges_ds.map_batches(to_ab,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() <= small_graph_edges:
+        tagged = edges.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow")
+        return (tagged.groupby("part")
+                .map_groups(peel_local, batch_format="pandas"))
+
+    # distributed bounded peel
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t["a"].combine_chunks(),
+                                  t["b"].combine_chunks()])
+        g = (pa.table({"node": nodes,
+                       "deg": pa.array(np.ones(len(nodes), np.int64))})
+             .group_by("node").aggregate([("deg", "sum")]))
+        g = g.rename_columns(["node", "deg"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["node"], n_parts)))
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["deg"].sum()
+        return g[g["deg"] < k][["node"]]  # the DROPPED set only
+
+    for _ in range(max_rounds):
+        dropped_ds = (edges.map_batches(deg_partial,
+                                        batch_format="pyarrow")
+                      .groupby("part").map_groups(deg_final,
+                                                  batch_format="pandas"))
+        tabs = [t for t in ray.get(dropped_ds.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            break
+        dropped = pa.concat_tables(tabs)["node"].combine_chunks()
+        dref = ray.put(dropped)
+
+        def drop_edges(t: pa.Table) -> pa.Table:
+            bad = ray.get(dref)
+            keep = pc.and_(
+                pc.is_null(pc.index_in(t["a"], value_set=bad)),
+                pc.is_null(pc.index_in(t["b"], value_set=bad)))
+            return t.filter(keep)
+
+        edges = edges.map_batches(drop_edges,
+                                  batch_format="pyarrow").materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t["a"].combine_chunks(),
+                                  t["b"].combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node").aggregate([])
+        g = g.rename_columns(["node"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["node"], n_parts)))
+
+    return (edges.map_batches(node_rows, batch_format="pyarrow")
+            .groupby("part").map_groups(
+                lambda df: df.drop_duplicates("node")[["node"]],
+                batch_format="pandas"))

@@ -80,3 +80,26 @@ def test_pagerank_iteration_count_changes_result(ray_session):
             for r in pagerank(_edges_ds(edges), iters=5).take_all()}
     assert one != five
     assert five == _seq_pagerank(edges, iters=5)
+
+
+def test_kcore_planted_and_distributed_parity(ray_session):
+    """2-core of triangle+tail = the triangle; 3-core of that graph is
+    empty (engine yields 0 rows without error). The distributed peel
+    (small_graph_edges=0) must equal the single-task peel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import kcore_nodes
+
+    # triangle a-b-c plus tail c-d-e, plus isolated pair f-g
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("f", "g")]
+    t = pa.table({"norm_a": pa.array([e[0] for e in edges], pa.string()),
+                  "norm_b": pa.array([e[1] for e in edges], pa.string())})
+    ds = rd.from_arrow(t)
+    got = sorted(kcore_nodes(ds, k=2).to_pandas()["node"])
+    assert got == ["a", "b", "c"]
+    assert len(kcore_nodes(ds, k=3).to_pandas()) == 0
+    dist = sorted(kcore_nodes(ds, k=2,
+                              small_graph_edges=0).to_pandas()["node"])
+    assert dist == got

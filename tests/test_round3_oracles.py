@@ -18,6 +18,7 @@ ROUND3_ORACLE_QUERIES = [
     "ta_split",
     "web_url_canon",
     "web_dedup_canon",
+    "kg_kcore",
 ]
 
 

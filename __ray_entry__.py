@@ -271,6 +271,20 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_rel_rolling_max(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        rolling_user_max)
+
+    return rolling_user_max(sf_dir)
+
+
+def _q_rel_conversion_lag(sf_dir: str):
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        conversion_lag)
+
+    return conversion_lag(sf_dir)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the mention co-occurrence graph via bounded
     simultaneous peel (20 rounds) — engine and the recursive-CTE
@@ -1402,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_canon": _q_web_url_canon,
         "web_dedup_canon": _q_web_dedup_canon,
         "kg_kcore": _q_kg_kcore,
+        "rel_rolling_max": _q_rel_rolling_max,
+        "rel_conversion_lag": _q_rel_conversion_lag,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
         "mm_audio_windows": _q_mm_audio_windows,
@@ -2987,4 +3003,24 @@ peel AS (
   WHERE du >= 2 AND dv >= 2 AND r < 20)
 SELECT DISTINCT u AS node FROM peel WHERE r = 20
 """)
+    d["rel_rolling_max"] = """
+SELECT event_id, user_id, ts,
+       max(round(value * 100)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT
+           AS max_cents
+FROM events
+"""
+    # min-vs-min first-touch rule, exactly as the engine documents it
+    d["rel_conversion_lag"] = """
+WITH legs AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN epoch_us(ts) END) AS v,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id)
+SELECT user_id, (p - v)::BIGINT AS lag_us
+FROM legs WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+"""
     return d

@@ -81,6 +81,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     for name in ("kg_quads_parse_once", "kg_mentions_parse_once",
                  "ta_token_bpe", "mm_image_resize", "ta_split", "web_url_canon", "web_dedup_canon", "kg_kcore",
+                 "rel_rolling_max", "rel_conversion_lag",
                  "kg_extracted_text", "kg_mentions", "ta_quality",
                  "ta_lang_id", "ta_vocab", "ta_regex_extract",
                  "ta_group_concat", "ta_quantiles_cont", "ta_chunks",

@@ -587,6 +587,84 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def rolling_user_max(sf_dir: str, window: int = 4, n_parts: int = 32):
+    """Sliding-window MAX — the monotonic-deque primitive (running sums
+    don't telescope for max, so this is a genuinely different kernel
+    from ``rolling_user_spend``): each event gains the max of the same
+    user's last ``window`` event values ordered by (ts, event_id).
+
+    Same one-exchange shape; the per-partition pass is pandas'
+    C-implemented ``groupby(...).rolling(window).max()`` over integer
+    cents — exact, so the SQL window oracle compares bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], n_parts - 1), pa.int32())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"], "cents": cents, "part": part,
+        })
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow").repartition(n_parts)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        mx = (df.groupby("user_id")["cents"]
+              .rolling(window, min_periods=1).max()
+              .reset_index(level=0, drop=True))
+        df["max_cents"] = mx.astype("int64")
+        return df[["event_id", "user_id", "ts", "max_cents"]]
+
+    return ds.groupby("part").map_groups(roll, batch_format="pandas")
+
+
+def conversion_lag(sf_dir: str, from_type: str = "view",
+                   to_type: str = "purchase", n_parts: int = 32):
+    """TIME-TO-CONVERSION (first-touch attribution): per user,
+    microseconds between their FIRST ``from_type`` and FIRST
+    ``to_type`` events; users lacking either leg, or whose first
+    ``to_type`` precedes their first ``from_type``, are absent (the
+    min-vs-min rule — deliberately NOT "first purchase after the
+    view", which would need the full event stream instead of two
+    associative argmins). Per-batch combiner keeps ≤ 2 rows per user
+    per block; ONE user-keyed exchange finishes."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def legs(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([from_type, to_type]))
+        t = t.filter(keep)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        g = (pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"], "us": us})
+             .group_by(["user_id", "event_type"])
+             .aggregate([("us", "min")]))
+        g = g.rename_columns(["user_id", "event_type", "us"])
+        part = pc.cast(pc.bit_wise_and(g["user_id"], n_parts - 1),
+                       pa.int32())
+        return g.append_column("part", part)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], as_index=False)["us"]
+             .min())
+        p = g.pivot(index="user_id", columns="event_type", values="us")
+        for c in (from_type, to_type):
+            if c not in p.columns:
+                p[c] = np.nan
+        p = p.dropna(subset=[from_type, to_type])
+        # first to_type AT OR AFTER the first from_type: with only the
+        # two firsts retained, that is simply first_to >= first_from
+        p = p[p[to_type] >= p[from_type]]
+        return pd.DataFrame({
+            "user_id": p.index.to_numpy().astype("int64"),
+            "lag_us": (p[to_type] - p[from_type]).to_numpy()
+            .astype("int64")})
+
+    return (ds.map_batches(legs, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
 def _range_window_sums(tsv: np.ndarray, gid: np.ndarray,
                        cents: np.ndarray, delta: int) -> np.ndarray:
     """Trailing-range window sums per segment: for each row i, the sum of

@@ -19,6 +19,8 @@ ROUND3_ORACLE_QUERIES = [
     "web_url_canon",
     "web_dedup_canon",
     "kg_kcore",
+    "rel_rolling_max",
+    "rel_conversion_lag",
 ]
 
 

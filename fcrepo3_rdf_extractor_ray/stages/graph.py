@@ -907,7 +907,7 @@ def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
         return pa.table({"a": pc.cast(t[a_col], pa.string()),
                          "b": pc.cast(t[b_col], pa.string())})
 
-    def peel_local(df: pd.DataFrame) -> pd.DataFrame:
+    def peel_local(df: pd.DataFrame) -> pa.Table:
         df = df[["a", "b"]]
         for _ in range(max_rounds):
             if not len(df):
@@ -922,11 +922,19 @@ def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
             df = df[keep]
         nodes = pd.unique(pd.concat([df["a"], df["b"]],
                                     ignore_index=True))
-        return pd.DataFrame({"node": np.sort(nodes.astype(object))})
+        # explicit Arrow schema so an EMPTY k-core still carries the
+        # 'node' column (empty pandas blocks lose their schema)
+        return pa.table({"node": pa.array(
+            np.sort(nodes.astype(object)), pa.string())})
 
     edges = edges_ds.map_batches(to_ab,
                                  batch_format="pyarrow").materialize()
-    if edges.count() <= small_graph_edges:
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string())}))
+    if n_edges <= small_graph_edges:
         tagged = edges.map_batches(
             lambda t: t.append_column(
                 "part", pa.array(np.zeros(t.num_rows, np.int32))),
@@ -979,7 +987,11 @@ def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
         return g.append_column(
             "part", pa.array(fast_part_hash(g["node"], n_parts)))
 
+    def node_distinct(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates("node")["node"]
+        return pa.table({"node": pa.array(
+            out.to_numpy(dtype=object), pa.string())})
+
     return (edges.map_batches(node_rows, batch_format="pyarrow")
-            .groupby("part").map_groups(
-                lambda df: df.drop_duplicates("node")[["node"]],
-                batch_format="pandas"))
+            .groupby("part").map_groups(node_distinct,
+                                        batch_format="pandas"))

@@ -1641,8 +1641,6 @@ r AS (
 SELECT r.doc_id, r.h::BIGINT AS fp_rolling
 FROM r JOIN n USING (doc_id) WHERE r.i = n.n
 """,
-        # ta_fingerprint_rolling: order-sensitive Karp-Rabin — not
-        # SQL-expressible; driver records rows-only.
         # --- dedup ---
         "dedup_exact": (
             "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "

@@ -268,8 +268,17 @@ def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
         from ..functions.iri import hash_prefix
 
         def add_part(t: pa.Table) -> pa.Table:
-            parts = [hash_prefix(s, depth=1) for s in t["subj"].to_pylist()]
-            return t.append_column("subj_part", pa.array(parts, pa.string()))
+            import numpy as np
+            import pandas as pd
+
+            # subjects repeat heavily (input is subj-sorted): factorize,
+            # md5 only the uniques, gather back — no per-row Python hash
+            codes, uniques = pd.factorize(
+                t["subj"].to_pandas(), sort=False)
+            up = np.asarray([hash_prefix(s, depth=1) for s in uniques],
+                            dtype=object)
+            return t.append_column(
+                "subj_part", pa.array(up[codes], pa.string()))
 
         ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
             out_dir, partition_cols=["subj_part"])

@@ -2181,9 +2181,12 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
 
     ``bucket_root`` defaults to a fresh per-run directory (tempfile):
     a fixed default raced two concurrent runs over the same corpus —
-    each rmtree'd the other's bucket files mid-read. Pass an explicit
-    root to REUSE a previously-written layout across pipelines (the
-    actual point of bucketing); the caller then owns its lifecycle."""
+    each rmtree'd the other's bucket files mid-read. With the default
+    root the join is materialized and the tempdir removed before
+    returning (no leaked parquet per run). Pass an explicit root to
+    REUSE a previously-written layout across pipelines (the actual
+    point of bucketing); the caller then owns its lifecycle and the
+    returned Dataset stays lazy over it."""
     import os
     import shutil
     import tempfile
@@ -2191,6 +2194,7 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
     import ray
     import ray.data as rd
 
+    owns_root = bucket_root is None
     root = bucket_root or tempfile.mkdtemp(
         prefix=f"bucketed_{os.path.basename(os.path.normpath(sf_dir))}_")
 
@@ -2233,8 +2237,14 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
 
     buckets = rd.from_items([{"bucket": b} for b in range(n_buckets)],
                             override_num_blocks=n_buckets)
-    return buckets.map_batches(join_buckets, batch_format="pyarrow",
-                               batch_size=1)
+    joined = buckets.map_batches(join_buckets, batch_format="pyarrow",
+                                 batch_size=1)
+    if not owns_root:
+        return joined
+    try:
+        return joined.materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def zorder_orders(sf_dir: str, bits: int = 16):

@@ -381,33 +381,30 @@ def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
-    """Dataset-native near-dup clustering — the 100-TB path: thresholded
-    candidate pairs feed the distributed min-label fixpoint
-    (``union_find_labels_ds``) with NO driver-side pair collection.
+def _pairs_to_clusters_ds(pairs, threshold):
+    """Thresholded candidate pairs → (doc_id, cluster_id) Dataset via the
+    distributed min-label fixpoint (``union_find_labels_ds``) — NO
+    driver-side pair collection.
 
     Encoding: each undirected pair (a, b) becomes the bipartite edges
     (norm=a, cand=b) and (norm=b, cand=b) plus a self-edge per member,
     so pair connectivity is exactly bipartite connectivity; doc ids are
-    zero-padded to 20 digits so the string min-label IS the numeric
-    min-ID rule. Returns a (doc_id, cluster_id) Dataset — equivalence
-    with the driver path is pytest-asserted."""
+    zero-padded to 20 digits (Arrow lpad — vectorized, no per-pair
+    Python) so the string min-label IS the numeric min-ID rule."""
     from .canonicalize import union_find_labels_ds
-
-    pairs = minhash_candidate_pairs(docs_ds, **kw)
 
     def to_edges(t: pa.Table) -> pa.Table:
         keep = pc.greater_equal(t["est_jaccard"], threshold)
         t = t.filter(keep)
-        da = t["doc_a"].to_pylist()
-        db = t["doc_b"].to_pylist()
-        norms, cands = [], []
-        for a, b in zip(da, db):
-            ka, kb = f"{a:020d}", f"{b:020d}"
-            norms.extend((ka, kb, ka, kb))
-            cands.extend((kb, kb, ka, kb))  # pair edges + self-edges
-        return pa.table({"norm": pa.array(norms, pa.string()),
-                         "candidate_id": pa.array(cands, pa.string())})
+        ka = pc.utf8_lpad(pc.cast(t["doc_a"], pa.string()), 20, "0")
+        ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
+        kb = pc.utf8_lpad(pc.cast(t["doc_b"], pa.string()), 20, "0")
+        kb = kb.combine_chunks() if isinstance(kb, pa.ChunkedArray) else kb
+        # pair edge (a→b) + self-edges — same edge multiset as the old
+        # per-pair loop: norms (ka,kb,ka,kb) × cands (kb,kb,ka,kb)
+        norm = pa.concat_arrays([ka, kb, ka, kb])
+        cand = pa.concat_arrays([kb, kb, ka, kb])
+        return pa.table({"norm": norm, "candidate_id": cand})
 
     edges = pairs.map_batches(to_edges,
                               batch_format="pyarrow").materialize()
@@ -428,13 +425,30 @@ def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
     return labels.map_batches(decode, batch_format="pyarrow")
 
 
-def minhash_clusters(docs_ds, threshold=0.7, **kw):
+def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
+    """Dataset-native near-dup clustering — the 100-TB path: thresholded
+    candidate pairs feed the distributed min-label fixpoint with NO
+    driver-side pair collection. Returns a (doc_id, cluster_id) Dataset
+    — equivalence with the driver path is pytest-asserted."""
+    return _pairs_to_clusters_ds(minhash_candidate_pairs(docs_ds, **kw),
+                                 threshold)
+
+
+def minhash_clusters(docs_ds, threshold=0.7,
+                     max_driver_pairs: int = 500_000, **kw):
     """Near-dup clusters: candidate pairs ≥ threshold (estimated Jaccard)
-    → connected components (min-ID representative). Pair set is near-dup
-    scale (small); components resolved driver-side, as with entity
-    canonicalization (SURVEY.md §7.4). ``minhash_clusters_ds`` is the
-    driver-free Dataset path for when the pair list itself is large."""
-    pairs = minhash_candidate_pairs(docs_ds, **kw)
+    → connected components (min-ID representative). Pair set is usually
+    near-dup scale (small) and resolved driver-side, as with entity
+    canonicalization (SURVEY.md §7.4) — but the routing is AUTOMATIC:
+    above ``max_driver_pairs`` candidate pairs the clustering switches
+    to the driver-free Dataset path (``_pairs_to_clusters_ds``), so no
+    caller can accidentally ``take_all()`` a huge pair list. The pairs
+    Dataset is materialized ONCE (count + consume — no double
+    execution); equivalence of the two paths is pytest-asserted."""
+    pairs = minhash_candidate_pairs(docs_ds, **kw).materialize()
+    if pairs.count() > max_driver_pairs:
+        clusters = _pairs_to_clusters_ds(pairs, threshold)
+        return clusters.sort(["doc_id"]).to_pandas()
     rows = pairs.take_all()
     parent: dict[int, int] = {}
 

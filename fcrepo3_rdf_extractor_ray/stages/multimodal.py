@@ -394,14 +394,18 @@ def resize_block_mean(payload: bytes, out_w: int = 8,
     p = px.astype(np.int64)
     ys = (np.arange(out_h + 1, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w + 1, dtype=np.int64) * w) // out_w
-    out = np.empty((out_h, out_w, 3), np.int64)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            blk = p[y0:y1, x0:x1, :].reshape(-1, 3)
-            out[i, j] = blk.sum(axis=0) // blk.shape[0]
-    return out
+    # 2-D integral image: block sum = four corner lookups, one vectorized
+    # pass over the whole out_h×out_w grid (same floor-mean integers as
+    # the per-block loop it replaced)
+    S = np.zeros((h + 1, w + 1, 3), np.int64)
+    np.cumsum(p, axis=0, out=S[1:, 1:])
+    np.cumsum(S[1:, 1:], axis=1, out=S[1:, 1:])
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    blk = (S[y1[:, None], x1[None, :]] - S[y0[:, None], x1[None, :]]
+           - S[y1[:, None], x0[None, :]] + S[y0[:, None], x0[None, :]])
+    cnt = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    return blk // cnt
 
 
 def resize_images(items_ds, out_w: int = 8, out_h: int = 8,

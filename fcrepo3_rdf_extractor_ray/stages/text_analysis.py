@@ -151,22 +151,38 @@ def lang_id(docs_ds, text_col="text", id_col="doc_id"):
 _ROLL_MEMO: dict = {}  # per-worker-process token-hash memo
 
 
+def _roll_memo(cap: int = 1_000_000) -> dict:
+    # same cap-and-clear guard as dedup._worker_memo: long-lived Ray
+    # workers over high-vocabulary corpora must not grow this unbounded
+    if len(_ROLL_MEMO) > cap:
+        _ROLL_MEMO.clear()
+    return _ROLL_MEMO
+
+
 def fingerprints(docs_ds, text_col="text", id_col="doc_id"):
     """md5 hex fingerprint (SQL-exact) + rolling Karp-Rabin token hash over
     md5-prefix token hashes — BOTH columns now replay exactly in DuckDB
-    (``oracle_sql()['ta_fingerprint_rolling']`` is a recursive-CTE fold)."""
+    (``oracle_sql()['ta_fingerprint_rolling']`` is a recursive-CTE fold).
+
+    HASH-FAMILY NOTE: ``fp_rolling`` switched from the SipHash Karp-Rabin
+    family to the md5-prefix family when the exact oracle landed (round 3);
+    fingerprints persisted by pre-round-3 runs do not compare equal. The
+    SipHash family remains available via
+    ``functions.hashing.rolling_fingerprint`` for callers pinned to the
+    old values (break recorded in BASELINE.md)."""
     import hashlib
 
     from ..functions.hashing import md5_rolling_fingerprint
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        memo = _roll_memo()
         return pd.DataFrame({
             id_col: df[id_col],
             "fp_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
                        for t in df[text_col]],
             # mod 2^61-1 < int64 max, fits signed directly
             "fp_rolling": [np.int64(md5_rolling_fingerprint(_tokens(t),
-                                                            _ROLL_MEMO))
+                                                            memo))
                            for t in df[text_col]],
         })
 
@@ -181,17 +197,20 @@ def train_val_test_split(docs_ds, val_pct: int = 2, test_pct: int = 2,
     re-sharding and doc-id reassignment, and exactly replayable in
     DuckDB, the same hash idiom as ``ta_resample``); the top
     ``test_pct`` buckets are test, the next ``val_pct`` are val.
-    Stateless map_batches, no shuffle; a hashlib pass per row is the
-    only per-row cost (md5 is the published contract)."""
+    Stateless map_batches, no shuffle; texts are factorized first so
+    md5 (the published contract) runs once per DISTINCT text — on
+    dup-heavy corpora the hash cost collapses to the unique count."""
     import hashlib
 
     train_hi = 100 - val_pct - test_pct
     val_hi = 100 - test_pct
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.fromiter(
+        codes, uniques = pd.factorize(df[text_col], sort=False)
+        ub = np.fromiter(
             (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 100
-             for t in df[text_col]), dtype=np.int64, count=len(df))
+             for t in uniques), dtype=np.int64, count=len(uniques))
+        b = ub[codes]
         split = np.where(b < train_hi, "train",
                          np.where(b < val_hi, "val", "test"))
         return pd.DataFrame({id_col: df[id_col],

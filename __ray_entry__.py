@@ -1406,8 +1406,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so entries WITHOUT a green driver CORRECTNESS row come
     # first: the driver's gate samples the first 50 entries per round,
     # so rotation converts one-off verification into durable signal
-    # (VERDICT r02 ask #1). Rotate again next round for the remainder.
+    # (VERDICT r02 ask #1). Round-4 front: the 24 oracle entries never
+    # yet driver-checked (22 never sampled + ta_fingerprint_rolling and
+    # dedup_simhash, whose exact oracles landed after their last check),
+    # then this round's NEW queries, then rounds 1-3 green entries.
     return {
+        "kg_link_jaccard": _q_kg_link_jaccard,
+        "ta_collocations": _q_ta_collocations,
+        "rel_retention": _q_rel_retention,
+        "ta_keywords": _q_ta_keywords,
+        "rel_history": _q_rel_history,
+        "rel_window_distinct": _q_rel_window_distinct,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "dedup_containment": _q_dedup_containment,
+        "rel_cume_dist": _q_rel_cume_dist,
+        "ml_knn_classify": _q_ml_knn_classify,
+        "rel_unpivot": _q_rel_unpivot,
+        "kg_entity_profile": _q_kg_entity_profile,
+        "prep_neardup": _q_prep_neardup,
+        "rel_first_order": _q_rel_first_order,
+        "rel_bucketed_join": _q_rel_bucketed_join,
+        "dedup_incremental": _q_dedup_incremental,
+        "rel_zorder": _q_rel_zorder,
+        "ml_linreg": _q_ml_linreg,
+        "kg_entity_timeline": _q_kg_entity_timeline,
+        "prep_report": _q_prep_report,
+        "ta_fingerprint_rolling": _q_ta_fingerprint_rolling,
+        "dedup_simhash": _q_dedup_simhash,
+        "mm_phash_dups": _q_mm_phash_dups,
+        "mm_scene_change": _q_mm_scene_change,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -1458,30 +1485,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cumsum": _q_rel_cumsum,
         "rel_skew_join": _q_rel_skew_join,
         "dedup_editdist": _q_dedup_editdist,
-        "kg_link_jaccard": _q_kg_link_jaccard,
-        "ta_collocations": _q_ta_collocations,
-        "rel_retention": _q_rel_retention,
-        "ta_keywords": _q_ta_keywords,
-        "rel_history": _q_rel_history,
-        "rel_window_distinct": _q_rel_window_distinct,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
-        "dedup_containment": _q_dedup_containment,
-        "rel_cume_dist": _q_rel_cume_dist,
-        "ml_knn_classify": _q_ml_knn_classify,
-        "rel_unpivot": _q_rel_unpivot,
-        "kg_entity_profile": _q_kg_entity_profile,
-        "prep_neardup": _q_prep_neardup,
-        "rel_first_order": _q_rel_first_order,
-        "rel_bucketed_join": _q_rel_bucketed_join,
-        "dedup_incremental": _q_dedup_incremental,
-        "rel_zorder": _q_rel_zorder,
-        "ml_linreg": _q_ml_linreg,
-        "kg_entity_timeline": _q_kg_entity_timeline,
-        "prep_report": _q_prep_report,
-        "ta_fingerprint_rolling": _q_ta_fingerprint_rolling,
-        "dedup_simhash": _q_dedup_simhash,
-        "mm_phash_dups": _q_mm_phash_dups,
-        "mm_scene_change": _q_mm_scene_change,
         "kg_page_quads": _q_kg_page_quads,
         "kg_meta_quads": _q_kg_meta_quads,
         "kg_fact_quads": _q_kg_fact_quads,

@@ -164,6 +164,75 @@ def md5_token_hashes(tokens: list[str], memo: dict | None = None) -> np.ndarray:
     return out
 
 
+_M31 = (1 << 31) - 1
+
+
+def md5_hash31(s: str) -> int:
+    """First 8 md5 hex chars mod 2^31-1 — the SQL-replayable 31-bit
+    family: ``CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) %
+    2147483647``. 31 bits keeps ``(a*h + b)`` under 2^62, so the mod-p
+    MinHash permutations are EXACT in both int64 (DuckDB) and uint64
+    (numpy) — no wrap, no HUGEINT."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % _M31
+
+
+def md5_minhash_perms(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic mod-2^31-1 permutation constants, derived from md5
+    of 'mh_a:<j>' / 'mh_b:<j>' (a_j nonzero). PUBLISHED CONTRACT: the
+    dedup_minhash SQL oracle embeds these exact values as literals."""
+    a = np.fromiter((1 + md5_hash60(f"mh_a:{j}") % (_M31 - 1)
+                     for j in range(num_perm)), dtype=np.uint64,
+                    count=num_perm)
+    b = np.fromiter((md5_hash60(f"mh_b:{j}") % _M31
+                     for j in range(num_perm)), dtype=np.uint64,
+                    count=num_perm)
+    return a, b
+
+
+def md5_minhash_signature(shingles: list[str], num_perm: int = 64,
+                          memo: dict | None = None) -> np.ndarray:
+    """MinHash signature in the md5-31 family: base = md5_hash31 per
+    DISTINCT shingle, perm_j = (a_j*h + b_j) mod 2^31-1, sig_j = min
+    (or the sentinel 2^31-1 for shingle-less docs). All-integer and
+    exact — replays bit-for-bit in DuckDB."""
+    key = f"perms:{num_perm}"
+    cached = _MD5_MINHASH_PERMS.get(key)
+    if cached is None:
+        cached = md5_minhash_perms(num_perm)
+        _MD5_MINHASH_PERMS[key] = cached
+    a, b = cached
+    if memo is None:
+        hs = np.fromiter((md5_hash31(s) for s in shingles),
+                         dtype=np.uint64, count=len(shingles))
+    else:
+        hs = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            h = memo.get(s)
+            if h is None:
+                h = md5_hash31(s)
+                memo[s] = h
+            hs[i] = h
+    if hs.size == 0:
+        return np.full(num_perm, _M31, dtype=np.uint64)
+    vals = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(_M31)
+    return vals.min(axis=0)
+
+
+_MD5_MINHASH_PERMS: dict[str, tuple] = {}
+
+
+def word_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """DISTINCT contiguous word k-shingles; shorter-than-k docs yield the
+    single full-join shingle, empty docs none. SQL mirror: tokens via
+    regexp_split '\\s+', shingles via generate_series windows."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return list({" ".join(tokens[i:i + k])
+                 for i in range(len(tokens) - k + 1)})
+
+
 def md5_rolling_fingerprint(tokens, memo: dict | None = None) -> int:
     """Polynomial rolling hash (base 1000003, mod 2^61-1) over md5-prefix
     token hashes — bit-identical to the DuckDB recursive-CTE replay in

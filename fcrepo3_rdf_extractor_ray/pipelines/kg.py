@@ -221,11 +221,13 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     return dedup_quads(resolved, n_salts=n_salts)
 
 
-def adjacency_table(quads_ds, n_parts: int = 64):
+def adjacency_table(quads_ds, n_parts: int | None = None):
     """Graph adjacency-list layout (north-star materialization): one row
     per subject with its (pred, obj) edges as a list sorted by
     (pred, obj), plus edge count. Partition by subject hash → vectorized
     per-partition assembly (same bounded-partition pattern as dedup)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     import numpy as np
     import pyarrow.compute as pc
 
@@ -332,7 +334,7 @@ def materialize_sorted(quads_ds, out_dir: str, write_nquads: bool = True,
     return out_dir
 
 
-def entity_profile(pages_ds, n_parts: int = 32):
+def entity_profile(pages_ds, n_parts: int | None = None):
     """Per-entity PROFILE — the composite consumers build dashboards
     from: for every mentioned entity, (a) how many pages mention it,
     (b) its co-occurrence degree (distinct neighbors), (c) its
@@ -343,6 +345,8 @@ def entity_profile(pages_ds, n_parts: int = 32):
     labels — and assembles them with ONE norm-keyed co-partitioned
     tag-union merge (kinds 0/1/2), zero joins. Every exchanged table is
     #entities-scale."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc

@@ -154,6 +154,10 @@ def revenue_by_nation(sf_dir: str):
         })
 
     cust = cust.map_batches(cents, batch_format="pyarrow")
+    # num_partitions bounded by the SMALL side (nation: 25 keys, fixed by
+    # schema): Ray 2.49 materializes schema-less blocks for empty
+    # small-side join partitions, so ≥~6 keys/partition is required —
+    # this constant is key-count-derived, not a cluster-size default
     joined = cust.join(nation, join_type="inner", num_partitions=4,
                        on=("c_nationkey",), right_on=("n_nationkey",))
     g = joined.groupby("n_name").aggregate(Sum("acctbal_cents"))
@@ -472,7 +476,7 @@ def distinct_users_by_type(sf_dir: str):
     return _rename(g, {"count()": "n_users"})
 
 
-def asof_last_purchase(sf_dir: str, n_parts: int = 32):
+def asof_last_purchase(sf_dir: str, n_parts: int | None = None):
     """AS-OF JOIN (time-series feature op): each event gains the
     timestamp of the SAME user's most recent strictly-earlier 'purchase'
     event and the gap in epoch-microseconds — the "time since last X"
@@ -483,6 +487,8 @@ def asof_last_purchase(sf_dir: str, n_parts: int = 32):
     per partition — as-of needs only per-key time-locality, never a
     global sort. Gap is exact integer microseconds so the DuckDB ASOF
     JOIN oracle compares bit-for-bit."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -512,7 +518,7 @@ def asof_last_purchase(sf_dir: str, n_parts: int = 32):
 
 
 def range_join_attribution(sf_dir: str, window_minutes: int = 10,
-                           n_parts: int = 32):
+                           n_parts: int | None = None):
     """RANGE (interval) JOIN: for every 'purchase' event, count the same
     user's 'click' events in the half-open window (ts - w, ts) — the
     classic attribution join a feature pipeline runs at scale.
@@ -522,6 +528,8 @@ def range_join_attribution(sf_dir: str, window_minutes: int = 10,
     resolved by binary search (``np.searchsorted``), never an O(n²)
     nested loop. The partition key bounds group count, the per-user
     work is two sorted arrays."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -554,7 +562,7 @@ def range_join_attribution(sf_dir: str, window_minutes: int = 10,
     return ds.groupby("part").map_groups(attribute, batch_format="pandas")
 
 
-def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
+def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int | None = None):
     """ROLLING-WINDOW aggregate (the per-example trailing feature):
     each event gains the sum of the same user's last ``window`` event
     values (current row included), ordered by (ts, event_id).
@@ -565,6 +573,8 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     order-independent and the DuckDB window-function oracle compares
     bit-for-bit. Rolling windows only ever need per-key time-locality,
     never a global sort."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -587,7 +597,7 @@ def rolling_user_spend(sf_dir: str, window: int = 4, n_parts: int = 32):
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
-def rolling_user_max(sf_dir: str, window: int = 4, n_parts: int = 32):
+def rolling_user_max(sf_dir: str, window: int = 4, n_parts: int | None = None):
     """Sliding-window MAX — the monotonic-deque primitive (running sums
     don't telescope for max, so this is a genuinely different kernel
     from ``rolling_user_spend``): each event gains the max of the same
@@ -596,6 +606,8 @@ def rolling_user_max(sf_dir: str, window: int = 4, n_parts: int = 32):
     Same one-exchange shape; the per-partition pass is pandas'
     C-implemented ``groupby(...).rolling(window).max()`` over integer
     cents — exact, so the SQL window oracle compares bit-for-bit."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -620,7 +632,7 @@ def rolling_user_max(sf_dir: str, window: int = 4, n_parts: int = 32):
 
 
 def conversion_lag(sf_dir: str, from_type: str = "view",
-                   to_type: str = "purchase", n_parts: int = 32):
+                   to_type: str = "purchase", n_parts: int | None = None):
     """TIME-TO-CONVERSION (first-touch attribution): per user,
     microseconds between their FIRST ``from_type`` and FIRST
     ``to_type`` events; users lacking either leg, or whose first
@@ -629,6 +641,8 @@ def conversion_lag(sf_dir: str, from_type: str = "view",
     view", which would need the full event stream instead of two
     associative argmins). Per-batch combiner keeps ≤ 2 rows per user
     per block; ONE user-keyed exchange finishes."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
     def legs(t: pa.Table) -> pa.Table:
@@ -705,7 +719,7 @@ def _range_window_sums(tsv: np.ndarray, gid: np.ndarray,
     return s.astype(np.int64)
 
 
-def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int = 32):
+def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int | None = None):
     """TIME-RANGE windowed aggregate (RANGE frame, not row frame): each
     event gains the sum of the same user's event values inside the
     trailing ``minutes`` interval — SQL's ``RANGE BETWEEN INTERVAL ...
@@ -716,6 +730,8 @@ def time_window_spend(sf_dir: str, minutes: int = 60, n_parts: int = 32):
     on timestamps offset by a per-user stride (the stride exceeds any
     real time span, so range probes can never cross a user boundary).
     Exact integer cents; no per-user Python loop."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -1083,7 +1099,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
         merge, batch_format="pandas")
 
 
-def funnel_steps(sf_dir: str, window_hours: int = 24, n_parts: int = 32):
+def funnel_steps(sf_dir: str, window_hours: int = 24, n_parts: int | None = None):
     """CONVERSION-FUNNEL sequential pattern: per user, first signup →
     first click within ``window_hours`` of it → first purchase within
     ``window_hours`` of that click. The classic ordered-sequence /
@@ -1094,6 +1110,8 @@ def funnel_steps(sf_dir: str, window_hours: int = 24, n_parts: int = 32):
     partition (ONE exchange), then a fully vectorized pandas pass per
     partition — three filtered groupby-mins stitched with merges. Scales
     with users/partition, never materializes on the driver."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1220,7 +1238,7 @@ def except_custkeys(sf_dir: str, keep_priority: str = "1-URGENT",
     return g.map_batches(fil, batch_format="pyarrow")
 
 
-def user_gap_stats(sf_dir: str, n_parts: int = 32):
+def user_gap_stats(sf_dir: str, n_parts: int | None = None):
     """LAG-window analytics: per-user inter-event gap statistics
     (count / max / sum of the gap to the previous event, microseconds).
 
@@ -1229,6 +1247,8 @@ def user_gap_stats(sf_dir: str, n_parts: int = 32):
     integer microseconds end-to-end (exact vs the SQL epoch_us oracle);
     users with a single event report NULL max/sum exactly like SQL
     aggregates over an empty window."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1359,7 +1379,7 @@ def ntile_orders(sf_dir: str, k: int = 4, n_buckets: int | None = None):
 
 def semi_join_orders_bloom(sf_dir: str, min_acctbal: float = 5000.0,
                            m_bits: int = 1 << 20, n_hashes: int = 4,
-                           n_parts: int = 32):
+                           n_parts: int | None = None):
     """Semi-join at the scale where the key set is too big to broadcast
     EXACTLY: a BLOOM-FILTER pre-filter plus a co-partitioned exact
     verify. Result is identical to ``semi_join_orders`` (same oracle).
@@ -1376,6 +1396,8 @@ def semi_join_orders_bloom(sf_dir: str, min_acctbal: float = 5000.0,
     fraction — co-partition with the true keys for the exact check that
     removes bloom's false positives."""
 
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -1785,7 +1807,7 @@ def mode_priority_by_status(sf_dir: str):
         argmax, batch_format="pandas")
 
 
-def cumulative_spend(sf_dir: str, n_parts: int = 32):
+def cumulative_spend(sf_dir: str, n_parts: int | None = None):
     """Per-customer RUNNING TOTAL (SUM ... ROWS UNBOUNDED PRECEDING):
     each order annotated with the customer's cumulative spend up to and
     including it, ordered by (o_orderdate, o_orderkey) — the classic
@@ -1794,6 +1816,8 @@ def cumulative_spend(sf_dir: str, n_parts: int = 32):
     One customer-hash exchange; each partition sorts its customers'
     orders once and takes a vectorized grouped cumsum — no global sort,
     no per-row Python."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
@@ -1816,7 +1840,7 @@ def cumulative_spend(sf_dir: str, n_parts: int = 32):
 
 
 def skew_join_events_nation(sf_dir: str, hot_k: int | None = None,
-                            n_parts: int = 32):
+                            n_parts: int | None = None):
     """SKEW-AWARE left enrichment join: every event annotated with its
     user's nation key (``user_id = c_custkey``; unmatched → -1).
 
@@ -1842,6 +1866,8 @@ def skew_join_events_nation(sf_dir: str, hot_k: int | None = None,
     partition. On a uniform key distribution the hot set is (correctly)
     empty and the whole stream takes the cold path; the hot passes are
     then skipped entirely."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import ray
 
     if hot_k is None:
@@ -1915,7 +1941,7 @@ def skew_join_events_nation(sf_dir: str, hot_k: int | None = None,
     return cold.union(ev.map_batches(resolve_hot, batch_format="pyarrow"))
 
 
-def cohort_retention(sf_dir: str, n_parts: int = 32):
+def cohort_retention(sf_dir: str, n_parts: int | None = None):
     """COHORT RETENTION matrix: users grouped by their first-seen day
     (the cohort); for each (cohort, day-offset) cell, how many of that
     cohort's users were active that many days later — the standard
@@ -1926,6 +1952,8 @@ def cohort_retention(sf_dir: str, n_parts: int = 32):
     the same exchange, merged with the cohort map per partition (tag
     union, vectorized map); (3) one grid-sized groupby count — rows are
     already distinct per (user, day), so the count IS distinct users."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def combine(t: pa.Table) -> pa.Table:
@@ -1960,7 +1988,7 @@ def cohort_retention(sf_dir: str, n_parts: int = 32):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
-def event_type_history(sf_dir: str, n_parts: int = 32):
+def event_type_history(sf_dir: str, n_parts: int | None = None):
     """SCD-2 style HISTORY build (gaps-and-islands): per user, compact
     the event stream into maximal runs of the same event_type ordered by
     (ts, event_id) — each run becomes one row with its validity interval
@@ -1970,6 +1998,8 @@ def event_type_history(sf_dir: str, n_parts: int = 32):
     One user-hash exchange; each partition sorts its users' events once
     and derives run boundaries with a vectorized shift-compare + cumsum
     — no per-row Python anywhere."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "event_type", "ts"])
 
@@ -2006,7 +2036,7 @@ def event_type_history(sf_dir: str, n_parts: int = 32):
 
 
 def hopping_window_distinct_users(sf_dir: str, size_hours: int = 2,
-                                  stride_hours: int = 1, n_parts: int = 32):
+                                  stride_hours: int = 1, n_parts: int | None = None):
     """Hopping-window COUNT DISTINCT: unique active users per 2h window
     starting every 1h — the dedup-under-a-window variant of
     ``hopping_window_counts`` (a count is combiner-friendly; a distinct
@@ -2017,6 +2047,8 @@ def hopping_window_distinct_users(sf_dir: str, size_hours: int = 2,
     per-partition dedup + nunique. Partition width is bounded by
     users-per-window; salt the window key if a single window's user set
     outgrows a task."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     assert size_hours % stride_hours == 0
     fan = size_hours // stride_hours
     stride_us = stride_hours * 3_600_000_000
@@ -2056,13 +2088,15 @@ def hopping_window_distinct_users(sf_dir: str, size_hours: int = 2,
     return g.map_batches(finish, batch_format="pyarrow")
 
 
-def cume_dist_orders(sf_dir: str, n_parts: int = 32):
+def cume_dist_orders(sf_dir: str, n_parts: int | None = None):
     """Per-customer CUME_DIST (integer micro): each order's position in
     the customer's (o_orderdate, o_orderkey) sequence divided by the
     customer's order count — ``cd_micro = (1_000_000 · seq) // n``.
 
     One customer-hash exchange; per partition a vectorized sort +
     grouped cumcount/size — the same shape as ``cumulative_spend``."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate"])
 

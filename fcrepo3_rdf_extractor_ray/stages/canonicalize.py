@@ -55,7 +55,7 @@ def _batch_unique_norms(t: pa.Table) -> pa.Table:
     })
 
 
-def unique_norms(quads_ds, n_salts: int = 4, n_parts: int = 16):
+def unique_norms(quads_ds, n_salts: int = 4, n_parts: int | None = None):
     """Distinct (norm, sip64) via salted partition-grouped distinct.
 
     Shuffle key = ``sip64 mod n_parts`` (same key must co-locate); the
@@ -64,6 +64,8 @@ def unique_norms(quads_ds, n_salts: int = 4, n_parts: int = 16):
     exchange on (part, salt) splits a head key's duplicate rows across
     salts (distinct is idempotent, so two-phase is exact); the combiner
     in ``_batch_unique_norms`` already bounds duplicates to ≤ #blocks."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
     ds = quads_ds.map_batches(_batch_unique_norms, batch_format="pyarrow")
 
     def add_part_salt(t: pa.Table) -> pa.Table:
@@ -256,7 +258,8 @@ def union_find_labels_ds(edges_ds, max_iters: int = 16,
     cc = connected_components(
         edges_ds.map_batches(tag, batch_format="pyarrow"),
         a_col="a", b_col="b",
-        n_parts=num_partitions if num_partitions else 16)
+        n_parts=num_partitions)  # None → connected_components derives
+                                 # the count from the cluster size
 
     def out(t: pa.Table) -> pa.Table:
         mask = pc.starts_with(t["node"], "n:")

@@ -84,7 +84,7 @@ def _rename(ds, mapping: dict[str, str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_quads(quads_ds, n_salts: int = 4, n_parts: int = 64):
+def dedup_quads(quads_ds, n_salts: int = 4, n_parts: int | None = None):
     """Exact dedup of a quads Dataset → one row per distinct quad with
     ``src_url`` = min source url and ``n_src`` = occurrence count.
 
@@ -100,6 +100,8 @@ def dedup_quads(quads_ds, n_salts: int = 4, n_parts: int = 64):
     partition's rows across salts (two exchanges, exact because min/sum
     are associative); the combiner already bounds any key to ≤ #blocks
     rows, so salting matters when block counts are huge."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     ds = quads_ds.map_batches(_combine_batch, batch_format="pyarrow",
                               fn_kwargs={"n_parts": n_parts})
     # coalesce the (already batch-deduped, much smaller) stream before the
@@ -125,12 +127,14 @@ def dedup_quads(quads_ds, n_salts: int = 4, n_parts: int = 64):
 
 
 def dedup_exact_docs(docs_ds, text_col: str = "text", id_col: str = "doc_id",
-                     n_parts: int = 64):
+                     n_parts: int | None = None):
     """Exact document dedup: group by content hash, keep the min id (the
     min-ID rule), count duplicates. Same shape as ``dedup_quads``:
     per-batch combiner → hash-partition shuffle → vectorized Arrow
     group_by per partition (shuffling a 16-byte hash + part id instead
     of sorting multi-KB text keys)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     import hashlib
 
     def _hash_cols(col: pa.ChunkedArray):
@@ -212,6 +216,37 @@ def minhash_sig_batch(t: pa.Table, text_col="text", id_col="doc_id",
     })
 
 
+_MD5_SHINGLE_MEMO: dict[str, int] = {}
+
+
+def _md5_shingle_memo(cap: int = 1_000_000) -> dict:
+    if len(_MD5_SHINGLE_MEMO) > cap:
+        _MD5_SHINGLE_MEMO.clear()
+    return _MD5_SHINGLE_MEMO
+
+
+def minhash_md5_sig_batch(t: pa.Table, text_col="text", id_col="doc_id",
+                          num_perm=64, k=3) -> pa.Table:
+    """``minhash_sig_batch`` in the SQL-replayable md5-31 family
+    (``functions.hashing.md5_minhash_signature``): base hash = first 8
+    md5 hex chars of each DISTINCT word k-shingle mod 2^31-1, perms =
+    (a_j*h+b_j) mod 2^31-1 with published md5-derived constants. Every
+    value replays bit-for-bit in DuckDB (the dedup_minhash oracle)."""
+    from ..functions.hashing import md5_minhash_signature, word_shingles
+
+    memo = _md5_shingle_memo()
+    ids = t[id_col].to_pylist()
+    sigs = []
+    for txt in t[text_col].to_pylist():
+        sig = md5_minhash_signature(word_shingles(txt.split(), k=k),
+                                    num_perm, memo=memo)
+        sigs.append(sig.astype(np.int64).tolist())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "sig": pa.array(sigs, pa.list_(pa.int64())),
+    })
+
+
 class MinHashStage:
     """Actor-pool form of ``minhash_sig_batch`` (kept for callers that
     want an isolated per-actor memo, e.g. a model-backed variant)."""
@@ -245,7 +280,7 @@ def _sig_matrix(t: pa.Table) -> np.ndarray:
 
 def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
                             num_perm=64, bands=16, max_bucket=64,
-                            n_parts=64):
+                            n_parts=None):
     """LSH banding: groupby (band, band_hash) buckets → candidate pairs
     with estimated Jaccard (signature agreement). Buckets larger than
     ``max_bucket`` are truncated (logged via the `truncated` column) —
@@ -257,12 +292,23 @@ def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
     pass. The candidate-doc set is near-dup scale (bounded by 2× the
     pair count — the same boundedness assumption ``minhash_clusters``
     already makes for its driver-side union-find), so the verify lookup
-    is broadcast once via ``ray.put`` and read per task."""
+    is broadcast once via ``ray.put`` and read per task.
+
+    ``hash_family="md5"`` switches signatures to the SQL-replayable
+    md5-31 family (``minhash_md5_sig_batch``) and buckets on the band's
+    VALUE STRING instead of a folded hash — byte-identical to the
+    DuckDB replay in ``oracle_sql()['dedup_minhash']`` (grouping on the
+    values themselves also removes the fold's collision term). The
+    band exchange then ships a ~40-char key instead of 8 bytes —
+    immaterial next to the signature savings."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
+    key_col = "band_key" if hash_family == "md5" else "band_hash"
 
     sig_ds = docs_ds.map_batches(
-        minhash_sig_batch,
+        minhash_md5_sig_batch if hash_family == "md5" else minhash_sig_batch,
         fn_kwargs={"text_col": text_col, "id_col": id_col,
                    "num_perm": num_perm},
         batch_format="pyarrow",
@@ -286,19 +332,49 @@ def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
                              pa.int32()),
         })
 
-    band_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
+    def explode_bands_md5(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fast_part_hash
+
+        M = _sig_matrix(t)
+        n = M.shape[0]
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # band key = ','-joined signature values (vectorized numpy
+        # string ops over the whole batch) — the exact string
+        # string_agg(sig, ',' ORDER BY j) produces in the SQL replay
+        S = M.astype("U10")
+        keys = []
+        for bnd in range(bands):
+            kb = S[:, bnd * rows_per_band]
+            for j in range(1, rows_per_band):
+                kb = np.char.add(np.char.add(kb, ","),
+                                 S[:, bnd * rows_per_band + j])
+            keys.append(kb)
+        band_key = (np.stack(keys, axis=1).reshape(-1) if n
+                    else np.empty(0, dtype="U1"))
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        key_arr = pa.array(band_key, pa.string())
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(band_idx, pa.int32()),
+            "band_key": key_arr,
+            "part": pa.array(fast_part_hash(key_arr, n_parts)),
+        })
+
+    band_ds = sig_ds.map_batches(
+        explode_bands_md5 if hash_family == "md5" else explode_bands,
+        batch_format="pyarrow")
 
     # Shuffle key = band_hash % n_parts: bounded group count (n_parts map_groups
     # invocations), and each invocation handles ALL its (band, band_hash)
     # buckets with one vectorized pandas pass — never one Python call per
     # bucket. Rows of one bucket always share a part (part = f(band_hash)).
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[~df.duplicated(subset=["band", "band_hash", "doc_id"],
+        df = df[~df.duplicated(subset=["band", key_col, "doc_id"],
                                keep="first")]
-        sizes = df.groupby(["band", "band_hash"])["doc_id"].transform("size")
-        df = df[sizes >= 2].sort_values(["band", "band_hash", "doc_id"])
+        sizes = df.groupby(["band", key_col])["doc_id"].transform("size")
+        df = df[sizes >= 2].sort_values(["band", key_col, "doc_id"])
         chunks, trunc_chunks = [], []
-        for _, sub in df.groupby(["band", "band_hash"]):
+        for _, sub in df.groupby(["band", key_col]):
             ids = sub["doc_id"].to_numpy()
             truncated = len(ids) > max_bucket
             if truncated:
@@ -802,12 +878,14 @@ def _ngram_pair_counts(docs_ds, k: int, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
                         text_col="text", id_col="doc_id",
-                        max_df: int = 4096, n_parts: int = 64):
+                        max_df: int = 4096, n_parts: int | None = None):
     """EXACT word-k-gram Jaccard near-dup pairs — see
     ``_ngram_pair_counts`` for the two-exchange inverted-index plan and
     the df-cap caveat; this wrapper applies the symmetric
     ``J = c / (na + nb - c)`` threshold with the float64 expression
     shape mirrored by the SQL oracle."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     g = _ngram_pair_counts(docs_ds, k, text_col, id_col, max_df, n_parts)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -830,7 +908,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
 
 def ngram_containment_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
                             text_col="text", id_col="doc_id",
-                            max_df: int = 4096, n_parts: int = 64):
+                            max_df: int = 4096, n_parts: int | None = None):
     """ASYMMETRIC shingle CONTAINMENT pairs — |A∩B| / |A| ≥ threshold,
     emitted DIRECTED (doc_a contained-in doc_b and vice versa as
     separate rows): the subset-duplicate detector (a short page quoted
@@ -839,6 +917,8 @@ def ngram_containment_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
     inverted-index plan as ``ngram_jaccard_pairs``; integer
     ``containment_micro = (1_000_000 · c) // |A|`` so the oracle replays
     bit-exactly."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     g = _ngram_pair_counts(docs_ds, k, text_col, id_col, max_df, n_parts)
     thr = int(threshold * 1_000_000)
 
@@ -861,7 +941,7 @@ def ngram_containment_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
 
 
 def duplicated_spans(docs_ds, n: int = 4, id_col: str = "doc_id",
-                     text_col: str = "text", n_parts: int = 32):
+                     text_col: str = "text", n_parts: int | None = None):
     """Duplicated-PASSAGE detection (the span-level dedup signal from the
     public "Deduplicating Training Data Makes Language Models Better"
     line of work): per document, count the DISTINCT n-token shingles
@@ -881,6 +961,8 @@ def duplicated_spans(docs_ds, n: int = 4, id_col: str = "doc_id",
     partial rows). Shingle identity is the 64-bit hash — string-level
     parity with the SQL oracle modulo ~2^-64 collisions, same contract
     as ``decontaminate``."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     from .text_analysis import _shingle_hashes
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -932,7 +1014,7 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
+def editdist_pairs(ds, col: str = "surface", n_parts: int | None = None):
     """EDIT-DISTANCE ≤ 1 similarity self-join — surface-variant
     detection ('Entity7' vs 'Entity 7') feeding fuzzy entity linking and
     typo-dedup, without the O(n²) all-pairs scan.
@@ -953,6 +1035,8 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
     Bucket size is bounded by variant fan-in per signature (alphabet ×
     positions), not corpus size; pathological key-collision corpora
     should length-bucket first."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import pandas as pd
 
     from ..functions.hashing import fast_part_hash
@@ -1014,7 +1098,7 @@ def editdist_pairs(ds, col: str = "surface", n_parts: int = 32):
 
 
 def dedup_incremental(committed_ds, incoming_ds, text_col: str = "text",
-                      id_col: str = "doc_id", n_parts: int = 64):
+                      id_col: str = "doc_id", n_parts: int | None = None):
     """INCREMENTAL exact dedup — the streaming-ingest primitive: a new
     wave of documents dedupes against the already-committed corpus
     WITHOUT rereading committed text. Both sides reduce to 64-bit
@@ -1028,6 +1112,8 @@ def dedup_incremental(committed_ds, incoming_ds, text_col: str = "text",
     At 100 TB the committed side would be the persisted hash manifest a
     previous run checkpointed (16 bytes/doc), which is exactly what this
     consumes — the text of committed docs is never touched."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     import hashlib
 
     def _hash_cols(col: pa.ChunkedArray):

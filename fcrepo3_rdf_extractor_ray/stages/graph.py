@@ -32,10 +32,12 @@ import ray
 from .canonicalize import _safe_join_partitions
 
 
-def _distinct(ds, cols: list[str], n_parts: int = 16):
+def _distinct(ds, cols: list[str], n_parts: int | None = None):
     """Distinct rows via per-batch combiner → hash-partition → one
     vectorized Arrow group_by per partition (same shape as
     ``unique_norms`` — never one Python call per key)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
     from ..functions.hashing import fast_part_hash
 
     def batch_distinct(t: pa.Table) -> pa.Table:
@@ -76,7 +78,7 @@ def _prepare(edges_ds):
 
 def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
              rank_scale: int = 1_000_000, mode: str = "auto",
-             broadcast_max_nodes: int = 5_000_000, n_parts: int = 32):
+             broadcast_max_nodes: int = 5_000_000, n_parts: int | None = None):
     """Integer PageRank over a (subj, obj) edge Dataset.
 
     Per iteration: ``r'(v) = base + (damping_pct · Σ_{u→v} r(u)//d(u)) // 100``
@@ -84,6 +86,8 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
     mass is dropped (the standard simplification). Returns the
     (node, rank_micro) Dataset after ``iters`` fixed iterations.
     """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     e3, nodes, n_join = _prepare(edges_ds)
     if mode == "auto":
         mode = ("broadcast" if nodes.count() <= broadcast_max_nodes
@@ -308,7 +312,7 @@ def bfs_reachability(facts_ds, seed_pred: str = "kg:acquired",
 
 
 def connected_components(edges_ds, a_col: str = "norm_a",
-                         b_col: str = "norm_b", n_parts: int = 16,
+                         b_col: str = "norm_b", n_parts: int | None = None,
                          levels: int = 3,
                          small_graph_edges: int = 200_000):
     """CONNECTED COMPONENTS of an undirected graph — the clustering
@@ -344,6 +348,8 @@ def connected_components(edges_ds, a_col: str = "norm_a",
     #entities-bound as SURVEY.md §7.4). Raise ``levels`` / ``n_parts``
     if a pathological graph (giant matching spread across partitions)
     keeps the contracted set large."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
     import pandas as pd
 
     from ..functions.hashing import fast_part_hash
@@ -500,7 +506,7 @@ def connected_components(edges_ds, a_col: str = "norm_a",
 
 
 def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
-                   n_parts: int = 32):
+                   n_parts: int | None = None):
     """Global TRIANGLE COUNT over an oriented (a < b) undirected edge
     set — the standard graph-quality / community-density metric over the
     entity co-occurrence graph.
@@ -524,6 +530,8 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
     corpora the max co-occurrence degree is bounded by mentions-per-page
     fan-in and needs neither. Returns a 1-row pandas frame
     ``(n_triangles)``."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import pandas as pd
 
     from ..functions.hashing import fast_part_hash
@@ -586,7 +594,7 @@ def triangle_count(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
 
 
 def neighborhood_jaccard(edges_ds, a_col: str = "norm_a",
-                         b_col: str = "norm_b", n_parts: int = 32):
+                         b_col: str = "norm_b", n_parts: int | None = None):
     """LINK-PREDICTION neighborhood overlap: for every existing edge
     (a, b), the number of common neighbors and the Jaccard similarity of
     the two endpoints' neighbor sets — the classic structural-relatedness
@@ -603,6 +611,8 @@ def neighborhood_jaccard(edges_ds, a_col: str = "norm_a",
     edge (zero-filled) → two degree-attach co-partitioned merges. Four
     bounded exchanges; the hot-hub Σd² wedge bound and its salting
     mitigation are the same as ``triangle_count``."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import pandas as pd
 
     from ..functions.hashing import fast_part_hash
@@ -750,7 +760,7 @@ def neighborhood_jaccard(edges_ds, a_col: str = "norm_a",
 def pagerank_weighted(edges_ds, a_col: str = "norm_a",
                       b_col: str = "norm_b", weight_col: str = "n_pages",
                       iters: int = 5, damping_pct: int = 85,
-                      rank_scale: int = 1_000_000, n_parts: int = 32):
+                      rank_scale: int = 1_000_000, n_parts: int | None = None):
     """EDGE-WEIGHTED integer PageRank over an UNDIRECTED weighted edge
     Dataset (e.g. the co-occurrence graph, weight = co-mention count) —
     the relatedness-ranking variant: a neighbor reached through many
@@ -764,6 +774,8 @@ def pagerank_weighted(edges_ds, a_col: str = "norm_a",
     ships once per round via ``ray.put``; the weighted edge table with
     its precomputed out-weight never re-shuffles; one combiner-bounded
     exchange per round."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import ray.data as rd
 
     from ..functions.hashing import fast_part_hash
@@ -880,7 +892,7 @@ def pagerank_weighted(edges_ds, a_col: str = "norm_a",
 
 def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
                 b_col: str = "norm_b", max_rounds: int = 20,
-                n_parts: int = 16, small_graph_edges: int = 200_000):
+                n_parts: int | None = None, small_graph_edges: int = 200_000):
     """k-CORE decomposition by BOUNDED SIMULTANEOUS PEEL: nodes of the
     maximal subgraph where every node keeps degree ≥ k, computed as
     ``max_rounds`` Jacobi peel iterations (each round computes ALL
@@ -899,6 +911,8 @@ def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
     Graphs at or below ``small_graph_edges`` short-circuit to one
     exact single-task peel — the same small-graph rule as
     ``connected_components``."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
     import pandas as pd
 
     from ..functions.hashing import fast_part_hash

@@ -494,7 +494,7 @@ class PhashStage:
 
 def phash_neardup_pairs(items_ds, max_hamming: int = 6,
                         id_col="item_id", payload_col="payload",
-                        n_parts: int = 32):
+                        n_parts: int | None = None):
     """Image NEAR-DUP pairs by perceptual hash: aHash per image (actor
     pool, small binary batches), then the same pigeonhole bucketing the
     simhash path uses — 4 disjoint 16-bit bands; candidates share at
@@ -513,6 +513,8 @@ def phash_neardup_pairs(items_ds, max_hamming: int = 6,
     secondary key (e.g. phash's other bands, or item_id ranges) and
     accept the recall loss only within the degenerate bucket — exact
     dups inside it are better handled by the exact-hash pass anyway."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import pandas as pd
 
     # task form on warm workers: phash64 is stateless (the aHash grid

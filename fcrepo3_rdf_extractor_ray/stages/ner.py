@@ -129,7 +129,7 @@ def mentions_from_parsed(parsed_ds, batch_size: int = 4096):
                                  batch_size=batch_size)
 
 
-def mention_cooccurrence(mentions_ds, n_parts: int = 32):
+def mention_cooccurrence(mentions_ds, n_parts: int | None = None):
     """Entity CO-OCCURRENCE edges: for every unordered pair of distinct
     entities mentioned on the same page, the number of pages where they
     co-occur — the standard relatedness-edge weighting step between
@@ -141,6 +141,8 @@ def mention_cooccurrence(mentions_ds, n_parts: int = 32):
     pair-count combiner → one global pair aggregate. The big mention
     stream crosses the wire once, already deduped; pairs are bounded by
     mentions-per-page², not corpus size."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -174,7 +176,7 @@ def mention_cooccurrence(mentions_ds, n_parts: int = 32):
         batch_format="pyarrow")
 
 
-def entity_timeline(pages_ds, n_parts: int = 32):
+def entity_timeline(pages_ds, n_parts: int | None = None):
     """Per-entity TIMELINE: first and last time each entity was seen and
     on how many distinct pages — the temporal facet a KG consumer needs
     for freshness filtering and burst detection.
@@ -184,6 +186,8 @@ def entity_timeline(pages_ds, n_parts: int = 32):
     it is never broadcast — then a min/max/count combiner and one
     entity-keyed exchange finish. All timestamps stay microsecond
     integers end-to-end (bit-stable vs the SQL oracle)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc

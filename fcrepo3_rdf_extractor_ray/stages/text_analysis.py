@@ -301,7 +301,7 @@ def chunk_documents(docs_ds, chunk_tokens: int = 32, stride: int = 24,
 
 
 def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
-                    n_parts: int = 64):
+                    n_parts: int | None = None):
     """Distributed word count → global top-k terms: the vocabulary /
     term-frequency builder every corpus pipeline needs.
 
@@ -311,6 +311,8 @@ def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
     group_by per partition → tiny global sort+limit over the vocabulary.
     Ties at the k-boundary break (count DESC, token ASC), matching the
     SQL oracle."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     import pyarrow.compute as pc
 
     from ..functions.hashing import fast_part_hash
@@ -339,7 +341,7 @@ def vocab_top_terms(docs_ds, k: int = 100, text_col="text",
 
 
 def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
-                n_parts: int = 64):
+                n_parts: int | None = None):
     """Per-(doc, token) term frequency joined with corpus document
     frequency — the integer core of TF-IDF (the log-weighting is a
     trivial map over these columns; kept integer here so the oracle
@@ -349,6 +351,8 @@ def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
     (token, doc-count) rows; df aggregates token-hash-partitioned
     (vocabulary-sized result), is broadcast once via ``ray.put``, and
     joins map-side — the big (doc, token) stream never shuffles."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
     import pyarrow.compute as pc
     import ray
 
@@ -523,7 +527,7 @@ def source_stats(docs_ds):
 
 
 def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
-                   n_parts: int = 32):
+                   n_parts: int | None = None):
     """INVERTED-INDEX construction: per token, the sorted posting list of
     the first ``k`` documents containing it plus the capped list length —
     the retrieval-index build of a search/RAG pipeline.
@@ -534,6 +538,8 @@ def inverted_index(docs_ds, k: int = 8, text_col="text", id_col="doc_id",
     partition then colocates every partial list and the per-partition
     final re-sorts ≤ k × n_blocks ids per token. The posting string is
     bounded by construction."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     from ..functions.hashing import fast_part_hash
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -822,7 +828,7 @@ def bm25_scores(docs_ds, query_terms=("hash", "join", "vector"),
 
 
 def collocations(docs_ds, min_count: int = 5, text_col="text",
-                 n_parts: int = 32, broadcast_vocab_limit: int = 2_000_000):
+                 n_parts: int | None = None, broadcast_vocab_limit: int = 2_000_000):
     """COLLOCATION scoring: bigrams ranked by integer LIFT —
     ``lift_micro = (1_000_000 · N_bigrams · c_xy) // (c_x · c_y)`` (the
     exp(PMI) numerator/denominator, micro-floored; log-free so the
@@ -843,6 +849,8 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
     replaced by one ``ray.put`` + per-batch ``index_in`` lookups — the
     same dual-path rule as the entity map. The tag-union exchanges
     remain the web-scale path (vocabularies grow with the corpus)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import fast_part_hash
@@ -974,7 +982,7 @@ def collocations(docs_ds, min_count: int = 5, text_col="text",
 
 
 def keyword_extract(docs_ds, k: int = 3, text_col="text",
-                    id_col="doc_id", n_parts: int = 32):
+                    id_col="doc_id", n_parts: int | None = None):
     """Per-document KEYWORD extraction: top-``k`` terms by rational
     TF-IDF — ``score = tf · ((1_000_000 · N) // df)`` (log-free integer
     IDF so the distributed result replays bit-exactly in SQL), ties
@@ -987,6 +995,8 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
     exchange, no broadcast); then one doc-keyed exchange runs the
     vectorized per-partition sort + head(k). The corpus streams once;
     every exchange carries (doc, term)-bounded rows, never raw text."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     from ..functions.hashing import fast_part_hash
 
     def tf_partial(df: pd.DataFrame) -> pd.DataFrame:

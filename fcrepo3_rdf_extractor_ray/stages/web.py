@@ -80,12 +80,14 @@ def canonicalize_urls(ds, url_col: str = "url", id_col: str = "doc_id",
 
 
 def dedup_by_canonical_url(ds, url_col: str = "url", id_col: str = "doc_id",
-                           n_parts: int = 32):
+                           n_parts: int | None = None):
     """CRAWL DEDUP: canonicalize urls, then keep the minimum-id row per
     canonical url — the address-level first stage every crawl pipeline
     runs before content-level dedup. Shape: canonicalize (stateless
     map) → per-batch min-id combiner → ONE canon-url-hash exchange →
     vectorized per-partition min. Returns (url_canon, doc_id)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
     from ..functions.hashing import fast_part_hash
 
     canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)

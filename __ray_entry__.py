@@ -75,6 +75,76 @@ FROM u WHERE NOT malformed
 """
 
 
+def _minhash_md5_sql() -> str:
+    """EXACT DuckDB replay of the md5-31 MinHash near-dup clustering
+    (stages/dedup.py minhash_clusters(hash_family='md5')): the 64
+    (a, b) permutation constants are the engine's published
+    md5_minhash_perms(64) values, embedded as literals. All arithmetic
+    is int64-exact on both sides (31-bit hashes keep a*h+b < 2^62)."""
+    from fcrepo3_rdf_extractor_ray.functions.hashing import md5_minhash_perms
+
+    a, b = md5_minhash_perms(64)
+    vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    return rf"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts
+  FROM documents),
+sh AS (  -- distinct word 3-shingles; <3-token docs -> one full-join
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+              ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+  FROM tk, LATERAL (SELECT unnest(generate_series(
+                        1, greatest(len(ts) - 2, 1))) AS i) g
+  WHERE len(ts) > 0),
+hs AS (SELECT doc_id,
+              CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)
+                  % 2147483647 AS h
+       FROM sh),
+perm(j, a, b) AS (VALUES {vals}),
+sigv AS (  -- per-doc per-perm min; shingle-less docs get the sentinel
+  SELECT d.doc_id, p.j,
+         coalesce(min((h.h * p.a + p.b) % 2147483647), 2147483647) AS sig
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perm p
+  LEFT JOIN hs h ON h.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.j),
+bk AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+  FROM sigv GROUP BY doc_id, j // 4),
+buck AS (
+  SELECT doc_id, band, band_key,
+         row_number() OVER (PARTITION BY band, band_key
+                            ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY band, band_key) AS sz
+  FROM bk),
+cand AS (  -- pairs within buckets, engine's max_bucket=64 truncation
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buck x JOIN buck y ON x.band = y.band AND x.band_key = y.band_key
+                         AND x.doc_id < y.doc_id
+  WHERE x.rn <= 64 AND y.rn <= 64
+  GROUP BY 1, 2),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         (SELECT count(*) FROM sigv sa JOIN sigv sb
+            ON sb.doc_id = c.doc_b AND sa.j = sb.j AND sa.sig = sb.sig
+          WHERE sa.doc_id = c.doc_a)::DOUBLE / 64 AS ej
+  FROM cand c),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM est WHERE ej >= 0.7),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+_MINHASH_MD5_SQL = _minhash_md5_sql()
+
+
 _MENTIONS_SQL = """
 SELECT url AS src_url,
   CASE doc_id % 3 WHEN 0 THEN 'Entity' || (doc_id % 41)::VARCHAR
@@ -461,9 +531,15 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    # md5-31 hash family (round 4): every step — shingle hash, (a*h+b)
+    # mod 2^31-1 permutations, band-value bucketing, candidate pairing
+    # with max_bucket truncation, signature-agreement Jaccard, and the
+    # transitive closure — replays EXACTLY in the DuckDB oracle. The
+    # SipHash family remains the library default for raw throughput.
     from fcrepo3_rdf_extractor_ray.stages.dedup import minhash_clusters
 
-    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7,
+                            hash_family="md5")
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -1435,6 +1511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "mm_phash_dups": _q_mm_phash_dups,
         "mm_scene_change": _q_mm_scene_change,
+        # round-4 NEW oracle entries (exact replays of formerly
+        # rows-only sketches) — inside the 50-entry driver window:
+        "dedup_minhash": _q_dedup_minhash,
+        "rel_approx_distinct": _q_rel_approx_distinct,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -1497,7 +1577,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lang_id": _q_ta_lang_id,
         "ta_fingerprint": _q_ta_fingerprint,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_brute": _q_sim_knn_brute,
@@ -1520,7 +1599,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "rel_topk_group": _q_rel_topk_group,
         "rel_pivot": _q_rel_pivot,
-        "rel_approx_distinct": _q_rel_approx_distinct,
         "kg_pagerank": _q_kg_pagerank,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "ta_stratified": _q_ta_stratified,
@@ -1649,9 +1727,17 @@ FROM r JOIN n USING (doc_id) WHERE r.i = n.n
             "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"
         ),
-        # dedup_minhash / dedup_simhash / dedup_embedding: LSH-approximate
-        # (recall < 1 by construction) — verified against planted
+        # dedup_embedding: hyperplane-LSH approximate (recall < 1 by
+        # construction, float cosines) — verified against planted
         # near-dups and brute force in pytest; driver records rows-only.
+        # dedup_minhash: EXACT replay of the md5-31 MinHash pipeline —
+        # distinct word 3-shingles, 64 (a*h+b) mod 2^31-1 permutations
+        # (constants embedded below, derived from md5('mh_a:<j>')),
+        # band-value bucketing with the engine's max_bucket=64
+        # truncation (row_number over doc_id order), signature-agreement
+        # Jaccard >= 0.7, then cluster = transitive closure w/ min-ID
+        # label (recursive CTE; near-dup components are tiny).
+        "dedup_minhash": _MINHASH_MD5_SQL,
         # --- similarity ---
         "sim_knn_brute": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
@@ -1916,8 +2002,49 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
         "kg_pagerank": _pagerank_sql(),
-        # rel_approx_distinct: HyperLogLog sketch — approximate by
-        # construction; accuracy asserted vs exact counts in pytest.
+        # rel_approx_distinct: EXACT replay of the md5-family HLL
+        # sketch (p=12): bucket/rank from the first-16-hex md5 hash,
+        # register max per bucket, exact-integer register sum
+        # Σ 2^(53-ρ) in HUGEINT, then the identical estimator
+        # expression (integer-ratio literals, floor(x+0.5) rounding) —
+        # accuracy vs exact counts stays asserted in pytest.
+        "rel_approx_distinct": r"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16)
+              AS UBIGINT) AS h
+  FROM events),
+r AS (
+  SELECT event_type,
+         CAST(h >> 52 AS BIGINT) AS idx,
+         CAST(h & 4503599627370495 AS BIGINT) AS suffix
+  FROM h),
+regs AS (
+  SELECT event_type, idx,
+         max(CASE WHEN suffix = 0 THEN 53
+                  ELSE 52 - length(bin(suffix)) + 1 END) AS rho
+  FROM r GROUP BY 1, 2),
+fullregs AS (
+  SELECT t.event_type, g.i AS idx, coalesce(rg.rho, 0) AS rho
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS i) g
+  LEFT JOIN regs rg ON rg.event_type = t.event_type AND rg.idx = g.i),
+s AS (
+  SELECT event_type,
+         sum(1::HUGEINT << (53 - rho)) AS S,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM fullregs GROUP BY 1),
+est AS (
+  SELECT event_type, zeros,
+         (7213::DOUBLE / 10000) / (1 + (1079::DOUBLE / 1000) / 4096)
+           * power(2.0, 77) / CAST(S AS DOUBLE) AS e
+  FROM s)
+SELECT event_type,
+       CAST(floor(CASE WHEN e <= 10240.0 AND zeros > 0
+                       THEN 4096 * ln(4096.0 / zeros)
+                       ELSE e END + 0.5) AS BIGINT) AS n_users_approx
+FROM est
+""",
         # mm_image_features: fake-codec plumbing demo over text bytes,
         # no SQL equivalent — rows-only (the REAL decode is oracle-checked
         # below as mm_image_decode).

@@ -1049,25 +1049,34 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     tiny per-type groupby. The shuffle carries one 4 KiB sketch per type
     per block regardless of cardinality — at 10^12 rows the exact
     version's (type, user) exchange is billions of rows, this is
-    kilobytes. Deterministic (fixed hash, no sampling); accuracy
-    ~1.04/√2^p ≈ 1.6 % at p=12, asserted against the exact counts in
-    pytest. Approximate by construction → no SQL oracle (rows-only)."""
+    kilobytes. Deterministic, and since round 4 EXACTLY SQL-replayable:
+    the hash is the md5-prefix family (first 16 hex chars of
+    md5(str(user_id))), the register-sum is computed as the exact
+    integer Σ 2^(53-ρ), and the estimator expression mirrors the DuckDB
+    oracle term-for-term (same literals, same op order, libm ln on both
+    sides) — so ``oracle_sql()['rel_approx_distinct']`` recomputes the
+    whole sketch bit-for-bit. Accuracy ~1.04/√2^p ≈ 1.6 % at p=12,
+    still asserted against the exact counts in pytest. md5 runs once
+    per DISTINCT user per batch (factorize first)."""
     if not 12 <= p <= 18:
         # below p=12 the (64-p)-bit suffix exceeds float64's 53-bit
         # mantissa and the exponent-based rank silently corrupts
         raise ValueError(f"p must be in [12, 18], got {p}")
+    import hashlib
+    import math
+
     m = 1 << p
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         out_ty, out_reg = [], []
         for ty, sub in df.groupby("event_type"):
-            u = sub["user_id"].to_numpy(np.uint64)
-            # splitmix64 finalizer — well-mixed 64-bit hash, vectorized
-            h = u + np.uint64(0x9E3779B97F4A7C15)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
+            codes, uniq = pd.factorize(sub["user_id"], sort=False)
+            hu = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                 for u in uniq), dtype=np.uint64, count=len(uniq))
+            h = hu[codes]
             idx = (h >> np.uint64(64 - p)).astype(np.int64)
             suffix = h & np.uint64((1 << (64 - p)) - 1)
             # rank = leading zeros of the (64-p)-bit suffix + 1
@@ -1083,17 +1092,28 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
 
     partials = ds.map_batches(sketch, batch_format="pandas")
 
+    B = 64 - p + 1  # max rank; 2^(B-rho) terms are exact integers
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         regs = np.maximum.reduce(
             [np.asarray(r, dtype=np.int8) for r in df["regs"]])
-        # standard HLL estimator + linear-counting small-range correction
-        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
-            np.power(2.0, -regs.astype(np.float64)))
+        # exact-integer register sum: Σ 2^-ρ = S / 2^B with S a Python
+        # int — removes float-accumulation order from the contract, so
+        # the SQL SUM (any order) lands on the same integer
+        S = int(sum(1 << (B - int(r)) for r in regs))
+        # literals written as integer ratios so DuckDB parses the
+        # identical doubles (alpha = 0.7213 / (1 + 1.079/m))
+        alpha = (7213.0 / 10000.0) / (1.0 + (1079.0 / 1000.0) / m)
+        est = alpha * float(m * m << B) / float(S)
         zeros = int(np.count_nonzero(regs == 0))
         if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
+            # linear-counting small-range correction (libm log, same
+            # implementation DuckDB's ln binds to on this platform)
+            est = m * math.log(m / zeros)
+        # floor(x+0.5) rounding: identical semantics in Python and SQL
+        # (Python round() is banker's; DuckDB round() is half-away)
         return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "n_users_approx": [int(round(est))]})
+                             "n_users_approx": [int(math.floor(est + 0.5))]})
 
     return partials.groupby("event_type").map_groups(
         merge, batch_format="pandas")

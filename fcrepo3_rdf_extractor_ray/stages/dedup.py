@@ -280,7 +280,7 @@ def _sig_matrix(t: pa.Table) -> np.ndarray:
 
 def minhash_candidate_pairs(docs_ds, text_col="text", id_col="doc_id",
                             num_perm=64, bands=16, max_bucket=64,
-                            n_parts=None):
+                            n_parts=None, hash_family="siphash"):
     """LSH banding: groupby (band, band_hash) buckets → candidate pairs
     with estimated Jaccard (signature agreement). Buckets larger than
     ``max_bucket`` are truncated (logged via the `truncated` column) —

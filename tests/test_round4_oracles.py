@@ -1,0 +1,111 @@
+"""Round-4 additions: exact SQL replays for the two formerly rows-only
+sketches (md5-family MinHash clustering, md5-family HyperLogLog) plus
+unit properties of the new md5-31 MinHash primitives."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _compare(result, duck, sql, sort_cols):
+    got = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+    want = duck.execute(sql).df()
+    g = got.sort_values(sort_cols).reset_index(drop=True)
+    w = want.sort_values(sort_cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w) and len(g) > 0
+    for c in g.columns:
+        assert g[c].astype(str).equals(w[c].astype(str)), c
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    return em
+
+
+def test_dedup_minhash_oracle_exact(entry, sf_dir, duck, ray_session):
+    _compare(entry.queries()["dedup_minhash"](sf_dir), duck,
+             entry.oracle_sql()["dedup_minhash"], ["doc_id"])
+
+
+def test_rel_approx_distinct_oracle_exact(entry, sf_dir, duck, ray_session):
+    _compare(entry.queries()["rel_approx_distinct"](sf_dir), duck,
+             entry.oracle_sql()["rel_approx_distinct"], ["event_type"])
+
+
+def test_hll_md5_accuracy(sf_dir, duck, ray_session):
+    """The md5-family HLL stays within the p=12 error bound of the
+    exact distinct counts."""
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        approx_distinct_users)
+
+    got = approx_distinct_users(sf_dir).to_pandas().set_index("event_type")
+    exact = duck.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events GROUP BY 1").df().set_index("event_type")
+    for ty, n in exact["n"].items():
+        est = got.loc[ty, "n_users_approx"]
+        assert abs(est - n) <= max(3, 0.05 * n), (ty, est, n)
+
+
+def test_md5_minhash_signature_properties():
+    from fcrepo3_rdf_extractor_ray.functions.hashing import (
+        _M31, md5_minhash_signature, word_shingles)
+
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    sh = word_shingles(toks)
+    assert len(sh) == len(set(sh)) == len(toks) - 2
+    sig = md5_minhash_signature(sh, 64)
+    assert sig.shape == (64,) and (sig < _M31).all()
+    # deterministic + memo-independent
+    memo = {}
+    sig2 = md5_minhash_signature(sh, 64, memo=memo)
+    assert (sig == sig2).all() and len(memo) == len(sh)
+    # identical docs → identical signatures; empty doc → sentinel
+    assert (md5_minhash_signature(word_shingles(toks), 64) == sig).all()
+    assert (md5_minhash_signature([], 64) == _M31).all()
+    # short docs: one full-join shingle
+    assert word_shingles(["a", "b"]) == ["a b"]
+    assert word_shingles([]) == []
+
+
+def test_minhash_md5_planted_dups(ray_session):
+    """Planted near-dups cluster together under the md5 family; both
+    routing paths (driver union-find and the Dataset-native min-label)
+    agree."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        minhash_clusters, minhash_clusters_ds)
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [" ".join(rng.choice(vocab, size=60)) for _ in range(20)]
+    texts, ids = [], []
+    for i, b in enumerate(base):
+        texts.append(b)
+        ids.append(2 * i)
+        toks = b.split()
+        toks[5] = "changed"  # near-dup: one token differs
+        texts.append(" ".join(toks))
+        ids.append(2 * i + 1)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+    cl = minhash_clusters(ds, threshold=0.5, hash_family="md5")
+    got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    # every planted pair lands in one cluster
+    paired = sum(1 for i in range(20)
+                 if got.get(2 * i) is not None
+                 and got.get(2 * i) == got.get(2 * i + 1))
+    assert paired >= 18  # LSH recall: allow <=2 misses at 16 bands
+    ds_cl = (minhash_clusters_ds(ds, threshold=0.5, hash_family="md5")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    drv = cl.sort_values("doc_id").reset_index(drop=True)
+    assert ds_cl.astype("int64").equals(drv.astype("int64"))

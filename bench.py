@@ -60,6 +60,61 @@ def _flagship(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def _model_slot(sf_dir: str, repeat: int) -> float:
+    """W1 model-slot contract AT POOL SCALE: a few-MB pickled artifact
+    (50k-word vocab + 50k×32 float32 embedding matrix, ~6.4 MB) travels
+    ray.put → actor __init__ across an autoscaling NER pool over the
+    ×repeat corpus. ASSERTS one load per actor (load-counter side
+    channel): loads ≤ pool cap, batches ≫ loads. Raises on violation —
+    a failed contract fails the bench run, not just a unit test."""
+    import pickle
+
+    import numpy as np
+    import ray
+
+    from fcrepo3_rdf_extractor_ray.runtime import pool
+    from fcrepo3_rdf_extractor_ray.sources.pages import (read_pages,
+                                                         synthesize_pages)
+    from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
+
+    vocab = {f"entity{i}": i for i in range(50_000)}
+    emb = np.random.RandomState(0).rand(50_000, 32).astype(np.float32)
+    artifact = pickle.loads(pickle.dumps((vocab, emb)))  # real checkpoint
+    ref = ray.put(artifact)
+
+    @ray.remote
+    class _Counter:
+        def __init__(self):
+            self.loads, self.batches = 0, 0
+
+        def incr_load(self):
+            self.loads += 1
+
+        def incr_batch(self):
+            self.batches += 1
+
+        def stats(self):
+            return self.loads, self.batches
+
+    name = "bench_model_slot_counter"
+    counter = _Counter.options(name=name).remote()
+    ray.get(counter.stats.remote())  # registered before the pool spawns
+
+    pages_dir = synthesize_pages(sf_dir, repeat=repeat)
+    ds = read_pages(pages_dir, columns=["url", "warc_ts", "html", "lang"])
+    bounds = pool(0.75)
+    t0 = time.perf_counter()
+    n = detect_mentions(ds, concurrency=bounds, weights_ref=ref,
+                        load_counter=name).count()
+    sec = time.perf_counter() - t0
+    loads, batches = ray.get(counter.stats.remote())
+    ray.kill(counter)
+    assert n > 0
+    assert 1 <= loads <= bounds[1], (loads, bounds)   # once per ACTOR
+    assert batches > loads, (batches, loads)          # state reused
+    return sec
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     import __ray_entry__ as em
@@ -120,6 +175,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # model-slot contract at pool scale over the ×SCALE_REPEAT corpus
+    timings["model_slot_x100"] = round(_model_slot(sf_dir, SCALE_REPEAT), 3)
+
     # The driver captures only the tail of stdout, so the final JSON line
     # must stay compact: full per-query timings go to a side file and the
     # summary line carries only the headline ops (round-2's 112-entry dict
@@ -133,6 +191,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kg_quads_all", "dedup_minhash", "dedup_jaccard", "sim_knn_ivf",
         "rel_top_customers", "ta_collocations", "mm_phash_dups",
         "mm_scene_change", "rel_first_order", "rel_latest_event",
+        "model_slot_x100",
     ) if k in timings}
     return {
         "metric": "kg_pipeline_wall",

@@ -145,14 +145,18 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
                      wave_size: int = 4,
                      concurrency: int | tuple | None = None,
                      max_waves: int | None = None, n_salts: int = 1,
-                     skip_empty_literals: bool = True):
+                     skip_empty_literals: bool = True, repeat: int = 1,
+                     crash_after_entitymap: bool = False):
     """Resumable flagship run: the pages shards are processed in waves of
     ``wave_size`` files; each wave is one streaming extraction job that
     commits an atomic per-group checkpoint with lineage. A crashed run
     re-executes only uncommitted waves (``max_waves`` exists so tests can
-    simulate the crash). After extraction, canonicalize/dedup run over
+    simulate the crash; ``crash_after_entitymap`` simulates the OTHER
+    crash boundary — right after the entity-map checkpoint commits,
+    before resolve). After extraction, canonicalize/dedup run over
     the union of committed groups. Returns the final quads Dataset, or
-    None if extraction is still incomplete (crashed mid-run)."""
+    None if the run "crashed" at either boundary. ``repeat`` scales the
+    synthesized corpus (×N copies) for stress runs."""
     import os
 
     from ..state.lineage import (checkpoint_exists, checkpoint_quads,
@@ -163,7 +167,7 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     # driver-owned lineage collector; its handle is passed into the stage
     # actors (driver ownership keeps it alive across pool shutdowns)
     collector = new_collector()
-    pages_dir = synthesize_pages(sf_dir)
+    pages_dir = synthesize_pages(sf_dir, repeat=repeat)
     shard_files = sorted(os.path.join(pages_dir, f)
                          for f in os.listdir(pages_dir)
                          if f.endswith(".parquet"))
@@ -216,6 +220,8 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     if not checkpoint_exists(checkpoint_dir, "entitymap"):
         mapping_ds = build_entity_map_ds(raw, alias, n_salts=n_salts)
         checkpoint_quads(mapping_ds, checkpoint_dir, stage="entitymap")
+        if crash_after_entitymap:
+            return None  # simulated crash between map build and resolve
     mapping_ds = read_checkpoint(checkpoint_dir, stage="entitymap")
     resolved = resolve_quads_join_ds(raw, mapping_ds)
     return dedup_quads(resolved, n_salts=n_salts)

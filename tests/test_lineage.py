@@ -71,6 +71,34 @@ def test_checkpoint_skip_is_idempotent(sf_dir, ckpt_dir):
     assert ds2.count() == n1
 
 
+def test_crash_between_entitymap_and_resolve(sf_dir, ckpt_dir):
+    """The SECOND crash boundary: the run dies right after the entity-map
+    checkpoint commits, before resolve. The resumed run must re-execute
+    NEITHER extraction waves NOR the linking phase (mtimes untouched)
+    and still produce the exact run_kg result."""
+    out = run_kg_resumable(sf_dir, ckpt_dir, wave_size=2,
+                           crash_after_entitymap=True)
+    assert out is None  # crashed at the boundary
+    em_manifest = os.path.join(ckpt_dir, "stage=entitymap", "_MANIFEST.json")
+    assert os.path.exists(em_manifest)  # ...but the map HAS committed
+    em_mtime = os.path.getmtime(em_manifest)
+    ex_root = os.path.join(ckpt_dir, "stage=extract")
+    wave_mtimes = {
+        g: os.path.getmtime(os.path.join(ex_root, g, "_MANIFEST.json"))
+        for g in os.listdir(ex_root) if g.startswith("group=")}
+    assert len(wave_mtimes) == 4
+
+    ds = run_kg_resumable(sf_dir, ckpt_dir, wave_size=2)
+    rows = ds.take_all()
+    want = run_kg(sf_dir).take_all()
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, rows)) == sorted(map(key, want))
+    assert os.path.getmtime(em_manifest) == em_mtime
+    for g, mt in wave_mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(ex_root, g, "_MANIFEST.json")) == mt
+
+
 def test_entitymap_checkpoint_reused(sf_dir, ckpt_dir):
     """Mid-pipeline resume: the entity map commits as its own atomic
     checkpoint; a re-invocation reuses it (same mtime) instead of

@@ -308,37 +308,93 @@ def _q_kg_mentions(sf_dir: str):
     return detect_mentions(pages_for_sf(sf_dir))
 
 
-def _q_web_url_canon(sf_dir: str):
-    """URL canonicalization over deterministically-messied urls (upper
-    case, default ports, fragments, trailing slashes, unsorted +
-    tracking query params by doc_id%5); every rule replays in SQL."""
+def _messy_url_batch(t):
+    """Deterministically-messied urls (upper case, default ports,
+    fragments, trailing slashes, unsorted + tracking query params by
+    doc_id%5); every rule replays in SQL. Shared by the web_* queries."""
     import numpy as np
     import pyarrow as pa
 
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = (d % 20).astype("U")
+    i = d.astype("U")
+    base = np.char.add(np.char.add(np.char.add(
+        "https://ex", m), ".org/p/"), i)
+    v = d % 5
+    u = base.copy()
+    u = np.where(v == 1, np.char.add(np.char.add(np.char.add(
+        np.char.add("HTTPS://EX", m), ".ORG/p/"), i), "#sec"), u)
+    u = np.where(v == 2, np.char.add(np.char.add(np.char.add(
+        np.char.add("https://ex", m), ".org:443/p/"), i), "/"), u)
+    u = np.where(v == 3, np.char.add(base, "?utm_source=x&b=2&a=1"), u)
+    u = np.where(v == 4,
+                 np.char.add(base, "?z=1&a=2&utm_campaign=y#frag"), u)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "url": pa.array(u.tolist(), pa.string()),
+    })
+
+
+def _q_web_url_canon(sf_dir: str):
+    """URL canonicalization over the deterministically-messied urls."""
     from fcrepo3_rdf_extractor_ray.stages.web import canonicalize_urls
 
-    def messy(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = (d % 20).astype("U")
-        i = d.astype("U")
-        base = np.char.add(np.char.add(np.char.add(
-            "https://ex", m), ".org/p/"), i)
-        v = d % 5
-        u = base.copy()
-        u = np.where(v == 1, np.char.add(np.char.add(np.char.add(
-            np.char.add("HTTPS://EX", m), ".ORG/p/"), i), "#sec"), u)
-        u = np.where(v == 2, np.char.add(np.char.add(np.char.add(
-            np.char.add("https://ex", m), ".org:443/p/"), i), "/"), u)
-        u = np.where(v == 3, np.char.add(base, "?utm_source=x&b=2&a=1"), u)
-        u = np.where(v == 4,
-                     np.char.add(base, "?z=1&a=2&utm_campaign=y#frag"), u)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "url": pa.array(u.tolist(), pa.string()),
-        })
+    messy = _messy_url_batch
 
     ds = _docs(sf_dir, ["doc_id"]).map_batches(messy, batch_format="pyarrow")
     return canonicalize_urls(ds)
+
+
+def _q_web_host_stats(sf_dir: str):
+    """Per-host crawl aggregates (n_pages, n_paths, max_depth) over the
+    canonicalized messy urls — integer/RE2-only, oracled on top of the
+    url_canon replay."""
+    from fcrepo3_rdf_extractor_ray.stages.web import host_stats
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_url_batch,
+                                               batch_format="pyarrow")
+    return host_stats(ds)
+
+
+def _q_kg_two_hop(sf_dir: str):
+    """Link-prediction candidates: non-adjacent pairs with ≥1 common
+    neighbor over the co-occurrence graph, scored by common-neighbor
+    count (the 2-hop complement of kg_link_jaccard)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import two_hop_scores
+
+    return two_hop_scores(_q_kg_cooccurrence(sf_dir))
+
+
+def _q_kg_label_prop(sf_dir: str):
+    """Bounded (4-round) synchronous min-label propagation over the
+    co-occurrence graph — engine and the recursive-CTE oracle run the
+    identical bounded iteration (the k-core bounded-oracle trick)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        label_prop_communities)
+
+    return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
+
+
+def _q_mm_audio_zcr(sf_dir: str):
+    """REAL audio decode → per-window zero-crossing counts; the oracle
+    recomputes from the synthetic PCM generator formula alone."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (audio_zcr,
+                                                             synthetic_wav)
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_wav(d, 1024 + (d % 5) * 256) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(to_wav,
+                                                  batch_format="pyarrow")
+    return audio_zcr(items, window=256)
 
 
 def _q_rel_rolling_max(sf_dir: str):
@@ -1515,6 +1571,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only sketches) — inside the 50-entry driver window:
         "dedup_minhash": _q_dedup_minhash,
         "rel_approx_distinct": _q_rel_approx_distinct,
+        # round-4 NEW operators:
+        "web_host_stats": _q_web_host_stats,
+        "kg_two_hop": _q_kg_two_hop,
+        "kg_label_prop": _q_kg_label_prop,
+        "mm_audio_zcr": _q_mm_audio_zcr,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3150,5 +3211,85 @@ WITH legs AS (
   FROM events GROUP BY user_id)
 SELECT user_id, (p - v)::BIGINT AS lag_us
 FROM legs WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+"""
+    # per-host crawl aggregates on top of the full url_canon replay
+    # (nested-WITH subquery; host/path re-extracted from the canon form)
+    d["web_host_stats"] = (
+        "WITH c AS (" + d["web_url_canon"] + r"""),
+hp AS (
+  SELECT regexp_extract(url_canon, '^https?://([^/?#]+)', 1) AS host,
+         regexp_extract(url_canon, '^https?://[^/?#]+([^?#]*)', 1) AS path
+  FROM c WHERE parse_ok)
+SELECT host,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT path)::BIGINT AS n_paths,
+       max(CASE WHEN path = '/' THEN 0
+                ELSE length(path) - length(replace(path, '/', ''))
+           END)::BIGINT AS max_depth
+FROM hp GROUP BY host
+""")
+    # 2-hop link-prediction candidates: wedge counts over the undirected
+    # co-occurrence graph minus the closed (existing-edge) pairs
+    d["kg_two_hop"] = (
+        _U_CTE
+        + ", m AS (" + _MENTIONS_SQL + ")"
+        + r"""
+, dd AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT a.norm AS norm_a, b.norm AS norm_b
+      FROM dd a JOIN dd b ON a.src_url = b.src_url AND a.norm < b.norm
+      GROUP BY 1, 2),
+und AS (SELECT norm_a AS mm, norm_b AS nn FROM e
+        UNION ALL SELECT norm_b, norm_a FROM e),
+wedge AS (
+  SELECT u1.nn AS a, u2.nn AS b, count(*)::BIGINT AS n_common
+  FROM und u1 JOIN und u2 ON u1.mm = u2.mm AND u1.nn < u2.nn
+  GROUP BY 1, 2)
+SELECT a AS norm_a, b AS norm_b, n_common
+FROM wedge w
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.norm_a = w.a AND e.norm_b = w.b)
+""")
+    # bounded (4-round) synchronous min-label propagation — identical
+    # Jacobi iteration on both sides (the kg_kcore bounded-oracle trick);
+    # self-loops make min(N(v) ∪ {v}) a single window min
+    d["kg_label_prop"] = (
+        _U_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", m AS (" + _MENTIONS_SQL + ")"
+        + r"""
+, dd AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT a.norm AS norm_a, b.norm AS norm_b
+      FROM dd a JOIN dd b ON a.src_url = b.src_url AND a.norm < b.norm
+      GROUP BY 1, 2),
+und AS (SELECT norm_a AS mm, norm_b AS nn FROM e
+        UNION SELECT norm_b, norm_a FROM e
+        UNION SELECT norm_a, norm_a FROM e
+        UNION SELECT norm_b, norm_b FROM e),
+lp AS (
+  SELECT 0 AS r, mm AS node, mm AS label
+  FROM (SELECT DISTINCT mm FROM und) t
+  UNION ALL
+  SELECT DISTINCT p.r + 1, u.nn,
+         min(p.label) OVER (PARTITION BY u.nn)
+  FROM lp p JOIN und u ON u.mm = p.node
+  WHERE p.r < 4)
+SELECT node, label AS community FROM lp WHERE r = 4
+""")
+    # per-window zero-crossing counts recomputed from the synthetic PCM
+    # generator formula (pairs never span windows: i % 256 <> 0)
+    d["mm_audio_zcr"] = """
+WITH dims AS (
+  SELECT doc_id,
+         1024 + (doc_id % 5) * 256 AS n,
+         (doc_id * 2654435761) % 65536 AS base
+  FROM documents),
+s AS (
+  SELECT doc_id, base, unnest(range(n)) AS i
+  FROM dims)
+SELECT doc_id AS item_id, (i // 256)::INT AS window_no,
+       sum(CASE WHEN i % 256 <> 0
+                AND (((base + i - 1) % 65536 - 32768 < 0)
+                     <> ((base + i) % 65536 - 32768 < 0))
+           THEN 1 ELSE 0 END)::BIGINT AS n_zc
+FROM s GROUP BY doc_id, i // 256
 """
     return d

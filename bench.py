@@ -167,7 +167,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_containment", "rel_cume_dist", "ml_knn_classify",
                  "kg_entity_profile", "prep_neardup", "rel_first_order",
                  "rel_bucketed_join", "mm_scene_change", "dedup_incremental",
-                 "rel_zorder", "ml_linreg", "kg_entity_timeline", "prep_report"):
+                 "rel_zorder", "ml_linreg", "kg_entity_timeline",
+                 "prep_report", "web_host_stats", "kg_two_hop",
+                 "kg_label_prop", "mm_audio_zcr"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -1009,3 +1009,183 @@ def kcore_nodes(edges_ds, k: int = 3, a_col: str = "norm_a",
     return (edges.map_batches(node_rows, batch_format="pyarrow")
             .groupby("part").map_groups(node_distinct,
                                         batch_format="pandas"))
+
+
+def two_hop_scores(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
+                   n_parts: int | None = None):
+    """LINK-PREDICTION candidate generation: every NON-adjacent node
+    pair with ≥1 common neighbor, scored by common-neighbor count over
+    the undirected graph — the 2-hop complement of
+    ``neighborhood_jaccard`` (which scores EXISTING edges).
+
+    Shape: undirect → hub-hash-partition → per-hub wedge emit
+    (vectorized ``triu_indices``) → tag-union with the edge set
+    co-partitioned on the (v, w) pair → per-partition count wedges and
+    DROP pairs that close an edge. Same hot-hub Σd² wedge bound (and
+    salting mitigation) as ``triangle_count``. Returns
+    (norm_a, norm_b, n_common) with norm_a < norm_b."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "v": pa.concat_arrays([t["b"].combine_chunks(),
+                                   t["a"].combine_chunks()])})
+
+    def tag_hub(t: pa.Table) -> pa.Table:
+        return t.append_column("part",
+                               pa.array(fast_part_hash(t["u"], n_parts)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("u"):
+            nb = np.sort(grp["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"v": nb[i], "w": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "kind": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        # partial count inside the partition: the exchange ships one row
+        # per (v, w) per partition, not one per wedge
+        out = out.groupby(["v", "w"], as_index=False).size()
+        out = out.rename(columns={"size": "kind"})
+        out["kind"] = out["kind"].astype("int64")  # >0 ⇒ wedge count
+        return out
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "kind": pa.array(np.full(t.num_rows, -1,
+                                                  np.int64))})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["v"], t["w"], "\x1f")
+        return t.append_column("part",
+                               pa.array(fast_part_hash(key, n_parts)))
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    tagged = (und.map_batches(tag_hub, batch_format="pyarrow")
+              .groupby("part").map_groups(wedges, batch_format="pandas")
+              .map_batches(tag_pair, batch_format="pyarrow")
+              .union(edges.map_batches(edge_rows, batch_format="pyarrow")
+                     .map_batches(tag_pair, batch_format="pyarrow")))
+
+    def open_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["v", "w"], as_index=False)["kind"].agg(["sum",
+                                                                "min"])
+        # min < 0 ⇒ an edge row is present ⇒ the pair is closed
+        g = g[g["min"] > 0]
+        return pd.DataFrame({"norm_a": g["v"].to_numpy(),
+                             "norm_b": g["w"].to_numpy(),
+                             "n_common": g["sum"].astype("int64")
+                                                 .to_numpy()})
+
+    return tagged.groupby("part").map_groups(open_pairs,
+                                             batch_format="pandas")
+
+
+def label_prop_communities(edges_ds, a_col: str = "norm_a",
+                           b_col: str = "norm_b", rounds: int = 4,
+                           n_parts: int | None = None):
+    """BOUNDED min-label propagation (synchronous, ``rounds`` Jacobi
+    iterations): label_0(v) = v; label_{r+1}(v) = min over N(v) ∪ {v}
+    of label_r — the diffusion/community primitive. Bounding BOTH sides
+    to the same round count makes the fixpoint-free prefix exactly
+    SQL-replayable (the same bounded-iteration-oracle trick as k-core);
+    with enough rounds it converges to connected components, for which
+    the exact O(levels) path is ``connected_components``.
+
+    Per round: one label-by-neighbor co-partitioned merge (labels move,
+    the undirected+self-loop adjacency is partitioned ONCE and reused)
+    + one node-keyed partial-min exchange — 2 bounded exchanges/round,
+    labels-sized traffic only."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def und_self(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        m = pa.concat_arrays([a, b, a, b])
+        n = pa.concat_arrays([b, a, a, b])  # + self-loops both ends
+        out = pa.table({"m": m, "n": n})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(out["m"], n_parts)))
+
+    adj = edges.map_batches(und_self, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        g = pa.table({"node": t["m"]}).group_by("node").aggregate([])
+        g = g.rename_columns(["node"])
+        return pa.table({"node": g["node"], "label": g["node"]})
+
+    labels = adj.map_batches(init_labels, batch_format="pyarrow")
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "m": t["node"], "n": pa.nulls(t.num_rows, pa.string()),
+            "lbl": t["label"],
+            "part": pa.array(fast_part_hash(t["node"], n_parts))})
+
+    def widen_adj(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t["m"], "n": t["n"],
+                         "lbl": pa.nulls(t.num_rows, pa.string()),
+                         "part": t["part"]})
+
+    def send_min(df: pd.DataFrame) -> pd.DataFrame:
+        lbl = (df.loc[df["lbl"].notna(), ["m", "lbl"]]
+               .groupby("m")["lbl"].min())  # dedup (labels arrive once)
+        rows = df[df["lbl"].isna()]
+        out = pd.DataFrame({"n": rows["n"].to_numpy(),
+                            "lbl": rows["m"].map(lbl).to_numpy()})
+        # partial min inside the partition before the node exchange
+        return out.groupby("n", as_index=False)["lbl"].min()
+
+    def tag_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(fast_part_hash(t["n"], n_parts)))
+
+    def final_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", as_index=False)["lbl"].min()
+        return pd.DataFrame({"node": g["n"].to_numpy(),
+                             "label": g["lbl"].to_numpy()})
+
+    wide_adj = adj.map_batches(widen_adj, batch_format="pyarrow")
+    for _ in range(rounds):
+        msgs = (labels.map_batches(tag_label, batch_format="pyarrow")
+                .union(wide_adj)
+                .groupby("part").map_groups(send_min,
+                                            batch_format="pandas"))
+        labels = (msgs.map_batches(tag_node, batch_format="pyarrow")
+                  .groupby("part").map_groups(final_min,
+                                              batch_format="pandas")
+                  ).materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "community": t["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

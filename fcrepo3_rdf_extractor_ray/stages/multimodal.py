@@ -681,3 +681,45 @@ def scene_changes(items_ds, cut_hamming: int = 12, id_col="item_id",
 
     return items_ds.map_batches(scene_batch, batch_format="pyarrow",
                                 batch_size=32)
+
+
+def audio_zcr(items_ds, window: int = 256, id_col="item_id",
+              payload_col="payload", batch_size: int = 64):
+    """REAL audio decode → per-window ZERO-CROSSING COUNT (the classic
+    integer voicing/noisiness feature): within each fixed window, the
+    number of consecutive-sample sign changes ((s[i-1] < 0) ≠ (s[i] <
+    0); pairs never span windows). All-integer — the oracle recomputes
+    it from the synthetic generator formula alone while the engine only
+    sees RIFF bytes. Task form (stateless numpy codec); per-item error
+    containment."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, wins, zcs = [], [], []
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                _, samples = decode_wav(payload)
+            except ValueError:
+                continue  # contained per item
+            if len(samples) == 0:
+                continue
+            n_win = -(-len(samples) // window)
+            neg = samples < 0
+            idx = np.arange(1, len(samples), dtype=np.int64)
+            chg = (neg[1:] != neg[:-1]) & ((idx % window) != 0)
+            counts = np.bincount((idx // window)[chg], minlength=n_win)
+            ids.append(np.full(n_win, i, dtype=np.int64))
+            wins.append(np.arange(n_win, dtype=np.int32))
+            zcs.append(counts.astype(np.int64))
+
+        def cat(parts, dt):
+            return pa.array(
+                np.concatenate(parts) if parts else np.array([], dtype=dt))
+
+        return pa.table({
+            "item_id": cat(ids, np.int64),
+            "window_no": cat(wins, np.int32),
+            "n_zc": cat(zcs, np.int64),
+        })
+
+    return items_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)

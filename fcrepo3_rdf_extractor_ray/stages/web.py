@@ -106,3 +106,52 @@ def dedup_by_canonical_url(ds, url_col: str = "url", id_col: str = "doc_id",
 
     return (canon.map_batches(combine, batch_format="pyarrow")
             .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def host_stats(ds, url_col: str = "url", id_col: str = "doc_id",
+               n_parts: int | None = None):
+    """PER-HOST crawl aggregates over CANONICAL urls — the frontier /
+    politeness planning table: page count, distinct path count, max
+    path depth per host. All-integer and RE2-only, so the DuckDB oracle
+    replays it on top of the url_canon replay.
+
+    Shape: canonicalize (stateless) → per-batch (host, path) combiner →
+    ONE host-hash exchange → vectorized per-partition final (sum,
+    nunique, max). Returns (host, n_pages, n_paths, max_depth)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+
+    canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(t["parse_ok"])
+        u = t["url_canon"]
+        host = pc.struct_field(
+            pc.extract_regex(u, r"^https?://(?P<h>[^/?#]+)"), "h")
+        path = pc.coalesce(pc.struct_field(
+            pc.extract_regex(u, r"^https?://[^/?#]+(?P<p>[^?#]*)"), "p"),
+            "/")
+        depth = pc.if_else(pc.equal(path, "/"),
+                           pa.scalar(0, pa.int64()),
+                           pc.cast(pc.count_substring(path, "/"),
+                                   pa.int64()))
+        g = (pa.table({"host": host, "path": path, "depth": depth,
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["host", "path"])
+             .aggregate([("depth", "max"), ("n", "sum")]))
+        g = g.rename_columns(["host", "path", "depth", "n"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["host"], n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host").agg(
+            n_pages=("n", "sum"),
+            n_paths=("path", "nunique"),
+            max_depth=("depth", "max")).reset_index()
+        for c in ("n_pages", "n_paths", "max_depth"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (canon.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))

@@ -29,6 +29,70 @@ def entry():
     return em
 
 
+@pytest.mark.parametrize("name,sort_cols", [
+    ("web_host_stats", ["host"]),
+    ("kg_two_hop", ["norm_a", "norm_b"]),
+    ("kg_label_prop", ["node"]),
+    ("mm_audio_zcr", ["item_id", "window_no"]),
+])
+def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
+                                     name, sort_cols):
+    _compare(entry.queries()[name](sf_dir), duck,
+             entry.oracle_sql()[name], sort_cols)
+
+
+def test_two_hop_pairs_are_non_edges(ray_session):
+    """Property: two_hop pairs are exactly the non-adjacent pairs with a
+    common neighbor (checked against brute force on a random graph)."""
+    import itertools
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import two_hop_scores
+
+    rng = np.random.RandomState(5)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    edges = sorted({tuple(sorted(rng.choice(nodes, 2, replace=False)))
+                    for _ in range(40)})
+    t = pa.table({"norm_a": [e[0] for e in edges],
+                  "norm_b": [e[1] for e in edges]})
+    got = {(r.norm_a, r.norm_b): r.n_common
+           for r in two_hop_scores(rd.from_arrow(t).repartition(3))
+           .to_pandas().itertuples()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn:
+            want[(a, b)] = cn
+    assert got == want
+
+
+def test_label_prop_converges_to_components(ray_session):
+    """Property: with rounds ≥ diameter, min-label propagation labels a
+    path graph entirely with its minimum node."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        label_prop_communities)
+
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(6)]
+    t = pa.table({"norm_a": [e[0] for e in path],
+                  "norm_b": [e[1] for e in path]})
+    out = label_prop_communities(rd.from_arrow(t), rounds=6).to_pandas()
+    assert set(out["community"]) == {"p00"}
+    # bounded rounds: after 1 round an endpoint 3 hops away keeps a
+    # larger label (Jacobi semantics, not fixpoint)
+    out1 = label_prop_communities(rd.from_arrow(t), rounds=1).to_pandas()
+    lbl = dict(zip(out1["node"], out1["community"]))
+    assert lbl["p06"] == "p05" and lbl["p01"] == "p00"
+
+
 def test_dedup_minhash_oracle_exact(entry, sf_dir, duck, ray_session):
     _compare(entry.queries()["dedup_minhash"](sf_dir), duck,
              entry.oracle_sql()["dedup_minhash"], ["doc_id"])

@@ -375,6 +375,15 @@ def _q_kg_label_prop(sf_dir: str):
     return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
 
 
+def _q_kg_resource_alloc(sf_dir: str):
+    """Link-prediction by the resource-allocation index over the
+    co-occurrence graph: non-adjacent pairs scored by degree-weighted
+    common neighbors (integer fixed-point, Σ 1e9//deg(z))."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import resource_alloc_scores
+
+    return resource_alloc_scores(_q_kg_cooccurrence(sf_dir))
+
+
 def _q_mm_audio_zcr(sf_dir: str):
     """REAL audio decode → per-window zero-crossing counts; the oracle
     recomputes from the synthetic PCM generator formula alone."""
@@ -395,6 +404,107 @@ def _q_mm_audio_zcr(sf_dir: str):
     items = _docs(sf_dir, ["doc_id"]).map_batches(to_wav,
                                                   batch_format="pyarrow")
     return audio_zcr(items, window=256)
+
+
+def _anchor_pages_batch(t):
+    """Deterministic pages-with-anchors corpus: page d carries
+    1 + d%3 outbound ``<a href>`` anchors; target id t = (7d+131j+11)
+    % 100000, href messied by the web_url_canon 5-variant rules keyed
+    on t, plus one relative nav href that must be dropped as
+    unparseable. Mirrored expression-for-expression in the oracle
+    (html rebuilt in SQL, regexp_extract_all replays the engine's
+    anchor findall)."""
+    import pyarrow as pa
+
+    def messy(tid: int) -> str:
+        h = tid % 20
+        v = tid % 5
+        if v == 1:
+            return f"HTTPS://EX{h}.ORG/p/{tid}#sec"
+        if v == 2:
+            return f"https://ex{h}.org:443/p/{tid}/"
+        if v == 3:
+            return f"https://ex{h}.org/p/{tid}?utm_source=x&b=2&a=1"
+        if v == 4:
+            return f"https://ex{h}.org/p/{tid}?z=1&a=2&utm_campaign=y#frag"
+        return f"https://ex{h}.org/p/{tid}"
+
+    urls, htmls = [], []
+    for d in t["doc_id"].to_pylist():
+        urls.append(f"https://ex{d % 20}.org/p/{d}")
+        anchors = "".join(
+            f'<a class="x" href="{messy((7 * d + 131 * j + 11) % 100000)}"'
+            f">link {j}</a>"
+            for j in range(1 + d % 3))
+        htmls.append(
+            '<html><body><nav><a class="nav" href="/local/nav">Home</a>'
+            f"</nav>{anchors}</body></html>")
+    return pa.table({"doc_id": t["doc_id"],
+                     "url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.string())})
+
+
+def _q_web_anchor_links(sf_dir: str):
+    """Host-level web link graph: anchor extraction (vectorized
+    findall) → target canonicalization → (src_host, dst_host,
+    n_links). The oracle rebuilds the html in SQL and replays the
+    findall with regexp_extract_all plus the full url_canon replay."""
+    from fcrepo3_rdf_extractor_ray.stages.web import anchor_host_graph
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return anchor_host_graph(pages)
+
+
+def _crawl_snapshots(sf_dir: str):
+    """Two deterministic crawl snapshots from `documents`: the old
+    crawl has every doc; in the new crawl doc_id%7==3 pages are gone,
+    doc_id%7==1 pages changed text (md5 content hashes differ), and
+    doc_id%7==5 pages each gained a sibling url. md5-hex is the
+    SQL-replayable content hash (DuckDB md5())."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def old_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://ex{d % 20}.org/p/{d}"
+                             for d in ids], pa.string()),
+            "content_hash": pa.array([h(x) for x in txts], pa.string()),
+        })
+
+    def new_batch(t: pa.Table) -> pa.Table:
+        urls, hashes = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            r = d % 7
+            if r != 3:
+                urls.append(f"https://ex{d % 20}.org/p/{d}")
+                hashes.append(h(x + " v2") if r == 1 else h(x))
+            if r == 5:
+                urls.append(f"https://ex{d % 20}.org/p/{d}-new")
+                hashes.append(h(f"new page {d}"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "content_hash": pa.array(hashes, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(old_batch, batch_format="pyarrow")
+    new = docs.map_batches(new_batch, batch_format="pyarrow")
+    return old, new
+
+
+def _q_web_crawl_diff(sf_dir: str):
+    """Incremental-crawl snapshot diff: url-keyed outer compare of two
+    crawls → (url, status ∈ added/removed/changed/unchanged), as one
+    union + url-hash exchange (no join operator)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import crawl_diff
+
+    old, new = _crawl_snapshots(sf_dir)
+    return crawl_diff(old, new)
 
 
 def _q_rel_rolling_max(sf_dir: str):
@@ -1576,6 +1686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_label_prop": _q_kg_label_prop,
         "mm_audio_zcr": _q_mm_audio_zcr,
+        "web_anchor_links": _q_web_anchor_links,
+        "web_crawl_diff": _q_web_crawl_diff,
+        "kg_resource_alloc": _q_kg_resource_alloc,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3249,6 +3362,30 @@ FROM wedge w
 WHERE NOT EXISTS (SELECT 1 FROM e
                   WHERE e.norm_a = w.a AND e.norm_b = w.b)
 """)
+    # resource-allocation link prediction: the kg_two_hop wedge shape
+    # plus integer degree weights (1e9 // deg) so sums replay exactly
+    d["kg_resource_alloc"] = (
+        _U_CTE
+        + ", m AS (" + _MENTIONS_SQL + ")"
+        + r"""
+, dd AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT a.norm AS norm_a, b.norm AS norm_b
+      FROM dd a JOIN dd b ON a.src_url = b.src_url AND a.norm < b.norm
+      GROUP BY 1, 2),
+und AS (SELECT norm_a AS mm, norm_b AS nn FROM e
+        UNION ALL SELECT norm_b, norm_a FROM e),
+deg AS (SELECT mm, count(*)::BIGINT AS d FROM und GROUP BY mm),
+wedge AS (
+  SELECT u1.nn AS a, u2.nn AS b, count(*)::BIGINT AS n_common,
+         sum(1000000000 // dg.d)::BIGINT AS ra_score
+  FROM und u1 JOIN und u2 ON u1.mm = u2.mm AND u1.nn < u2.nn
+       JOIN deg dg ON dg.mm = u1.mm
+  GROUP BY 1, 2)
+SELECT a AS norm_a, b AS norm_b, n_common, ra_score
+FROM wedge w
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.norm_a = w.a AND e.norm_b = w.b)
+""")
     # bounded (4-round) synchronous min-label propagation — identical
     # Jacobi iteration on both sides (the kg_kcore bounded-oracle trick);
     # self-loops make min(N(v) ∪ {v}) a single window min
@@ -3291,5 +3428,111 @@ SELECT doc_id AS item_id, (i // 256)::INT AS window_no,
                      <> ((base + i) % 65536 - 32768 < 0))
            THEN 1 ELSE 0 END)::BIGINT AS n_zc
 FROM s GROUP BY doc_id, i // 256
+"""
+    # host-level anchor link graph: the html is REBUILT in SQL
+    # (string_agg over the per-target messy-url CASE), the engine's
+    # anchor findall replayed with regexp_extract_all, and the target
+    # canonicalization is the full url_canon replay — relative hrefs
+    # drop via parse_ok exactly as in stages/web.canonicalize_urls
+    d["web_anchor_links"] = r"""
+WITH tg AS (
+  SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j FROM documents),
+tt AS (
+  SELECT doc_id, j, (7 * doc_id + 131 * j + 11) % 100000 AS t FROM tg),
+hr AS (
+  SELECT doc_id, j,
+    CASE t % 5
+      WHEN 1 THEN 'HTTPS://EX' || (t % 20)::VARCHAR || '.ORG/p/'
+                  || t::VARCHAR || '#sec'
+      WHEN 2 THEN 'https://ex' || (t % 20)::VARCHAR || '.org:443/p/'
+                  || t::VARCHAR || '/'
+      WHEN 3 THEN 'https://ex' || (t % 20)::VARCHAR || '.org/p/'
+                  || t::VARCHAR || '?utm_source=x&b=2&a=1'
+      WHEN 4 THEN 'https://ex' || (t % 20)::VARCHAR || '.org/p/'
+                  || t::VARCHAR || '?z=1&a=2&utm_campaign=y#frag'
+      ELSE 'https://ex' || (t % 20)::VARCHAR || '.org/p/' || t::VARCHAR
+    END AS href
+  FROM tt),
+pg AS (
+  SELECT doc_id,
+         '<html><body><nav><a class="nav" href="/local/nav">Home</a></nav>'
+         || string_agg('<a class="x" href="' || href || '">link '
+                       || j::VARCHAR || '</a>', '' ORDER BY j)
+         || '</body></html>' AS html
+  FROM hr GROUP BY doc_id),
+ex AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"', 1))
+             AS u
+  FROM pg),
+m AS (
+  SELECT 'ex' || (doc_id % 20)::VARCHAR || '.org' AS src_host, u FROM ex),
+p AS (
+  SELECT src_host, u,
+         regexp_matches(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$')
+             AS parse_ok,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1))
+             AS scheme,
+         lower(regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2))
+             AS host0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3)
+             AS path0,
+         regexp_extract(u,
+             '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4)
+             AS query0
+  FROM m),
+c AS (
+  SELECT src_host, parse_ok,
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 ELSE regexp_replace(host0, ':443$', '') END
+         || CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END
+         || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+                 ELSE '' END AS canon
+  FROM p, LATERAL (
+    SELECT list_sort(list_filter(str_split(ltrim(query0, '?'), '&'),
+                                 y -> y <> ''
+                                      AND NOT starts_with(y, 'utm_')))
+           AS ps) q)
+SELECT src_host,
+       regexp_extract(canon, '^https?://([^/?#]+)', 1) AS dst_host,
+       count(*)::BIGINT AS n_links
+FROM c WHERE parse_ok
+GROUP BY src_host, dst_host
+"""
+    # crawl snapshot diff: both snapshots re-synthesized in SQL
+    # (md5() is the shared content-hash contract), outer compare by url
+    d["web_crawl_diff"] = r"""
+WITH old AS (
+  SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+         || doc_id::VARCHAR AS url,
+         md5(text) AS h
+  FROM documents),
+new1 AS (
+  SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+         || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 7 = 1 THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+         || doc_id::VARCHAR || '-new',
+         md5('new page ' || doc_id::VARCHAR)
+  FROM documents WHERE doc_id % 7 = 5),
+j AS (
+  SELECT COALESCE(o.url, n.url) AS url, o.h AS oh, n.h AS nh
+  FROM old o FULL OUTER JOIN new1 n ON o.url = n.url)
+SELECT url,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh = nh THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j
 """
     return d

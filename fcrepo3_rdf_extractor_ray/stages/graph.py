@@ -1099,6 +1099,101 @@ def two_hop_scores(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
                                              batch_format="pandas")
 
 
+def resource_alloc_scores(edges_ds, a_col: str = "norm_a",
+                          b_col: str = "norm_b",
+                          weight_scale: int = 1_000_000_000,
+                          n_parts: int | None = None):
+    """LINK PREDICTION by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): for every NON-adjacent pair (a, b), RA(a, b) =
+    Σ_{z ∈ N(a) ∩ N(b)} 1/deg(z) — common neighbors weighted inversely
+    by their degree, so promiscuous hubs contribute less than selective
+    bridges. Integer contract: each common neighbor z contributes
+    ``weight_scale // deg(z)``, summed as int64, so the DuckDB oracle
+    replays bit-for-bit (the kg_pagerank fixed-point trick).
+
+    Shape is ``two_hop_scores`` with one addition: the hub-hash
+    partition already co-locates EVERY neighbor of a hub, so deg(hub)
+    is free inside the wedge pass (len of the neighbor list — no extra
+    degree exchange). Returns (norm_a, norm_b, n_common, ra_score)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "v": pa.concat_arrays([t["b"].combine_chunks(),
+                                   t["a"].combine_chunks()])})
+
+    def tag_hub(t: pa.Table) -> pa.Table:
+        return t.append_column("part",
+                               pa.array(fast_part_hash(t["u"], n_parts)))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("u"):
+            nb = np.sort(grp["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            # deg(hub) = its full neighbor count (co-located here)
+            w = weight_scale // len(nb)
+            outs.append(pd.DataFrame({"v": nb[i], "w": nb[j],
+                                      "cnt": np.int64(1),
+                                      "rw": np.int64(w)}))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "rw": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        # partial sums inside the partition: ship one row per (v, w)
+        out = out.groupby(["v", "w"], as_index=False)[["cnt", "rw"]].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        out["rw"] = out["rw"].astype("int64")
+        return out
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["a"], "w": t["b"],
+                         "cnt": pa.array(np.full(t.num_rows, -1, np.int64)),
+                         "rw": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["v"], t["w"], "\x1f")
+        return t.append_column("part",
+                               pa.array(fast_part_hash(key, n_parts)))
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    tagged = (und.map_batches(tag_hub, batch_format="pyarrow")
+              .groupby("part").map_groups(wedges, batch_format="pandas")
+              .map_batches(tag_pair, batch_format="pyarrow")
+              .union(edges.map_batches(edge_rows, batch_format="pyarrow")
+                     .map_batches(tag_pair, batch_format="pyarrow")))
+
+    def open_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["v", "w"], as_index=False).agg(
+            s=("cnt", "sum"), mn=("cnt", "min"), rw=("rw", "sum"))
+        g = g[g["mn"] > 0]  # an edge row (-1) marks the pair closed
+        return pd.DataFrame({"norm_a": g["v"].to_numpy(),
+                             "norm_b": g["w"].to_numpy(),
+                             "n_common": g["s"].astype("int64").to_numpy(),
+                             "ra_score": g["rw"].astype("int64")
+                                                .to_numpy()})
+
+    return tagged.groupby("part").map_groups(open_pairs,
+                                             batch_format="pandas")
+
+
 def label_prop_communities(edges_ds, a_col: str = "norm_a",
                            b_col: str = "norm_b", rounds: int = 4,
                            n_parts: int | None = None):

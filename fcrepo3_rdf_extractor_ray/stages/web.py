@@ -108,6 +108,149 @@ def dedup_by_canonical_url(ds, url_col: str = "url", id_col: str = "doc_id",
             .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
+def extract_links(ds, html_col: str = "html", id_col: str = "doc_id",
+                  batch_size: int = 4096):
+    """ANCHOR EXTRACTION: (id, html) → one row per ``<a href>`` target,
+    ``(id, href, link_no)``. The findall is polars ``str.extract_all``
+    (vectorized Rust regex over zero-copy Arrow — pyarrow 16 has no
+    extract_regex_all kernel) followed by one explode; no per-row
+    Python. Pages with no anchors emit nothing. Conceptual ancestor:
+    the reference walks RELS-EXT to emit one triple per outbound
+    relation (ObjectProcessor.java:256-270); here the outbound
+    relations of a web page are its anchors."""
+    import polars as pl
+
+    pat = r'<a\s[^>]*href="([^"]*)"'
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, html_col]))
+        out = (df.with_columns(
+                   pl.col(html_col).str.extract_all(pat).alias("m"))
+               .drop(html_col)
+               .explode("m")
+               .drop_nulls("m")
+               .with_columns(
+                   pl.col("m").str.extract(pat, 1).alias("href"),
+                   pl.col("m").cum_count().over(id_col).alias("link_no"))
+               .drop("m")
+               .with_columns(pl.col("link_no").cast(pl.Int64) - 1))
+        return out.to_arrow().cast(pa.schema([
+            (id_col, t.schema.field(id_col).type),
+            ("href", pa.string()), ("link_no", pa.int64())]))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def anchor_host_graph(ds, html_col: str = "html", url_col: str = "url",
+                      id_col: str = "doc_id", n_parts: int | None = None):
+    """HOST-LEVEL WEB LINK GRAPH: extract anchors, canonicalize the
+    href targets, and aggregate to (src_host, dst_host, n_links) —
+    the input every host-rank / crawl-prioritization stage consumes.
+
+    Shape: stateless anchor explode (``extract_links``) carrying the
+    page's own host along → stateless canonicalize → per-batch
+    (src_host, dst_host) combiner → ONE host-pair exchange →
+    vectorized sum. Unparseable hrefs are dropped (parse_ok=false)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+
+    host_re = r"^(?i)https?://(?P<h>[^/?#]+)"
+
+    import polars as pl
+    pat = r'<a\s[^>]*href="([^"]*)"'
+
+    def explode_with_host(t: pa.Table) -> pa.Table:
+        h = pc.utf8_lower(pc.coalesce(pc.struct_field(
+            pc.extract_regex(pc.cast(t[url_col], pa.string()), host_re),
+            "h"), ""))
+        df = pl.from_arrow(pa.table({id_col: t[id_col], "src_host": h,
+                                     html_col: t[html_col]}))
+        out = (df.with_columns(
+                   pl.col(html_col).str.extract_all(pat).alias("m"))
+               .drop(html_col)
+               .explode("m").drop_nulls("m")
+               .with_columns(pl.col("m").str.extract(pat, 1).alias("href"))
+               .drop("m"))
+        return out.to_arrow().cast(pa.schema([
+            (id_col, pa.int64()), ("src_host", pa.string()),
+            ("href", pa.string())]))
+
+    exploded = ds.map_batches(explode_with_host, batch_format="pyarrow")
+    canon = canonicalize_urls(exploded.map_batches(
+        lambda t: pa.table({"src_host": t["src_host"], "url": t["href"]}),
+        batch_format="pyarrow"), url_col="url", id_col="src_host")
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(t["parse_ok"])
+        dst = pc.struct_field(
+            pc.extract_regex(t["url_canon"], r"^https?://(?P<h>[^/?#]+)"),
+            "h")
+        g = (pa.table({"src_host": t["src_host"], "dst_host": dst,
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["src_host", "dst_host"]).aggregate([("n", "sum")]))
+        g = g.rename_columns(["src_host", "dst_host", "n"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["src_host"], n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["src_host", "dst_host"], as_index=False)["n"]
+             .sum())
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": "n_links"})
+
+    return (canon.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def crawl_diff(old_ds, new_ds, url_col: str = "url",
+               hash_col: str = "content_hash",
+               n_parts: int | None = None):
+    """CRAWL SNAPSHOT DIFF: compare two crawls by url, classifying each
+    url as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, content hash differs) or ``unchanged`` — the incremental
+    re-crawl planner's input. Assumes each snapshot has at most one row
+    per url (crawls are url-keyed; run ``dedup_by_canonical_url``
+    first otherwise).
+
+    Shape: tag side (old=0 / new=1) → union (NO join — the outer join
+    is expressed as one url-hash exchange + vectorized per-partition
+    pivot). Returns (url, status)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "url": pc.cast(t[url_col], pa.string()),
+                "h": pc.cast(t[hash_col], pa.string()),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            })
+            return out.append_column(
+                "part", pa.array(fast_part_hash(out["url"], n_parts)))
+        return fn
+
+    both = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["side"] == 0].set_index("url")["h"]
+        new = df[df["side"] == 1].set_index("url")["h"]
+        urls = old.index.union(new.index)
+        o = old.reindex(urls)
+        n = new.reindex(urls)
+        status = np.where(
+            o.isna(), "added",
+            np.where(n.isna(), "removed",
+                     np.where(o.to_numpy() == n.to_numpy(),
+                              "unchanged", "changed")))
+        return pd.DataFrame({"url": urls.to_numpy(), "status": status})
+
+    return both.groupby("part").map_groups(finish, batch_format="pandas")
+
+
 def host_stats(ds, url_col: str = "url", id_col: str = "doc_id",
                n_parts: int | None = None):
     """PER-HOST crawl aggregates over CANONICAL urls — the frontier /

@@ -34,6 +34,9 @@ def entry():
     ("kg_two_hop", ["norm_a", "norm_b"]),
     ("kg_label_prop", ["node"]),
     ("mm_audio_zcr", ["item_id", "window_no"]),
+    ("web_anchor_links", ["src_host", "dst_host"]),
+    ("web_crawl_diff", ["url"]),
+    ("kg_resource_alloc", ["norm_a", "norm_b"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):
@@ -70,6 +73,40 @@ def test_two_hop_pairs_are_non_edges(ray_session):
         cn = len(adj[a] & adj[b])
         if cn:
             want[(a, b)] = cn
+    assert got == want
+
+
+def test_resource_alloc_matches_brute_force(ray_session):
+    """Property: RA scores equal the brute-force Σ 1e9//deg(z) over
+    common neighbors of non-adjacent pairs on a random graph."""
+    import itertools
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import resource_alloc_scores
+
+    rng = np.random.RandomState(11)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    edges = sorted({tuple(sorted(rng.choice(nodes, 2, replace=False)))
+                    for _ in range(45)})
+    t = pa.table({"norm_a": [e[0] for e in edges],
+                  "norm_b": [e[1] for e in edges]})
+    got = {(r.norm_a, r.norm_b): (r.n_common, r.ra_score)
+           for r in resource_alloc_scores(rd.from_arrow(t).repartition(3))
+           .to_pandas().itertuples()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        common = adj[a] & adj[b]
+        if common:
+            want[(a, b)] = (len(common),
+                            sum(1_000_000_000 // len(adj[z])
+                                for z in common))
     assert got == want
 
 

@@ -1,0 +1,62 @@
+"""Unit properties of the round-4 web operators: anchor extraction,
+the host link graph, and the crawl snapshot diff."""
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_extract_links_order_and_empty_pages(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import extract_links
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "html": [
+            '<html><a class="a" href="https://a.org/1">x</a>'
+            '<p>mid</p><a href="https://b.org/2">y</a></html>',
+            "<html><p>no links at all</p></html>",
+            '<a rel="next" href="/relative">r</a>',
+        ],
+    })
+    rows = sorted(
+        extract_links(rd.from_arrow(t)).take_all(),
+        key=lambda r: (r["doc_id"], r["link_no"]))
+    assert [(r["doc_id"], r["link_no"], r["href"]) for r in rows] == [
+        (1, 0, "https://a.org/1"),
+        (1, 1, "https://b.org/2"),
+        (3, 0, "/relative"),
+    ]
+
+
+def test_anchor_host_graph_counts_and_drops_relative(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import anchor_host_graph
+
+    t = pa.table({
+        "doc_id": [1, 2],
+        "url": ["https://src1.org/p/1", "https://src2.org/p/2"],
+        "html": [
+            # two links to the same host (one messy) + one relative
+            '<a class="x" href="HTTPS://DST.ORG/a#f">1</a>'
+            '<a class="x" href="https://dst.org/a">2</a>'
+            '<a class="x" href="/nav">3</a>',
+            '<a class="x" href="https://dst.org:443/b/">4</a>',
+        ],
+    })
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in anchor_host_graph(rd.from_arrow(t)).take_all()}
+    assert got == {("src1.org", "dst.org"): 2, ("src2.org", "dst.org"): 1}
+
+
+def test_crawl_diff_all_four_statuses(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import crawl_diff
+
+    old = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3"],
+        "content_hash": ["h1", "h2", "h3"],
+    }))
+    new = rd.from_arrow(pa.table({
+        "url": ["u2", "u3", "u4"],
+        "content_hash": ["h2", "hX", "h4"],
+    }))
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).take_all()}
+    assert got == {"u1": "removed", "u2": "unchanged",
+                   "u3": "changed", "u4": "added"}

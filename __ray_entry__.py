@@ -165,18 +165,18 @@ FROM u WHERE NOT malformed
 """
 
 
-def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
-                  rank_scale: int = 1_000_000) -> str:
-    """Unrolled integer-PageRank oracle over the fact-quad entity graph —
-    the same floor-division arithmetic as stages/graph.pagerank, so the
-    distributed result compares bit-for-bit."""
+def _pagerank_tail_sql(iters: int = 5, damping_pct: int = 85,
+                       rank_scale: int = 1_000_000,
+                       node_as: str = "node") -> str:
+    """Unrolled integer-PageRank rounds (the stages/graph.pagerank
+    floor-division arithmetic, bit-for-bit) over a caller-supplied CTE
+    ``e(subj, obj)`` of distinct directed edges. Starts with a comma —
+    append to a ``WITH ... e AS (...)`` prefix. ``node_as`` renames the
+    output node column (e.g. 'host' for web_host_rank)."""
     base = (rank_scale * (100 - damping_pct)) // 100
-    sql = (_U_CTE
-           + ", f AS (" + _FACT_QUADS_SQL + ")"
-           + ", e AS (SELECT DISTINCT subj, obj FROM f)"
-           + ", nodes AS (SELECT DISTINCT node FROM ("
-             "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
-           + ", deg AS (SELECT subj, count(*)::BIGINT AS d FROM e GROUP BY subj)"
+    sql = (", nodes AS (SELECT DISTINCT node FROM ("
+           "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
+           ", deg AS (SELECT subj, count(*)::BIGINT AS d FROM e GROUP BY subj)"
            + f", r0 AS (SELECT node, {rank_scale}::BIGINT AS r FROM nodes)")
     for k in range(1, iters + 1):
         sql += f""",
@@ -188,7 +188,17 @@ r{k} AS (
     FROM e JOIN r{k - 1} p ON e.subj = p.node
            JOIN deg d ON d.subj = e.subj
     GROUP BY e.obj) s ON n.node = s.node)"""
-    return sql + f"\nSELECT node, r AS rank_micro FROM r{iters}"
+    return sql + (f"\nSELECT node AS {node_as}, r AS rank_micro "
+                  f"FROM r{iters}")
+
+
+def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
+                  rank_scale: int = 1_000_000) -> str:
+    """Integer-PageRank oracle over the fact-quad entity graph."""
+    return (_U_CTE
+            + ", f AS (" + _FACT_QUADS_SQL + ")"
+            + ", e AS (SELECT DISTINCT subj, obj FROM f)"
+            + _pagerank_tail_sql(iters, damping_pct, rank_scale))
 
 
 def _pagerank_weighted_sql(iters: int = 5, damping_pct: int = 85,
@@ -373,6 +383,37 @@ def _q_kg_label_prop(sf_dir: str):
         label_prop_communities)
 
     return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
+
+
+def _q_web_host_rank(sf_dir: str):
+    """Host-level PageRank over the anchor link graph (5 integer
+    fixed-point iterations; the oracle replays the anchor extraction,
+    canonicalization AND the unrolled rank rounds)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import host_rank
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return host_rank(pages)
+
+
+def _q_web_host_quality(sf_dir: str):
+    """Per-host quality profile: domain-level aggregate of the
+    ta_quality per-doc signals (all-integer means)."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import host_quality_profile
+
+    def with_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://ex{d % 20}.org/p/{d}" for d in ids],
+                            pa.string()),
+            "text": t["text"],
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_url, batch_format="pyarrow")
+    return host_quality_profile(docs)
 
 
 def _q_kg_resource_alloc(sf_dir: str):
@@ -1689,6 +1730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_links": _q_web_anchor_links,
         "web_crawl_diff": _q_web_crawl_diff,
         "kg_resource_alloc": _q_kg_resource_alloc,
+        "web_host_rank": _q_web_host_rank,
+        "web_host_quality": _q_web_host_quality,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3506,6 +3549,23 @@ SELECT src_host,
 FROM c WHERE parse_ok
 GROUP BY src_host, dst_host
 """
+    # host pagerank: distinct anchor-graph edges + the unrolled
+    # integer fixed-point rounds shared with kg_pagerank
+    d["web_host_rank"] = (
+        "WITH al AS (" + d["web_anchor_links"] + """),
+e AS (SELECT DISTINCT src_host AS subj, dst_host AS obj FROM al)"""
+        + _pagerank_tail_sql(iters=5, node_as="host"))
+    # per-host quality profile on top of the ta_quality replay —
+    # all-integer (mean = floor(sum // n))
+    d["web_host_quality"] = (
+        "WITH q AS (" + d["ta_quality"] + """)
+SELECT 'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       (sum(ttr_micro) // count(*))::BIGINT AS mean_ttr_micro,
+       sum((ttr_micro < 500000)::INT)::BIGINT AS n_low_ttr
+FROM q GROUP BY 1
+""")
     # crawl snapshot diff: both snapshots re-synthesized in SQL
     # (md5() is the shared content-hash contract), outer compare by url
     d["web_crawl_diff"] = r"""

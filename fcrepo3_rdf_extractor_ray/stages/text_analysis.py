@@ -92,32 +92,39 @@ def token_counts_bpe(docs_ds, text_col="text", id_col="doc_id"):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_frame(text: pd.Series) -> pd.DataFrame:
+    """Per-doc quality signals for a RangeIndex'd text Series; ratios
+    in micro-units (×1e6, floored to int64) so engine/oracle compare
+    exactly without float-hash drift. Shared by ``quality_scores`` and
+    the per-host quality profile (stages/web.host_quality_profile)."""
+    n_chars = text.str.len().astype("int64")
+    toks = text.str.split()
+    n_tokens = toks.str.len().fillna(0).astype("int64")
+    # distinct/stopword counts via one explode + C-level groupbys
+    # (was a per-row Python set/loop lambda)
+    ex = toks.explode().dropna()
+    n_distinct = (ex.groupby(level=0).nunique()
+                  .reindex(text.index).fillna(0).astype("int64"))
+    stop = (ex.isin(("the", "a", "and", "of")).groupby(level=0).sum()
+            .reindex(text.index).fillna(0).astype("int64"))
+    ttr = np.floor(1e6 * n_distinct / n_tokens.clip(lower=1)).astype("int64")
+    stop_ratio = np.floor(1e6 * stop / n_tokens.clip(lower=1)).astype("int64")
+    return pd.DataFrame({
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "ttr_micro": ttr,
+        "stopword_micro": stop_ratio,
+    })
+
+
 def quality_scores(docs_ds, text_col="text", id_col="doc_id"):
-    """Quality signals; ratios are emitted as micro-units (×1e6, floored
-    to int64) so engine/oracle compare exactly without float-hash drift."""
+    """Quality signals per document (see ``quality_frame``)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        text = df[text_col]
-        n_chars = text.str.len().astype("int64")
-        toks = text.str.split()
-        n_tokens = toks.str.len().fillna(0).astype("int64")
-        # distinct/stopword counts via one explode + C-level groupbys
-        # (was a per-row Python set/loop lambda)
-        ex = toks.explode().dropna()
-        n_distinct = (ex.groupby(level=0).nunique()
-                      .reindex(df.index).fillna(0).astype("int64"))
-        stop = (ex.isin(("the", "a", "and", "of")).groupby(level=0).sum()
-                .reindex(df.index).fillna(0).astype("int64"))
-        ttr = np.floor(1e6 * n_distinct / n_tokens.clip(lower=1)).astype("int64")
-        stop_ratio = np.floor(1e6 * stop / n_tokens.clip(lower=1)).astype("int64")
-        return pd.DataFrame({
-            id_col: df[id_col],
-            "n_chars_m": n_chars,
-            "n_tokens": n_tokens,
-            "ttr_micro": ttr,
-            "stopword_micro": stop_ratio,
-        })
+        out = quality_frame(df[text_col])
+        out.insert(0, id_col, df[id_col])
+        return out
 
     return docs_ds.map_batches(fn, batch_format="pandas")
 

@@ -204,6 +204,78 @@ def anchor_host_graph(ds, html_col: str = "html", url_col: str = "url",
             .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
+def host_rank(pages_ds, html_col: str = "html", url_col: str = "url",
+              id_col: str = "doc_id", iters: int = 5,
+              n_parts: int | None = None):
+    """HOST-LEVEL PAGERANK: anchor extraction → host link graph →
+    integer PageRank (stages/graph.pagerank fixed-point contract) —
+    the crawl-prioritization score every frontier scheduler wants.
+    Returns (host, rank_micro)."""
+    from .graph import pagerank
+
+    edges = anchor_host_graph(pages_ds, html_col=html_col,
+                              url_col=url_col, id_col=id_col,
+                              n_parts=n_parts)
+
+    def to_subj_obj(t: pa.Table) -> pa.Table:
+        return pa.table({"subj": t["src_host"], "obj": t["dst_host"]})
+
+    ranks = pagerank(edges.map_batches(to_subj_obj,
+                                       batch_format="pyarrow"),
+                     iters=iters, n_parts=n_parts)
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["host", "rank_micro"]),
+        batch_format="pyarrow")
+
+
+def host_quality_profile(ds, url_col: str = "url", text_col: str = "text",
+                         low_ttr_micro: int = 500_000,
+                         n_parts: int | None = None):
+    """PER-HOST QUALITY PROFILE: the domain-level aggregate of per-doc
+    quality signals (type-token ratio, token counts) that drives
+    crawl prioritization and domain filtering in training-data
+    pipelines. All-integer: mean ttr is floor(sum // n_docs).
+
+    Shape: one stateless map computes host + per-doc metrics together
+    (no join — both derive from the same row) with a per-batch host
+    combiner → ONE host exchange → vectorized final. Returns
+    (host, n_docs, sum_tokens, mean_ttr_micro, n_low_ttr)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+    from .text_analysis import quality_frame
+
+    host_re = r"^(?i)https?://(?P<h>[^/?#]+)"
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        q = quality_frame(df[text_col])
+        host = pc.utf8_lower(pc.coalesce(pc.struct_field(
+            pc.extract_regex(pa.array(df[url_col].astype(str)), host_re),
+            "h"), ""))
+        q["host"] = host.to_pandas()
+        q["low"] = (q["ttr_micro"] < low_ttr_micro).astype("int64")
+        g = q.groupby("host", as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"),
+            sum_ttr=("ttr_micro", "sum"), n_low_ttr=("low", "sum"))
+        g["part"] = fast_part_hash(pa.array(g["host"].astype(str)),
+                                   n_parts)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+            sum_ttr=("sum_ttr", "sum"), n_low_ttr=("n_low_ttr", "sum"))
+        g["mean_ttr_micro"] = (g["sum_ttr"] // g["n_docs"]).astype("int64")
+        for c in ("n_docs", "sum_tokens", "n_low_ttr"):
+            g[c] = g[c].astype("int64")
+        return g[["host", "n_docs", "sum_tokens", "mean_ttr_micro",
+                  "n_low_ttr"]]
+
+    return (ds.map_batches(combine, batch_format="pandas")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
 def crawl_diff(old_ds, new_ds, url_col: str = "url",
                hash_col: str = "content_hash",
                n_parts: int | None = None):

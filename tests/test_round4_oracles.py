@@ -37,6 +37,8 @@ def entry():
     ("web_anchor_links", ["src_host", "dst_host"]),
     ("web_crawl_diff", ["url"]),
     ("kg_resource_alloc", ["norm_a", "norm_b"]),
+    ("web_host_rank", ["host"]),
+    ("web_host_quality", ["host"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

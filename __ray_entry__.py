@@ -416,6 +416,19 @@ def _q_web_host_quality(sf_dir: str):
     return host_quality_profile(docs)
 
 
+def _q_kg_scc(sf_dir: str):
+    """Strongly connected components of the directed fact-quad entity
+    graph (FB-Trim coloring at scale, exact Tarjan short-circuit at
+    corpus scale; scc_id = min member). Oracle: recursive transitive
+    closure + mutual-reachability min."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import scc_labels
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return scc_labels(edges)
+
+
 def _q_kg_resource_alloc(sf_dir: str):
     """Link-prediction by the resource-allocation index over the
     co-occurrence graph: non-adjacent pairs scored by degree-weighted
@@ -1730,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_links": _q_web_anchor_links,
         "web_crawl_diff": _q_web_crawl_diff,
         "kg_resource_alloc": _q_kg_resource_alloc,
+        "kg_scc": _q_kg_scc,
         "web_host_rank": _q_web_host_rank,
         "web_host_quality": _q_web_host_quality,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
@@ -3404,6 +3418,27 @@ SELECT a AS norm_a, b AS norm_b, n_common
 FROM wedge w
 WHERE NOT EXISTS (SELECT 1 FROM e
                   WHERE e.norm_a = w.a AND e.norm_b = w.b)
+""")
+    # SCC: full transitive closure (small entity graph) + mutual-
+    # reachability min — same min-member convention as the engine's
+    # Tarjan short-circuit and FB-Trim path
+    d["kg_scc"] = (
+        _U_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", f AS (" + _FACT_QUADS_SQL + ")"
+        + r"""
+, e AS (SELECT DISTINCT subj AS a, obj AS b FROM f),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT a AS node FROM e UNION ALL SELECT b FROM e) n0),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+mut AS (
+  SELECT r1.a AS node, min(r1.b) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a)
+SELECT n.node, least(n.node, coalesce(m.mn, n.node)) AS scc_id
+FROM nodes n LEFT JOIN mut m ON n.node = m.node
 """)
     # resource-allocation link prediction: the kg_two_hop wedge shape
     # plus integer degree weights (1e9 // deg) so sums replay exactly

@@ -1099,6 +1099,440 @@ def two_hop_scores(edges_ds, a_col: str = "norm_a", b_col: str = "norm_b",
                                              batch_format="pandas")
 
 
+def _tarjan_scc(df) -> "pd.DataFrame":
+    """Exact SCC labels for a small edge list (iterative Tarjan);
+    scc_id = the minimum node id of each component (the same
+    convention the distributed FB path and the SQL oracle use)."""
+    import pandas as pd
+
+    adj: dict = {}
+    nodes: set = set()
+    for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy()):
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        # iterative DFS: work stack of (node, child iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            children = adj.get(v, ())
+            for i in range(pi, len(children)):
+                w = children[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = min(members)
+                for w in members:
+                    comp[w] = cid
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    keys = sorted(comp)
+    return pd.DataFrame({"node": keys, "scc_id": [comp[k] for k in keys]})
+
+
+def _directed_fixpoint(adj, labels0, n_parts: int, reduce: str = "min",
+                       local_rounds: int = 64):
+    """Run a directed message-passing fixpoint: each exchange sends
+    every node's value along its out-edges (``adj`` rows (m, n, part)
+    pre-partitioned by m ONCE) and folds incoming values into the
+    current one with ``reduce`` (min or max — MONOTONE folds only).
+
+    Inside each send partition the propagation runs a LOCAL multi-hop
+    fixpoint over that partition's edges first (monotonicity makes
+    transitively-derived values safe — they are folded with the true
+    current value at the receiver), so the number of distributed
+    exchanges is the cross-partition hop count of the longest
+    propagation path, not the graph diameter. Convergence is detected
+    with one sum over the labels-sized Dataset per exchange. Returns
+    the converged (node, val) Dataset (an extra ``chg`` column may be
+    present; callers should select (node, val))."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def tag_label_for_send(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "m": t["node"], "n": pa.nulls(t.num_rows, pa.string()),
+            "val": t["val"],
+            "part": pa.array(fast_part_hash(t["node"], n_parts))})
+
+    def send(df: pd.DataFrame) -> pd.DataFrame:
+        lbl = df.loc[df["val"].notna(), ["m", "val"]].drop_duplicates("m")
+        vals = dict(zip(lbl["m"], lbl["val"]))
+        adjr = df.loc[df["val"].isna(), ["m", "n"]]
+        # local multi-hop: propagate through THIS partition's edges to
+        # a local fixpoint before emitting (safe: fold is monotone)
+        for _ in range(local_rounds):
+            mv = adjr["m"].map(vals)
+            cand = pd.DataFrame({"n": adjr["n"], "v": mv}).dropna()
+            if not len(cand):
+                break
+            agg = cand.groupby("n")["v"]
+            new = agg.min() if reduce == "min" else agg.max()
+            improved = False
+            for k, v in new.items():
+                c = vals.get(k)
+                if c is None or (v < c if reduce == "min" else v > c):
+                    vals[k] = v
+                    improved = True
+            if not improved:
+                break
+        mv = adjr["m"].map(vals)
+        out = pd.DataFrame({"n": adjr["n"], "val": mv}).dropna()
+        agg = out.groupby("n", as_index=False)["val"]
+        return agg.min() if reduce == "min" else agg.max()
+
+    def tag_msg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["n"], "val": t["val"],
+            "is_cur": pa.array(np.zeros(t.num_rows, np.int8)),
+            "part": pa.array(fast_part_hash(t["n"], n_parts))})
+
+    def tag_cur(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"], "val": t["val"],
+            "is_cur": pa.array(np.ones(t.num_rows, np.int8)),
+            "part": pa.array(fast_part_hash(t["node"], n_parts))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df[df["is_cur"] == 1].set_index("node")["val"]
+        agg = df.groupby("node")["val"]
+        new = agg.min() if reduce == "min" else agg.max()
+        chg = (new != cur.reindex(new.index)).astype("int64")
+        return pd.DataFrame({"node": new.index.to_numpy(),
+                             "val": new.to_numpy(),
+                             "chg": chg.to_numpy()})
+
+    labels = labels0.materialize()
+    while True:
+        msgs = (labels.map_batches(tag_label_for_send,
+                                   batch_format="pyarrow")
+                .union(adj)
+                .groupby("part").map_groups(send, batch_format="pandas"))
+        # repartition BEFORE materialize: sort-shuffle output block
+        # count tracks input block count, so an iterative union+groupby
+        # loop explodes blocks (and per-exchange latency) without a
+        # bounded coalesce here
+        merged = (msgs.map_batches(tag_msg, batch_format="pyarrow")
+                  .union(labels.map_batches(tag_cur,
+                                            batch_format="pyarrow"))
+                  .groupby("part").map_groups(merge,
+                                              batch_format="pandas")
+                  .repartition(n_parts)).materialize()
+        n_chg = merged.sum("chg") or 0
+        labels = merged
+        if n_chg == 0:
+            return labels.map_batches(
+                lambda t: t.select(["node", "val"]),
+                batch_format="pyarrow")
+
+
+def _attach_val(edges, vals, key_col: str, out_col: str, n_parts: int):
+    """Attach ``vals`` (node, val) onto ``edges`` rows by
+    ``edges[key_col]`` — the broadcast-free merge: both sides hash to
+    the same partition, one exchange, vectorized map inside."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    edge_cols = [c for c in edges.schema().names if c != "part"]
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        t = t.select(edge_cols)
+        out = t.append_column("__v", pa.nulls(t.num_rows, pa.string()))
+        return out.append_column(
+            "part", pa.array(fast_part_hash(t[key_col], n_parts)))
+
+    def tag_val(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, pa.string()) for c in edge_cols}
+        cols[key_col] = t["node"]
+        cols["__v"] = t["val"]
+        out = pa.table(cols)
+        return out.append_column(
+            "part", pa.array(fast_part_hash(t["node"], n_parts)))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        vmap = (df.loc[df["__v"].notna(), [key_col, "__v"]]
+                .drop_duplicates(key_col).set_index(key_col)["__v"])
+        rows = df[df["__v"].isna()][edge_cols].copy()
+        rows[out_col] = rows[key_col].map(vmap).to_numpy()
+        return rows
+
+    return (edges.map_batches(tag_edge, batch_format="pyarrow")
+            .union(vals.map_batches(tag_val, batch_format="pyarrow"))
+            .groupby("part").map_groups(merge, batch_format="pandas"))
+
+
+def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
+               max_rounds: int = 30, n_parts: int | None = None,
+               small_graph_edges: int = 200_000):
+    """STRONGLY CONNECTED COMPONENTS of a directed edge Dataset, by
+    forward-backward coloring (Orzan-style FB decomposition, the
+    standard Pregel-model SCC): per round (1) a TRIM fixpoint peels
+    nodes with no in-edges or no out-edges (they sit on no cycle →
+    singleton SCCs; web graphs are mostly DAG tail, so this removes
+    the bulk without label propagation), (2) forward min-label
+    fixpoint gives every surviving node the min id among its
+    ancestors-and-self (its *color*; SCCs never span colors), (3) a
+    backward mark fixpoint inside each color finds the nodes that
+    reach their color root — exactly the root's SCC — which are
+    emitted and removed, with cross-color edges dropped. Each round
+    removes at least one SCC per color class, so rounds ≤ #SCC-levels;
+    exchanges per fixpoint are bounded by the cross-partition hop
+    count (see ``_directed_fixpoint``'s local acceleration).
+
+    scc_id = min node id of the component (Tarjan short-circuit at or
+    below ``small_graph_edges`` edges and the SQL closure oracle use
+    the same convention). Returns (node, scc_id) covering every node
+    incident to an edge; isolated original nodes are their own
+    singleton SCCs by construction."""
+    import ray.data as rd
+
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        ns = pa.concat_arrays([t["a"].combine_chunks(),
+                               t["b"].combine_chunks()])
+        g = pa.table({"node": ns}).group_by("node").aggregate([])
+        return g.rename_columns(["node"])
+
+    nodes0 = _distinct(edges.map_batches(node_rows,
+                                         batch_format="pyarrow"),
+                       ["node"], n_parts=n_parts).materialize()
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "scc_id": pa.array([], pa.string())})
+    out = rd.from_arrow(empty)
+
+    import os
+    dbg = os.environ.get("GRAFT_SCC_DEBUG")
+
+    for rnd in range(max_rounds):
+        n_edges = edges.count()
+        if dbg:
+            import sys
+            print(f"[scc] round {rnd}: {n_edges} edges",
+                  file=sys.stderr, flush=True)
+        if n_edges == 0:
+            break
+        if n_edges <= small_graph_edges:
+            tagged = edges.map_batches(
+                lambda t: t.append_column(
+                    "part", pa.array(np.zeros(t.num_rows, np.int32))),
+                batch_format="pyarrow")
+            local = tagged.groupby("part").map_groups(
+                _tarjan_scc, batch_format="pandas")
+            out = out.union(local)
+            edges = rd.from_arrow(
+                pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())}))
+            break
+
+        # (1) TRIM: peel no-in/no-out nodes (singleton SCCs) to a
+        # fixpoint — alive flags attached per endpoint, no broadcast
+        def end_partial(t: pa.Table) -> pa.Table:
+            ns = pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()])
+            n_a = t.num_rows
+            ho = np.zeros(len(ns), np.int8)
+            ho[:n_a] = 1
+            hi = np.zeros(len(ns), np.int8)
+            hi[n_a:] = 1
+            g = (pa.table({"node": ns, "ho": pa.array(ho),
+                           "hi": pa.array(hi)})
+                 .group_by("node").aggregate([("ho", "max"),
+                                              ("hi", "max")]))
+            g = g.rename_columns(["node", "ho", "hi"])
+            return g.append_column(
+                "part", pa.array(fast_part_hash(g["node"], n_parts)))
+
+        def end_final(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", as_index=False)[["ho", "hi"]].max()
+            return pd.DataFrame({
+                "node": g["node"].to_numpy(),
+                "val": np.where((g["ho"] > 0) & (g["hi"] > 0),
+                                "1", "0")})
+
+        trimmed = False
+        for _t in range(max_rounds):
+            flags = (edges.map_batches(end_partial,
+                                       batch_format="pyarrow")
+                     .groupby("part").map_groups(end_final,
+                                                 batch_format="pandas")
+                     .repartition(n_parts)).materialize()
+            dead = flags.map_batches(
+                lambda t: pa.table({
+                    "node": t.filter(pc.equal(t["val"], "0"))["node"],
+                    "scc_id": t.filter(pc.equal(t["val"], "0"))["node"]}),
+                batch_format="pyarrow").materialize()
+            n_dead = dead.count()
+            if dbg:
+                import sys
+                print(f"[scc]  trim {_t}: {n_dead} dead",
+                      file=sys.stderr, flush=True)
+            if n_dead == 0:
+                break
+            trimmed = True
+            out = out.union(dead)
+            ef = _attach_val(edges, flags, "a", "fa", n_parts)
+            ef = _attach_val(ef, flags, "b", "fb", n_parts)
+            edges = ef.map_batches(
+                lambda t: t.filter(pc.and_(pc.equal(t["fa"], "1"),
+                                           pc.equal(t["fb"], "1")))
+                           .select(["a", "b"]),
+                batch_format="pyarrow").repartition(n_parts).materialize()
+            if edges.count() == 0:
+                break
+        if trimmed:
+            continue  # recount: the remainder may now short-circuit
+
+        # (2) forward colors: min over ancestors-and-self
+        def fwd_adj(t: pa.Table) -> pa.Table:
+            out_t = pa.table({
+                "m": t["a"], "n": t["b"],
+                "val": pa.nulls(t.num_rows, pa.string())})
+            return out_t.append_column(
+                "part", pa.array(fast_part_hash(out_t["m"], n_parts)))
+
+        cur_nodes = _distinct(edges.map_batches(node_rows,
+                                                batch_format="pyarrow"),
+                              ["node"], n_parts=n_parts).materialize()
+        init = cur_nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "val": t["node"]}),
+            batch_format="pyarrow")
+        adj = edges.map_batches(fwd_adj,
+                                batch_format="pyarrow").materialize()
+        colors = _directed_fixpoint(adj, init, n_parts, reduce="min")
+        if dbg:
+            import sys
+            print("[scc]  colors done", file=sys.stderr, flush=True)
+
+        # (3) same-color edges; backward mark from the color roots
+        ec = _attach_val(edges, colors, "a", "ca", n_parts)
+        ec = _attach_val(ec, colors, "b", "cb", n_parts)
+        ecc = ec.map_batches(
+            lambda t: t.filter(pc.equal(t["ca"], t["cb"])),
+            batch_format="pyarrow").repartition(n_parts).materialize()
+        if dbg:
+            import sys
+            print(f"[scc]  ecc done: {ecc.count()} edges",
+                  file=sys.stderr, flush=True)
+
+        def bwd_adj(t: pa.Table) -> pa.Table:
+            out_t = pa.table({
+                "m": t["b"], "n": t["a"],
+                "val": pa.nulls(t.num_rows, pa.string())})
+            return out_t.append_column(
+                "part", pa.array(fast_part_hash(out_t["m"], n_parts)))
+
+        mark0 = colors.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "val": pc.if_else(pc.equal(t["node"], t["val"]),
+                                  pa.array(["1"] * t.num_rows),
+                                  pa.array(["0"] * t.num_rows))}),
+            batch_format="pyarrow")
+        radj = ecc.map_batches(bwd_adj,
+                               batch_format="pyarrow").materialize()
+        if dbg:
+            import sys
+            print("[scc]  radj done", file=sys.stderr, flush=True)
+        marks = _directed_fixpoint(radj, mark0, n_parts, reduce="max")
+        if dbg:
+            import sys
+            print("[scc]  marks done", file=sys.stderr, flush=True)
+
+        # (4) emit the marked SCCs; keep only unmarked same-color edges
+        with_mark = _attach_val(
+            colors.map_batches(
+                lambda t: pa.table({"node": t["node"], "color": t["val"]}),
+                batch_format="pyarrow"),
+            marks, "node", "mk", n_parts)
+        emitted = with_mark.map_batches(
+            lambda t: pa.table({
+                "node": t.filter(pc.equal(t["mk"], "1"))["node"],
+                "scc_id": t.filter(pc.equal(t["mk"], "1"))["color"]}),
+            batch_format="pyarrow")
+        out = out.union(emitted)
+
+        em = _attach_val(ecc.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+            marks, "a", "ma", n_parts)
+        em = _attach_val(em, marks, "b", "mb", n_parts)
+        edges = em.map_batches(
+            lambda t: t.filter(pc.and_(pc.equal(t["ma"], "0"),
+                                       pc.equal(t["mb"], "0")))
+                       .select(["a", "b"]),
+            batch_format="pyarrow").repartition(n_parts).materialize()
+
+    # singletons: original nodes never emitted (their edges were
+    # cross-color or their component was a single node)
+    out = out.materialize()
+
+    def singles(df: pd.DataFrame) -> pd.DataFrame:
+        got = df[df["scc_id"].notna()]
+        missing = df.loc[~df["node"].isin(set(got["node"])), "node"]
+        uniq = pd.unique(missing).astype(object)
+        return pd.DataFrame({"node": pd.Series(uniq, dtype=object),
+                             "scc_id": pd.Series(uniq, dtype=object)})
+
+    def tag_out(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(fast_part_hash(t["node"], n_parts)))
+
+    node_side = nodes0.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "scc_id": pa.nulls(t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    singles_ds = (out.union(node_side)
+                  .map_batches(tag_out, batch_format="pyarrow")
+                  .groupby("part").map_groups(singles,
+                                              batch_format="pandas"))
+    return out.union(singles_ds)
+
+
 def resource_alloc_scores(edges_ds, a_col: str = "norm_a",
                           b_col: str = "norm_b",
                           weight_scale: int = 1_000_000_000,

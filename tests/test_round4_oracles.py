@@ -39,6 +39,7 @@ def entry():
     ("kg_resource_alloc", ["norm_a", "norm_b"]),
     ("web_host_rank", ["host"]),
     ("web_host_quality", ["host"]),
+    ("kg_scc", ["node"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

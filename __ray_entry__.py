@@ -429,6 +429,18 @@ def _q_kg_scc(sf_dir: str):
     return scc_labels(edges)
 
 
+def _q_kg_bowtie(sf_dir: str):
+    """Bow-tie decomposition of the fact-quad entity graph: CORE =
+    largest SCC, IN = reaches core, OUT = reached from core, OTHER.
+    Composes scc_labels with two reachability fixpoints."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bowtie_regions
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return bowtie_regions(edges)
+
+
 def _q_kg_resource_alloc(sf_dir: str):
     """Link-prediction by the resource-allocation index over the
     co-occurrence graph: non-adjacent pairs scored by degree-weighted
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_diff": _q_web_crawl_diff,
         "kg_resource_alloc": _q_kg_resource_alloc,
         "kg_scc": _q_kg_scc,
+        "kg_bowtie": _q_kg_bowtie,
         "web_host_rank": _q_web_host_rank,
         "web_host_quality": _q_web_host_quality,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
@@ -3421,8 +3434,9 @@ WHERE NOT EXISTS (SELECT 1 FROM e
 """)
     # SCC: full transitive closure (small entity graph) + mutual-
     # reachability min — same min-member convention as the engine's
-    # Tarjan short-circuit and FB-Trim path
-    d["kg_scc"] = (
+    # Tarjan short-circuit and FB-Trim path. The closure prefix is
+    # shared with the bow-tie decomposition below.
+    _scc_prefix = (
         _U_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + ", f AS (" + _FACT_QUADS_SQL + ")"
         + r"""
@@ -3436,10 +3450,30 @@ reach AS (
 mut AS (
   SELECT r1.a AS node, min(r1.b) AS mn
   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
-  GROUP BY r1.a)
-SELECT n.node, least(n.node, coalesce(m.mn, n.node)) AS scc_id
-FROM nodes n LEFT JOIN mut m ON n.node = m.node
-""")
+  GROUP BY r1.a),
+scc AS (
+  SELECT n.node, least(n.node, coalesce(m.mn, n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mut m ON n.node = m.node)""")
+    d["kg_scc"] = _scc_prefix + "\nSELECT node, scc_id FROM scc"
+    # bow-tie macro-structure: CORE = largest SCC (ties -> min id),
+    # IN/OUT via the same closure, OTHER = the rest
+    d["kg_bowtie"] = _scc_prefix + r"""
+, core AS (
+  SELECT scc_id AS cid FROM (
+    SELECT scc_id, count(*) AS c FROM scc
+    GROUP BY 1 ORDER BY c DESC, scc_id LIMIT 1) t),
+coremem AS (SELECT node FROM scc JOIN core ON scc.scc_id = core.cid),
+anc AS (SELECT DISTINCT r.a AS node
+        FROM reach r JOIN coremem c ON r.b = c.node),
+des AS (SELECT DISTINCT r.b AS node
+        FROM reach r JOIN coremem c ON r.a = c.node)
+SELECT n.node,
+  CASE WHEN n.node IN (SELECT node FROM coremem) THEN 'CORE'
+       WHEN n.node IN (SELECT node FROM anc) THEN 'IN'
+       WHEN n.node IN (SELECT node FROM des) THEN 'OUT'
+       ELSE 'OTHER' END AS region
+FROM nodes n
+"""
     # resource-allocation link prediction: the kg_two_hop wedge shape
     # plus integer degree weights (1e9 // deg) so sums replay exactly
     d["kg_resource_alloc"] = (

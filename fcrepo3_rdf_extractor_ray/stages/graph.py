@@ -1533,6 +1533,98 @@ def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
     return out.union(singles_ds)
 
 
+def bowtie_regions(edges_ds, a_col: str = "subj", b_col: str = "obj",
+                   n_parts: int | None = None, **scc_kw):
+    """BOW-TIE DECOMPOSITION of a directed graph (Broder et al. 2000,
+    the canonical web-graph macro-structure): CORE = the largest SCC
+    (ties → min scc_id), IN = nodes that reach the core but are not in
+    it, OUT = nodes the core reaches, OTHER = tendrils/disconnected.
+
+    Shape: ``scc_labels`` → single-row top-1 component pick (per-block
+    partial top-1, bounded driver data) → TWO monotone reachability
+    fixpoints over the full edge set (backward for IN, forward for
+    OUT, seeds = core members) → one attach pass per flag. Returns
+    (node, region)."""
+    import ray.data as rd
+
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+    sccs = scc_labels(edges, a_col="a", b_col="b", n_parts=n_parts,
+                      **scc_kw).materialize()
+
+    # core = largest SCC, ties -> min scc_id; per-block partial top-1
+    # keeps driver data bounded
+    from ray.data.aggregate import Count
+
+    counts = sccs.groupby("scc_id").aggregate(Count())
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["scc_id", "c"]),
+        batch_format="pyarrow")
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["c", "scc_id"],
+                               ascending=[False, True]).head(1))
+
+    head = (counts.map_batches(top1, batch_format="pandas")
+            .repartition(1)
+            .map_batches(top1, batch_format="pandas")).take(1)
+    core_id = head[0]["scc_id"]
+
+    def seed_marks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "val": pc.if_else(pc.equal(t["scc_id"], core_id),
+                              pa.array(["1"] * t.num_rows),
+                              pa.array(["0"] * t.num_rows))})
+
+    seeds = sccs.map_batches(seed_marks, batch_format="pyarrow")
+
+    def fwd_adj(t: pa.Table) -> pa.Table:
+        o = pa.table({"m": t["a"], "n": t["b"],
+                      "val": pa.nulls(t.num_rows, pa.string())})
+        return o.append_column(
+            "part", pa.array(fast_part_hash(o["m"], n_parts)))
+
+    def bwd_adj(t: pa.Table) -> pa.Table:
+        o = pa.table({"m": t["b"], "n": t["a"],
+                      "val": pa.nulls(t.num_rows, pa.string())})
+        return o.append_column(
+            "part", pa.array(fast_part_hash(o["m"], n_parts)))
+
+    reaches_core = _directed_fixpoint(
+        edges.map_batches(bwd_adj, batch_format="pyarrow").materialize(),
+        seeds, n_parts, reduce="max")
+    core_reaches = _directed_fixpoint(
+        edges.map_batches(fwd_adj, batch_format="pyarrow").materialize(),
+        seeds, n_parts, reduce="max")
+
+    tagged = _attach_val(sccs, reaches_core, "node", "ra", n_parts)
+    tagged = _attach_val(tagged, core_reaches, "node", "rd", n_parts)
+
+    def classify(t: pa.Table) -> pa.Table:
+        is_core = pc.equal(t["scc_id"], core_id)
+        region = pc.if_else(
+            is_core, "CORE",
+            pc.if_else(pc.equal(t["ra"], "1"), "IN",
+                       pc.if_else(pc.equal(t["rd"], "1"), "OUT",
+                                  "OTHER")))
+        return pa.table({"node": t["node"], "region": region})
+
+    return tagged.map_batches(classify, batch_format="pyarrow")
+
+
 def resource_alloc_scores(edges_ds, a_col: str = "norm_a",
                           b_col: str = "norm_b",
                           weight_scale: int = 1_000_000_000,

@@ -40,6 +40,7 @@ def entry():
     ("web_host_rank", ["host"]),
     ("web_host_quality", ["host"]),
     ("kg_scc", ["node"]),
+    ("kg_bowtie", ["node"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

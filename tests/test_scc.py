@@ -58,6 +58,27 @@ def test_scc_random_graph_matches_tarjan(ray_session):
     assert got == want
 
 
+def test_bowtie_regions(ray_session):
+    """Hand-built bow-tie: IN chain -> 3-node CORE cycle -> OUT chain,
+    a disconnected 2-cycle (smaller than core -> OTHER), a tendril."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bowtie_regions
+
+    edges = [("k0", "k1"), ("k1", "k2"), ("k2", "k0"),   # CORE (3 nodes)
+             ("i0", "i1"), ("i1", "k0"),                  # IN chain
+             ("k1", "o0"), ("o0", "o1"),                  # OUT chain
+             ("x0", "x1"), ("x1", "x0"),                  # OTHER 2-cycle
+             ("t0", "t1")]                                # OTHER tendril
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "obj": [e[1] for e in edges]})
+    got = {r["node"]: r["region"]
+           for r in bowtie_regions(rd.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got == {"k0": "CORE", "k1": "CORE", "k2": "CORE",
+                   "i0": "IN", "i1": "IN", "o0": "OUT", "o1": "OUT",
+                   "x0": "OTHER", "x1": "OTHER",
+                   "t0": "OTHER", "t1": "OTHER"}
+
+
 @pytest.mark.parametrize("perm_mult,perm_add,n", [(7, 3, 41)])
 def test_tarjan_affine_permutation_cycles(perm_mult, perm_add, n):
     """The fact-quad entity graph is the affine permutation

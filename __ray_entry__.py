@@ -429,6 +429,36 @@ def _q_kg_scc(sf_dir: str):
     return scc_labels(edges)
 
 
+def _q_web_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling: per 10-id block,
+    ids p=0..6 chain to the next id (terminal at p=7), ids 8↔9 form a
+    redirect loop. Oracle: bounded recursive single-step walk."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.stages.web import redirect_resolve
+
+    def to_redirects(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d % 10 != 7]
+        tgt = np.where(d % 10 == 9, d - 1, d + 1)
+
+        def url_of(ids):
+            return np.char.add(np.char.add(np.char.add(
+                "https://ex", (ids % 20).astype("U")), ".org/p/"),
+                ids.astype("U"))
+
+        return pa.table({
+            "url": pa.array(url_of(d).tolist(), pa.string()),
+            "target": pa.array(url_of(tgt).tolist(), pa.string())})
+
+    reds = _docs(sf_dir, ["doc_id"]).map_batches(to_redirects,
+                                                 batch_format="pyarrow")
+    return redirect_resolve(reds)
+
+
 def _q_kg_bowtie(sf_dir: str):
     """Bow-tie decomposition of the fact-quad entity graph: CORE =
     largest SCC, IN = reaches core, OUT = reached from core, OTHER.
@@ -1759,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie": _q_kg_bowtie,
         "web_host_rank": _q_web_host_rank,
         "web_host_quality": _q_web_host_quality,
+        "web_redirect_resolve": _q_web_redirect_resolve,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3635,6 +3666,33 @@ SELECT 'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
        sum((ttr_micro < 500000)::INT)::BIGINT AS n_low_ttr
 FROM q GROUP BY 1
 """)
+    # redirect-chain resolution: the redirect map re-synthesized in
+    # SQL, walked by a bounded recursive single step; the engine's
+    # pointer doubling must land on the identical terminals, with
+    # loop rows normalized to final_url = source
+    d["web_redirect_resolve"] = r"""
+WITH RECURSIVE rd AS (
+  SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+         || doc_id::VARCHAR AS url,
+         'https://ex' || (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                               ELSE doc_id + 1 END % 20)::VARCHAR
+         || '.org/p/'
+         || (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                  ELSE doc_id + 1 END)::VARCHAR AS target
+  FROM documents WHERE doc_id % 10 <> 7),
+r AS (
+  SELECT url, target AS cur, 0 AS d FROM rd
+  UNION ALL
+  SELECT r.url, t.target, r.d + 1
+  FROM r JOIN rd t ON r.cur = t.url WHERE r.d < 64),
+fin AS (
+  SELECT url, cur FROM r
+  WHERE cur NOT IN (SELECT url FROM rd))
+SELECT s.url,
+       COALESCE(f.cur, s.url) AS final_url,
+       CASE WHEN f.cur IS NULL THEN 'loop' ELSE 'ok' END AS status
+FROM rd s LEFT JOIN fin f ON s.url = f.url
+"""
     # crawl snapshot diff: both snapshots re-synthesized in SQL
     # (md5() is the shared content-hash contract), outer compare by url
     d["web_crawl_diff"] = r"""

@@ -1266,7 +1266,13 @@ def _attach_val(edges, vals, key_col: str, out_col: str, n_parts: int):
 
     from ..functions.hashing import fast_part_hash
 
-    edge_cols = [c for c in edges.schema().names if c != "part"]
+    schema = edges.schema()
+    edge_cols = [c for c in schema.names if c != "part"]
+    base = getattr(schema, "base_schema", None)
+    arrow_base = base if isinstance(base, pa.Schema) else None
+    edge_types = {c: (arrow_base.field(c).type if arrow_base is not None
+                      else None)
+                  for c in edge_cols}
 
     def tag_edge(t: pa.Table) -> pa.Table:
         t = t.select(edge_cols)
@@ -1275,7 +1281,10 @@ def _attach_val(edges, vals, key_col: str, out_col: str, n_parts: int):
             "part", pa.array(fast_part_hash(t[key_col], n_parts)))
 
     def tag_val(t: pa.Table) -> pa.Table:
-        cols = {c: pa.nulls(t.num_rows, pa.string()) for c in edge_cols}
+        # null filler columns must carry the EDGE side's types, or the
+        # union's schema unification fails on non-string edge columns
+        cols = {c: pa.nulls(t.num_rows, edge_types.get(c)
+                            or pa.string()) for c in edge_cols}
         cols[key_col] = t["node"]
         cols["__v"] = t["val"]
         out = pa.table(cols)

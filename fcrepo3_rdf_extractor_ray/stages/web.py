@@ -276,6 +276,115 @@ def host_quality_profile(ds, url_col: str = "url", text_col: str = "text",
             .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
+def _resolve_local(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact single-task redirect resolution: memoized pointer walk
+    with on-path cycle detection (any chain length, any cycle length).
+    Loop sources normalize final_url to themselves."""
+    f = dict(zip(df["url"], df["ptr"]))
+    memo: dict = {}  # node -> (terminal, is_loop_member_or_feeds_loop)
+    for u0 in f:
+        if u0 in memo:
+            continue
+        path = []
+        on_path = {}
+        cur = u0
+        while True:
+            if cur in memo:
+                res = memo[cur]
+                break
+            if cur not in f:           # terminal
+                res = (cur, False)
+                break
+            if cur in on_path:         # new cycle found
+                res = (None, True)
+                break
+            on_path[cur] = len(path)
+            path.append(cur)
+            cur = f[cur]
+        for p in path:
+            memo[p] = res
+    urls = df["url"].to_numpy()
+    fin = np.array([memo[u][0] if not memo[u][1] else u for u in urls],
+                   dtype=object)
+    status = np.where([memo[u][1] for u in urls], "loop", "ok")
+    return pd.DataFrame({"url": urls, "final_url": fin,
+                         "status": status})
+
+
+def redirect_resolve(redirects_ds, url_col: str = "url",
+                     target_col: str = "target",
+                     max_doublings: int = 8,
+                     n_parts: int | None = None,
+                     small_map_rows: int = 2_000_000):
+    """REDIRECT-CHAIN RESOLUTION: resolve every source url of a
+    (url → target) redirect map to its terminal target; chains that
+    enter a cycle are flagged ``loop`` (final_url normalized to the
+    source). Returns (url, final_url, status ∈ ok/loop).
+
+    Maps at or below ``small_map_rows`` short-circuit to one exact
+    single-task memoized walk (the kcore/components small-input rule).
+    The at-scale path is POINTER DOUBLING — per round ONE
+    co-partitioned attach (the current pointer's pointer) + a changed
+    count, so rounds ≈ log2(longest chain), capped at
+    ``max_doublings`` (chains ≤ 2^max_doublings resolve exactly;
+    browsers cap redirect chains at ~20 hops, so the default bound of
+    256 is generous; cycle pointers never leave the domain, so the cap
+    also bounds odd-cycle oscillation)."""
+    import ray.data as rd
+
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from .graph import _attach_val, _distinct
+
+    def to_uv(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pc.cast(t[url_col], pa.string()),
+                         "ptr": pc.cast(t[target_col], pa.string())})
+
+    r = _distinct(redirects_ds.map_batches(to_uv, batch_format="pyarrow"),
+                  ["url", "ptr"], n_parts=n_parts).materialize()
+
+    if r.count() <= small_map_rows:
+        tagged = r.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow")
+        return tagged.groupby("part").map_groups(
+            _resolve_local, batch_format="pandas")
+
+    for _ in range(max_doublings):
+        # nxt = r[ptr] (null when ptr is terminal / outside the domain)
+        stepped = _attach_val(
+            r, r.map_batches(
+                lambda t: pa.table({"node": t["url"], "val": t["ptr"]}),
+                batch_format="pyarrow"),
+            "ptr", "nxt", n_parts)
+        r = stepped.map_batches(
+            lambda t: pa.table({
+                "url": t["url"],
+                "ptr": pc.coalesce(t["nxt"], t["ptr"]),
+                "chg": pc.cast(
+                    pc.and_(pc.is_valid(t["nxt"]),
+                            pc.not_equal(pc.coalesce(t["nxt"], t["ptr"]),
+                                         t["ptr"])),
+                    pa.int64())}),
+            batch_format="pyarrow").repartition(n_parts).materialize()
+        if (r.sum("chg") or 0) == 0:
+            break
+
+    final = _attach_val(
+        r, r.map_batches(
+            lambda t: pa.table({"node": t["url"], "val": t["ptr"]}),
+            batch_format="pyarrow"),
+        "ptr", "nxt", n_parts)
+    return final.map_batches(
+        lambda t: pa.table({
+            "url": t["url"],
+            "final_url": pc.if_else(pc.is_valid(t["nxt"]),
+                                    t["url"], t["ptr"]),
+            "status": pc.if_else(pc.is_valid(t["nxt"]), "loop", "ok")}),
+        batch_format="pyarrow")
+
+
 def crawl_diff(old_ds, new_ds, url_col: str = "url",
                hash_col: str = "content_hash",
                n_parts: int | None = None):

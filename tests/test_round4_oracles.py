@@ -41,6 +41,7 @@ def entry():
     ("web_host_quality", ["host"]),
     ("kg_scc", ["node"]),
     ("kg_bowtie", ["node"]),
+    ("web_redirect_resolve", ["url"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

@@ -46,6 +46,50 @@ def test_anchor_host_graph_counts_and_drops_relative(ray_session):
     assert got == {("src1.org", "dst.org"): 2, ("src2.org", "dst.org"): 1}
 
 
+def test_redirect_resolve_chains_and_loops(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import redirect_resolve
+
+    reds = rd.from_arrow(pa.table({
+        "url": ["a", "b", "c",          # chain a->b->c->T
+                "x", "y",               # 2-cycle
+                "p", "q", "r",          # 3-cycle
+                "s"],                   # self-redirect
+        "target": ["b", "c", "T",
+                   "y", "x",
+                   "q", "r", "p",
+                   "s"],
+    }))
+    want = {
+        "a": ("T", "ok"), "b": ("T", "ok"), "c": ("T", "ok"),
+        "x": ("x", "loop"), "y": ("y", "loop"),
+        "p": ("p", "loop"), "q": ("q", "loop"), "r": ("r", "loop"),
+        "s": ("s", "loop"),
+    }
+    got = {r_["url"]: (r_["final_url"], r_["status"])
+           for r_ in redirect_resolve(reds).take_all()}
+    assert got == want
+
+
+def test_redirect_resolve_distributed_doubling(ray_session):
+    """Force the pointer-doubling path (short-circuit off): chains
+    into a loop and odd cycles must classify identically."""
+    from fcrepo3_rdf_extractor_ray.stages.web import redirect_resolve
+
+    reds = rd.from_arrow(pa.table({
+        "url": ["a", "b", "c", "f", "p", "q", "r"],
+        "target": ["b", "c", "T", "p", "q", "r", "p"],
+    }))
+    got = {r_["url"]: (r_["final_url"], r_["status"])
+           for r_ in redirect_resolve(reds, small_map_rows=0,
+                                      max_doublings=4,
+                                      n_parts=4).take_all()}
+    assert got == {
+        "a": ("T", "ok"), "b": ("T", "ok"), "c": ("T", "ok"),
+        "f": ("f", "loop"),            # chain feeding a loop
+        "p": ("p", "loop"), "q": ("q", "loop"), "r": ("r", "loop"),
+    }
+
+
 def test_crawl_diff_all_four_statuses(ray_session):
     from fcrepo3_rdf_extractor_ray.stages.web import crawl_diff
 

@@ -1568,6 +1568,50 @@ def bowtie_regions(edges_ds, a_col: str = "subj", b_col: str = "obj",
 
     edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
                       ["a", "b"], n_parts=n_parts).materialize()
+
+    small_cutoff = scc_kw.get("small_graph_edges", 200_000)
+    if edges.count() <= small_cutoff:
+        # single exact task: Tarjan + BFS both ways from the core
+        def local(df: pd.DataFrame) -> pd.DataFrame:
+            comp = _tarjan_scc(df)
+            sizes = comp.groupby("scc_id").size()
+            core = sizes.sort_index().sort_values(
+                kind="stable", ascending=False).index[0]
+            members = dict(zip(comp["node"], comp["scc_id"]))
+            fwd: dict = {}
+            bwd: dict = {}
+            for a, b in zip(df["a"], df["b"]):
+                fwd.setdefault(a, []).append(b)
+                bwd.setdefault(b, []).append(a)
+            seeds = [n for n, c in members.items() if c == core]
+
+            def reach(adj):
+                seen = set(seeds)
+                stack = list(seeds)
+                while stack:
+                    for w in adj.get(stack.pop(), ()):
+                        if w not in seen:
+                            seen.add(w)
+                            stack.append(w)
+                return seen
+
+            des, anc = reach(fwd), reach(bwd)
+            region = [
+                "CORE" if members[n] == core
+                else "IN" if n in anc
+                else "OUT" if n in des
+                else "OTHER"
+                for n in comp["node"]]
+            return pd.DataFrame({"node": comp["node"],
+                                 "region": region})
+
+        tagged = edges.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow")
+        return tagged.groupby("part").map_groups(local,
+                                                 batch_format="pandas")
+
     sccs = scc_labels(edges, a_col="a", b_col="b", n_parts=n_parts,
                       **scc_kw).materialize()
 

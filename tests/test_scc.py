@@ -79,6 +79,26 @@ def test_bowtie_regions(ray_session):
                    "t0": "OTHER", "t1": "OTHER"}
 
 
+def test_bowtie_regions_distributed(ray_session):
+    """Force the composed distributed path (SCC FB-Trim + two
+    reachability fixpoints) and require identical regions."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bowtie_regions
+
+    edges = [("k0", "k1"), ("k1", "k2"), ("k2", "k0"),
+             ("i0", "i1"), ("i1", "k0"),
+             ("k1", "o0"), ("o0", "o1"),
+             ("x0", "x1"), ("x1", "x0")]
+    t = pa.table({"subj": [e[0] for e in edges],
+                  "obj": [e[1] for e in edges]})
+    got = {r["node"]: r["region"]
+           for r in bowtie_regions(rd.from_arrow(t).repartition(3),
+                                   n_parts=4,
+                                   small_graph_edges=0).take_all()}
+    assert got == {"k0": "CORE", "k1": "CORE", "k2": "CORE",
+                   "i0": "IN", "i1": "IN", "o0": "OUT", "o1": "OUT",
+                   "x0": "OTHER", "x1": "OTHER"}
+
+
 @pytest.mark.parametrize("perm_mult,perm_add,n", [(7, 3, 41)])
 def test_tarjan_affine_permutation_cycles(perm_mult, perm_add, n):
     """The fact-quad entity graph is the affine permutation

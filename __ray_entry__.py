@@ -429,6 +429,16 @@ def _q_kg_scc(sf_dir: str):
     return scc_labels(edges)
 
 
+def _q_web_outlink_stats(sf_dir: str):
+    """Per-page outlink profile (total anchors, parseable anchors,
+    distinct target hosts) over the anchor corpus."""
+    from fcrepo3_rdf_extractor_ray.stages.web import outlink_stats
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return outlink_stats(pages)
+
+
 def _q_web_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution by pointer doubling: per 10-id block,
     ids p=0..6 chain to the next id (terminal at p=7), ids 8↔9 form a
@@ -1790,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_rank": _q_web_host_rank,
         "web_host_quality": _q_web_host_quality,
         "web_redirect_resolve": _q_web_redirect_resolve,
+        "web_outlink_stats": _q_web_outlink_stats,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3576,8 +3587,10 @@ FROM s GROUP BY doc_id, i // 256
     # (string_agg over the per-target messy-url CASE), the engine's
     # anchor findall replayed with regexp_extract_all, and the target
     # canonicalization is the full url_canon replay — relative hrefs
-    # drop via parse_ok exactly as in stages/web.canonicalize_urls
-    d["web_anchor_links"] = r"""
+    # drop via parse_ok exactly as in stages/web.canonicalize_urls.
+    # The anchor-extraction prefix (through CTE `ex`) is shared with
+    # web_outlink_stats.
+    _anchor_ex_cte = r"""
 WITH tg AS (
   SELECT doc_id, unnest(range(1 + doc_id % 3)) AS j FROM documents),
 tt AS (
@@ -3607,11 +3620,14 @@ ex AS (
   SELECT doc_id,
          unnest(regexp_extract_all(html, '<a\s[^>]*href="([^"]*)"', 1))
              AS u
-  FROM pg),
-m AS (
-  SELECT 'ex' || (doc_id % 20)::VARCHAR || '.org' AS src_host, u FROM ex),
+  FROM pg)"""
+
+    def _canon_pc(id_col: str) -> str:
+        """The p/c canonicalization CTE pair over ``m(id_col, u)`` —
+        the url_canon rules carried alongside an arbitrary id column."""
+        return r"""
 p AS (
-  SELECT src_host, u,
+  SELECT {id}, u,
          regexp_matches(u,
              '^(?i)(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$')
              AS parse_ok,
@@ -3629,7 +3645,7 @@ p AS (
              AS query0
   FROM m),
 c AS (
-  SELECT src_host, parse_ok,
+  SELECT {id}, parse_ok,
          scheme || '://'
          || CASE WHEN scheme = 'http'
                  THEN regexp_replace(host0, ':80$', '')
@@ -3642,13 +3658,32 @@ c AS (
     SELECT list_sort(list_filter(str_split(ltrim(query0, '?'), '&'),
                                  y -> y <> ''
                                       AND NOT starts_with(y, 'utm_')))
-           AS ps) q)
+           AS ps) q)""".replace("{id}", id_col)
+
+    d["web_anchor_links"] = (
+        _anchor_ex_cte + r""",
+m AS (
+  SELECT 'ex' || (doc_id % 20)::VARCHAR || '.org' AS src_host, u FROM ex),"""
+        + _canon_pc("src_host") + r"""
 SELECT src_host,
        regexp_extract(canon, '^https?://([^/?#]+)', 1) AS dst_host,
        count(*)::BIGINT AS n_links
 FROM c WHERE parse_ok
 GROUP BY src_host, dst_host
-"""
+""")
+    # per-page outlink profile on the same anchor + canon replay
+    d["web_outlink_stats"] = (
+        _anchor_ex_cte + r""",
+m AS (SELECT doc_id, u FROM ex),"""
+        + _canon_pc("doc_id") + r"""
+SELECT doc_id,
+       count(*)::BIGINT AS n_links,
+       sum(parse_ok::INT)::BIGINT AS n_ok,
+       count(DISTINCT CASE WHEN parse_ok THEN
+           regexp_extract(canon, '^https?://([^/?#]+)', 1) END)::BIGINT
+           AS n_hosts
+FROM c GROUP BY doc_id
+""")
     # host pagerank: distinct anchor-graph edges + the unrolled
     # integer fixed-point rounds shared with kg_pagerank
     d["web_host_rank"] = (

@@ -169,7 +169,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "rel_bucketed_join", "mm_scene_change", "dedup_incremental",
                  "rel_zorder", "ml_linreg", "kg_entity_timeline",
                  "prep_report", "web_host_stats", "kg_two_hop",
-                 "kg_label_prop", "mm_audio_zcr"):
+                 "kg_label_prop", "mm_audio_zcr",
+                 "web_anchor_links", "web_crawl_diff", "web_host_rank",
+                 "web_host_quality", "web_redirect_resolve",
+                 "kg_resource_alloc", "kg_scc", "kg_bowtie",
+                 "web_outlink_stats"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

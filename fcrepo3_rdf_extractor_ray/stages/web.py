@@ -311,6 +311,46 @@ def _resolve_local(df: pd.DataFrame) -> pd.DataFrame:
                          "status": status})
 
 
+def outlink_stats(ds, html_col: str = "html", id_col: str = "doc_id",
+                  n_parts: int | None = None):
+    """PER-PAGE OUTLINK PROFILE: total anchors, parseable anchors, and
+    distinct target hosts — the page-level fan-out features a link-spam
+    / quality classifier consumes. Shape: anchor explode → canonicalize
+    → ONE doc-keyed exchange → vectorized per-doc aggregates. Returns
+    (doc_id, n_links, n_ok, n_hosts)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+
+    links = extract_links(ds, html_col=html_col, id_col=id_col)
+    canon = canonicalize_urls(
+        links.map_batches(
+            lambda t: pa.table({id_col: t[id_col], "url": t["href"]}),
+            batch_format="pyarrow"),
+        url_col="url", id_col=id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["url_canon"], r"^https?://(?P<h>[^/?#]+)"),
+            "h")
+        out = pa.table({id_col: t[id_col], "host": host,
+                        "ok": pc.cast(t["parse_ok"], pa.int64())})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(
+                pc.cast(t[id_col], pa.string()), n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col).agg(
+            n_links=("ok", "size"), n_ok=("ok", "sum"),
+            n_hosts=("host", "nunique")).reset_index()
+        for c in ("n_links", "n_ok", "n_hosts"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (canon.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
 def redirect_resolve(redirects_ds, url_col: str = "url",
                      target_col: str = "target",
                      max_doublings: int = 8,

@@ -42,6 +42,7 @@ def entry():
     ("kg_scc", ["node"]),
     ("kg_bowtie", ["node"]),
     ("web_redirect_resolve", ["url"]),
+    ("web_outlink_stats", ["doc_id"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

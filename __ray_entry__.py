@@ -201,6 +201,41 @@ def _pagerank_sql(iters: int = 5, damping_pct: int = 85,
             + _pagerank_tail_sql(iters, damping_pct, rank_scale))
 
 
+def _hits_sql(iters: int = 5, scale: int = 1_000_000) -> str:
+    """Unrolled integer-HITS oracle over the fact-quad entity graph —
+    bit-for-bit replay of stages/graph.hits_scores: per round, auth
+    raw = Σ hub over in-edges then max-normalize to ``scale`` with
+    floor division, hub raw = Σ auth over out-edges then normalize;
+    hubs start at ``scale``; an all-zero side stays raw (zeros)."""
+    sql = (_U_CTE
+           + ", f AS (" + _FACT_QUADS_SQL + ")"
+           + ", e AS (SELECT DISTINCT subj, obj FROM f)"
+           + ", nodes AS (SELECT DISTINCT node FROM ("
+           "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
+           + f", h0 AS (SELECT node, {scale}::BIGINT AS s FROM nodes)")
+    # each half-step references the previous one exactly ONCE (the max
+    # is a window over the same scan) — a second reference (e.g. a
+    # separate max CTE) makes DuckDB's CTE inlining re-expand the whole
+    # chain per reference: 2^(2*iters) blowup, minutes at sf0.001
+    for k in range(1, iters + 1):
+        for out_cte, prev, grp, other in (
+                (f"a{k}", f"h{k - 1}", "e.obj", "e.subj"),
+                (f"h{k}", f"a{k}", "e.subj", "e.obj")):
+            sql += f""",
+{out_cte} AS (
+  SELECT node, (CASE WHEN mx > 0 THEN (raw * {scale}) // mx
+                     ELSE raw END)::BIGINT AS s
+  FROM (
+    SELECT n.node, COALESCE(x.v, 0)::BIGINT AS raw,
+           max(COALESCE(x.v, 0)) OVER () AS mx
+    FROM nodes n LEFT JOIN (
+      SELECT {grp} AS node, SUM(p.s)::BIGINT AS v
+      FROM e JOIN {prev} p ON {other} = p.node
+      GROUP BY {grp}) x ON n.node = x.node) t)"""
+    return sql + (f"\nSELECT h.node, h.s AS hub_scaled, a.s AS auth_scaled"
+                  f"\nFROM h{iters} h JOIN a{iters} a ON h.node = a.node")
+
+
 def _pagerank_weighted_sql(iters: int = 5, damping_pct: int = 85,
                            rank_scale: int = 1_000_000) -> str:
     """Unrolled edge-weighted integer-PageRank oracle over the
@@ -437,6 +472,37 @@ def _q_web_outlink_stats(sf_dir: str):
     pages = _docs(sf_dir, ["doc_id"]).map_batches(
         _anchor_pages_batch, batch_format="pyarrow")
     return outlink_stats(pages)
+
+
+def _q_kg_hits(sf_dir: str):
+    """Integer HITS hubs & authorities (5 rounds) over the canonical
+    entity graph — the classic web-graph ranking pair next to
+    kg_pagerank; oracle = unrolled SQL rounds with identical
+    max-normalized integer arithmetic."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import hits_scores
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return hits_scores(edges, iters=5)
+
+
+def _q_ta_lm_score(sf_dir: str):
+    """Unigram-LM commonness score per document (integer-exact analog
+    of the CCNet/Gopher LM quality filter)."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        unigram_lm_scores)
+
+    return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_segment_dedup(sf_dir: str):
+    """CCNet-style segment-level duplication profile: 10-token
+    segments counted corpus-wide, per-doc duplicated-permille."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        segment_dedup_profile)
+
+    return segment_dedup_profile(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_web_redirect_resolve(sf_dir: str):
@@ -1801,6 +1867,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_quality": _q_web_host_quality,
         "web_redirect_resolve": _q_web_redirect_resolve,
         "web_outlink_stats": _q_web_outlink_stats,
+        "kg_hits": _q_kg_hits,
+        "ta_lm_score": _q_ta_lm_score,
+        "ta_segment_dedup": _q_ta_segment_dedup,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2288,6 +2357,39 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_hits": _hits_sql(),
+        # ta_lm_score: corpus unigram frequencies joined back onto every
+        # token occurrence; integer floor-mean mirrors the Ray side.
+        "ta_lm_score": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM tk),
+v AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(v.n)::BIGINT AS sum_freq,
+       (sum(v.n)::BIGINT // count(*)::BIGINT) AS avg_freq
+FROM tok t JOIN v USING (tok) GROUP BY t.doc_id
+""",
+        # ta_segment_dedup: non-overlapping 10-token segments (tail
+        # keeps its partial segment), corpus-wide identical-segment
+        # counts >= 2 flag duplication; integer permille.
+        "ta_segment_dedup": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+pos AS (SELECT doc_id, i, ts[i] AS tok, ((i - 1) // 10)::BIGINT AS seg
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+segs AS (SELECT doc_id, seg, string_agg(tok, ' ' ORDER BY i) AS s
+         FROM pos GROUP BY doc_id, seg),
+cnt AS (SELECT s, count(*)::BIGINT AS c FROM segs GROUP BY s),
+per AS (SELECT g.doc_id, count(*)::BIGINT AS n_segments,
+               sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS dup_segments
+        FROM segs g JOIN cnt c ON g.s = c.s GROUP BY g.doc_id)
+SELECT doc_id, n_segments, dup_segments,
+       (dup_segments * 1000 // n_segments)::BIGINT AS dup_permille
+FROM per
+""",
         # rel_approx_distinct: EXACT replay of the md5-family HLL
         # sketch (p=12): bucket/rank from the first-16-hex md5 hash,
         # register max per bucket, exact-integer register sum

@@ -1863,3 +1863,145 @@ def label_prop_communities(edges_ds, a_col: str = "norm_a",
         return pa.table({"node": t["node"], "community": t["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def hits_scores(edges_ds, iters: int = 5, scale: int = 1_000_000,
+                n_parts: int | None = None,
+                small_graph_edges: int = 200_000):
+    """Integer HITS (Kleinberg hubs & authorities) over a directed
+    (subj, obj) edge Dataset — the classic web-graph ranking pair next
+    to `pagerank` (the reference emits the static link graph these run
+    over: relationship triples, ObjectProcessor.java:262-268).
+
+    Per round, all-integer so the DuckDB oracle replays bit-for-bit:
+
+      auth_raw(v) = Σ_{u→v} hub(u);  auth = auth_raw·scale // max(auth_raw)
+      hub_raw(u)  = Σ_{u→v} auth(v); hub  = hub_raw·scale // max(hub_raw)
+
+    starting from hub = ``scale`` everywhere; max-normalization keeps
+    the fixed point in integers (an all-zero side collapses to 0).
+    Overflow bound: raw·scale must fit int64, i.e. max in-degree ·
+    scale² < 2^63 (≈9.2e6 at the default scale — lower ``scale`` for
+    hotter authorities).
+
+    Shape: distinct edges once; graphs at or below
+    ``small_graph_edges`` short-circuit into ONE exact single-task
+    vectorized run (the `kcore_nodes`/`scc_labels` small-graph rule —
+    2·iters np.add.at passes, identical arithmetic). Above it, per
+    round TWO broadcast half-steps (score table shipped via ``ray.put``
+    at #nodes scale — the same documented ≤5M-node broadcast regime as
+    `pagerank`; a join-mode mirror of `_pagerank_join` is the >5M-node
+    path), each half a stateless edge map with a per-batch combiner →
+    ONE part-hash exchange → vectorized per-partition sum. Returns
+    (node, hub_scaled, auth_scaled).
+    """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    # repartition after the distinct exchanges: the half-step loop
+    # re-reads these datasets 2·iters times, and sort-shuffle block
+    # counts track INPUT block counts — without the collapse every
+    # round's exchange pays for the distincts' empty-block debris
+    # (the engine-wide iterative-loop lesson, BASELINE.md round 4)
+    edges = (_distinct(edges_ds, ["subj", "obj"])
+             .repartition(n_parts).materialize())
+
+    def hits_local(df):
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            pd.concat([df["subj"], df["obj"]], ignore_index=True))
+        m = len(df)
+        si, oi = codes[:m], codes[m:]
+        n = len(uniq)
+        hub = np.full(n, scale, dtype=np.int64)
+        auth = np.zeros(n, dtype=np.int64)
+        for _ in range(iters):
+            raw = np.zeros(n, dtype=np.int64)
+            np.add.at(raw, oi, hub[si])
+            mx = raw.max() if n else 0
+            auth = (raw * scale) // mx if mx > 0 else raw
+            raw = np.zeros(n, dtype=np.int64)
+            np.add.at(raw, si, auth[oi])
+            mx = raw.max() if n else 0
+            hub = (raw * scale) // mx if mx > 0 else raw
+        return pd.DataFrame({"node": uniq, "hub_scaled": hub,
+                             "auth_scaled": auth})
+
+    if edges.count() <= small_graph_edges:
+        tagged = edges.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow")
+        return (tagged.groupby("part")
+                .map_groups(lambda df: hits_local(df.drop(columns="part")),
+                            batch_format="pandas"))
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [c.combine_chunks() for c in (t["subj"], t["obj"])])})
+
+    nodes = _distinct(edges.map_batches(both_ends, batch_format="pyarrow"),
+                      ["node"]).materialize()
+
+    # endpoint-less nodes as zero contributions, partitioned once
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "inc": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "part": _part_of(t["node"], n_parts)}),
+        batch_format="pyarrow").repartition(
+        max(8, n_parts // 4)).materialize()
+
+    node_schema = pa.schema([("node", pa.string()), ("raw", pa.int64())])
+
+    def half_step(score_tbl: pa.Table, from_col: str,
+                  to_col: str) -> pa.Table:
+        import ray
+
+        ref = ray.put(score_tbl)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            st = ray.get(ref)  # zero-copy object-store read
+            idx = pc.index_in(t[from_col], value_set=st["node"])
+            g = pa.table({"node": t[to_col],
+                          "inc": pc.take(st["s"], idx)}).group_by(
+                ["node"]).aggregate([("inc", "sum")])
+            g = g.rename_columns(["node", "inc"])
+            return g.append_column("part", _part_of(g["node"], n_parts))
+
+        def psum(t: pa.Table) -> pa.Table:
+            g = t.group_by(["node"]).aggregate([("inc", "sum")])
+            return g.rename_columns(["node", "raw"])
+
+        raw_ds = (edges.map_batches(contrib, batch_format="pyarrow",
+                                    batch_size=None)
+                  .union(zero_rows)
+                  .groupby("part").map_groups(psum, batch_format="pyarrow"))
+        tbl = _collect_table(raw_ds, node_schema)
+        mx = pc.max(tbl["raw"]).as_py() or 0
+        if mx > 0:
+            s = pc.divide(pc.multiply(tbl["raw"],
+                                      pa.scalar(scale, pa.int64())),
+                          pa.scalar(mx, pa.int64()))
+        else:
+            s = pa.array(np.zeros(tbl.num_rows, dtype=np.int64))
+        return pa.table({"node": tbl["node"],
+                         "s": pc.cast(s, pa.int64())})
+
+    hub = _collect_table(nodes, pa.schema([("node", pa.string())]))
+    hub = pa.table({
+        "node": hub["node"],
+        "s": pa.array(np.full(hub.num_rows, scale, dtype=np.int64))})
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "subj", "obj")
+        hub = half_step(auth, "obj", "subj")
+
+    import ray.data as rd
+
+    idx = pc.index_in(hub["node"], value_set=auth["node"].combine_chunks())
+    return rd.from_arrow(pa.table({
+        "node": hub["node"],
+        "hub_scaled": hub["s"],
+        "auth_scaled": pc.take(auth["s"].combine_chunks(), idx)}))

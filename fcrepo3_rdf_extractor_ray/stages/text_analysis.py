@@ -1040,3 +1040,148 @@ def keyword_extract(docs_ds, k: int = 3, text_col="text",
     return (docs_ds.map_batches(tf_partial, batch_format="pandas")
             .groupby("part").map_groups(tf_df_score, batch_format="pandas")
             .groupby("part").map_groups(topk, batch_format="pandas"))
+
+
+def unigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
+                      n_parts: int | None = None):
+    """Unigram-LM commonness scoring — the integer-exact analog of the
+    CCNet/Gopher LM-perplexity quality filter (a doc full of rare
+    tokens is "surprising"; a doc of stock tokens is boilerplate).
+    Each doc is scored by the floor-mean corpus frequency of its
+    tokens: ``avg_freq = (Σ freq(tok)) // n_tokens``. Kept integer so
+    the DuckDB oracle replays bit-for-bit (the log-prob version is a
+    trivial float map over sum_freq/n_tokens downstream).
+
+    Shape: pass 1 builds the corpus unigram table with the
+    `vocab_top_terms` combiner (per-batch value_counts → ONE token-hash
+    exchange → vectorized sum); the vocabulary-sized result is
+    broadcast ONCE via ``ray.put`` (natural-language vocabularies are
+    ~1e6-1e8 rows at 100 TB — object-store scale, not driver-loop
+    scale); pass 2 is a stateless scoring map (Arrow ``index_in`` +
+    ``take`` against the broadcast table, per-doc sums in one pandas
+    groupby — no shuffle). Returns (doc_id, n_tokens, sum_freq,
+    avg_freq); zero-token docs are absent (no tokens to score).
+    """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import fast_part_hash
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split().explode().dropna()
+        counts = toks.value_counts()
+        tokens = counts.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "token": tokens,
+            "n": counts.to_numpy().astype("int64"),
+            "part": fast_part_hash(list(tokens), n_parts),
+        })
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    vocab_ds = (docs_ds.map_batches(combine, batch_format="pandas")
+                .groupby("part").map_groups(part_sum,
+                                            batch_format="pyarrow"))
+    vocab = pa.Table.from_pandas(vocab_ds.to_pandas(),
+                                 preserve_index=False).combine_chunks()
+    vocab_ref = ray.put(vocab)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)  # zero-copy object-store read
+        toks = df.set_index(df[id_col].to_numpy())[text_col] \
+            .str.split().explode().dropna()
+        idx = pc.index_in(pa.array(toks.to_numpy(dtype=object),
+                                   pa.string()),
+                          value_set=v["token"].combine_chunks())
+        freq = pc.take(v["n"].combine_chunks(), idx).to_numpy()
+        g = pd.DataFrame({id_col: toks.index.to_numpy(), "f": freq}) \
+            .groupby(id_col, as_index=False) \
+            .agg(n_tokens=("f", "size"), sum_freq=("f", "sum"))
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["sum_freq"] = g["sum_freq"].astype("int64")
+        g["avg_freq"] = g["sum_freq"] // g["n_tokens"]
+        return g
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def segment_dedup_profile(docs_ds, window: int = 10, min_count: int = 2,
+                          text_col="text", id_col="doc_id",
+                          n_parts: int | None = None):
+    """CCNet-style segment-level corpus dedup profile: split each doc
+    into non-overlapping ``window``-token segments (the "line" analog
+    for newline-free text; the tail keeps its partial segment), count
+    identical segments corpus-wide, and report per doc how much of it
+    is duplicated boilerplate. A downstream cleaner drops the flagged
+    segments; this operator is the measurement pass (CCNet dedups
+    paragraph hashes the same way before LM filtering).
+
+    Shape: vectorized explode (Arrow regex split → padded token matrix
+    → ``window-1`` columnar concats, no per-segment Python join) →
+    ONE segment-hash exchange where the per-segment corpus count AND
+    the per-doc partial flags are computed together (all copies of a
+    segment co-locate) → ONE doc-hash exchange summing the partials.
+    Returns (doc_id, n_segments, dup_segments, dup_permille) with
+    ``dup_permille = dup_segments·1000 // n_segments``; token-less
+    docs are absent.
+    """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        arr = pc.split_pattern_regex(
+            pa.array(df[text_col].to_numpy(dtype=object), pa.string()),
+            r"\s+")
+        lens0 = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), lens0)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        tok_pos = np.arange(len(flat), dtype=np.int64) - off[doc_idx]
+        nseg = (lens + window - 1) // window
+        seg_base = np.cumsum(nseg) - nseg
+        slot = seg_base[doc_idx] * window + tok_pos
+        total = int(nseg.sum())
+        padded = np.full(total * window, "", dtype=object)
+        padded[slot] = flat
+        mat = padded.reshape(total, window)
+        segs = mat[:, 0]
+        for j in range(1, window):  # columnar concat, not per-segment
+            col = mat[:, j]
+            segs = segs + np.where(col == "", "", " ") + col
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), nseg),
+            "seg": segs,
+            "part": fast_part_hash(segs, n_parts),
+        })
+
+    def part_flags(df: pd.DataFrame) -> pd.DataFrame:
+        # hash partition on seg ⇒ within-partition counts are GLOBAL
+        c = df.groupby("seg")["seg"].transform("size")
+        out = (df.assign(dup=(c >= min_count).astype("int64"))
+               .groupby(id_col, as_index=False)
+               .agg(n_segments=("seg", "size"), dup_segments=("dup", "sum")))
+        out["n_segments"] = out["n_segments"].astype("int64")
+        out["part"] = fast_part_hash(out[id_col], n_parts)
+        return out
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(id_col, as_index=False)
+             [["n_segments", "dup_segments"]].sum())
+        g["dup_permille"] = g["dup_segments"] * 1000 // g["n_segments"]
+        return g
+
+    return (docs_ds.map_batches(explode, batch_format="pandas")
+            .groupby("part").map_groups(part_flags, batch_format="pandas")
+            .groupby("part").map_groups(doc_sum, batch_format="pandas"))

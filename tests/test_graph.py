@@ -103,3 +103,53 @@ def test_kcore_planted_and_distributed_parity(ray_session):
     dist = sorted(kcore_nodes(ds, k=2,
                               small_graph_edges=0).to_pandas()["node"])
     assert dist == got
+
+
+def _seq_hits(edges, iters=5, scale=1_000_000):
+    """Obviously-correct sequential HITS reference (same integer
+    max-normalized semantics as stages/graph.hits_scores)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        mx = max(raw.values(), default=0)
+        auth = ({n: (raw[n] * scale) // mx for n in nodes} if mx > 0
+                else dict(raw))
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        mx = max(raw.values(), default=0)
+        hub = ({n: (raw[n] * scale) // mx for n in nodes} if mx > 0
+               else dict(raw))
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_sequential_reference(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.graph import hits_scores
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("d", "e"), ("x", "a"), ("a", "b")]  # dup must collapse
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits_scores(_edges_ds(edges), iters=5).take_all()}
+    assert got == _seq_hits(edges, iters=5)
+
+
+def test_hits_distributed_path_parity(ray_session):
+    """The broadcast half-step path (small_graph_edges=0) must be
+    bit-identical to the single-task short-circuit and the sequential
+    reference, including endpoint-only nodes (pure hub x, pure sink e)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import hits_scores
+
+    rng = np.random.default_rng(7)
+    es = [(f"n{int(a)}", f"n{int(b)}")
+          for a, b in rng.integers(0, 40, size=(300, 2)) if a != b]
+    es += [("x", "n0"), ("n1", "e")]
+    want = _seq_hits(es, iters=4)
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits_scores(_edges_ds(es).repartition(4), iters=4,
+                                small_graph_edges=0).take_all()}
+    assert got == want

@@ -43,6 +43,9 @@ def entry():
     ("kg_bowtie", ["node"]),
     ("web_redirect_resolve", ["url"]),
     ("web_outlink_stats", ["doc_id"]),
+    ("kg_hits", ["node"]),
+    ("ta_lm_score", ["doc_id"]),
+    ("ta_segment_dedup", ["doc_id"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):
@@ -216,3 +219,45 @@ def test_minhash_md5_planted_dups(ray_session):
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     drv = cl.sort_values("doc_id").reset_index(drop=True)
     assert ds_cl.astype("int64").equals(drv.astype("int64"))
+
+
+def test_segment_dedup_window_tail(ray_session):
+    """25 tokens -> segments of 10/10/5; the repeated first segment is
+    flagged corpus-wide, the unique tail is not."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        segment_dedup_profile)
+
+    seg = " ".join(f"t{i}" for i in range(10))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            seg + " " + seg + " u0 u1 u2 u3 u4",  # 25 tokens, segs dup
+            seg,                                   # exact dup of seg
+            "lone words only here",                # unique, 1 segment
+        ], pa.string())}))
+    got = {r["doc_id"]: r for r in
+           segment_dedup_profile(docs, window=10).take_all()}
+    assert got[1]["n_segments"] == 3 and got[1]["dup_segments"] == 2
+    assert got[1]["dup_permille"] == 666
+    assert got[2]["n_segments"] == 1 and got[2]["dup_segments"] == 1
+    assert got[3]["dup_segments"] == 0
+
+
+def test_unigram_lm_floor_mean(ray_session):
+    """corpus freq: 'a'x3, 'b'x2, 'c'x1 -> doc1 (a b) sum 5 avg 2;
+    zero-token doc absent."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        unigram_lm_scores)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b", "a a b c", "  "], pa.string())}))
+    got = {r["doc_id"]: r for r in unigram_lm_scores(docs).take_all()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 2 and got[1]["sum_freq"] == 5
+    assert got[1]["avg_freq"] == 2
+    assert got[2]["sum_freq"] == 3 + 3 + 2 + 1 and got[2]["avg_freq"] == 2

@@ -236,6 +236,43 @@ def _hits_sql(iters: int = 5, scale: int = 1_000_000) -> str:
                   f"\nFROM h{iters} h JOIN a{iters} a ON h.node = a.node")
 
 
+def _trustrank_sql(iters: int = 5, damping_pct: int = 85,
+                   rank_scale: int = 1_000_000, n_seeds: int = 5) -> str:
+    """Unrolled seeded-PageRank (TrustRank) oracle over the fact-quad
+    entity graph — stages/graph.trust_rank arithmetic bit-for-bit; the
+    seed set is the n_seeds lexicographically smallest nodes (the same
+    deterministic pick the query wrapper makes)."""
+    base = (rank_scale * (100 - damping_pct)) // 100
+    sql = (_U_CTE
+           + ", f AS (" + _FACT_QUADS_SQL + ")"
+           + ", e AS (SELECT DISTINCT subj, obj FROM f)"
+           + ", nodes AS (SELECT DISTINCT node FROM ("
+           "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
+           + ", deg AS (SELECT subj, count(*)::BIGINT AS d "
+           "FROM e GROUP BY subj)"
+           + f", seeds AS (SELECT node FROM nodes ORDER BY node "
+           f"LIMIT {n_seeds})"
+           + f""", r0 AS (
+  SELECT n.node,
+         (CASE WHEN s.node IS NOT NULL THEN {rank_scale}
+               ELSE 0 END)::BIGINT AS r
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""")
+    for k in range(1, iters + 1):
+        sql += f""",
+r{k} AS (
+  SELECT n.node,
+         (CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+          + ({damping_pct} * COALESCE(s.inc, 0)) // 100)::BIGINT AS r
+  FROM nodes n
+  LEFT JOIN seeds sd ON n.node = sd.node
+  LEFT JOIN (
+    SELECT e.obj AS node, SUM(p.r // d.d)::BIGINT AS inc
+    FROM e JOIN r{k - 1} p ON e.subj = p.node
+           JOIN deg d ON d.subj = e.subj
+    GROUP BY e.obj) s ON n.node = s.node)"""
+    return sql + f"\nSELECT node, r AS trust_micro FROM r{iters}"
+
+
 def _pagerank_weighted_sql(iters: int = 5, damping_pct: int = 85,
                            rank_scale: int = 1_000_000) -> str:
     """Unrolled edge-weighted integer-PageRank oracle over the
@@ -503,6 +540,50 @@ def _q_ta_segment_dedup(sf_dir: str):
         segment_dedup_profile)
 
     return segment_dedup_profile(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_kg_trustrank(sf_dir: str):
+    """Seeded integer PageRank (TrustRank, 5 rounds) over the entity
+    graph; seeds = the 5 lexicographically smallest nodes (a
+    deterministic stand-in for a curated trust list). Oracle =
+    unrolled SQL rounds with the seed-masked teleport term."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import trust_rank
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+
+    import pyarrow as pa
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        return pa.table({"node": pa.concat_arrays(
+            [c.combine_chunks() for c in (t["subj"], t["obj"])])})
+
+    # Dataset.unique() returns a driver-side list (entity alphabet —
+    # tiny); the 5 smallest form the deterministic seed set
+    seeds = sorted(edges.map_batches(
+        both_ends, batch_format="pyarrow").unique("node"))[:5]
+    return trust_rank(edges, seeds=seeds, iters=5)
+
+
+def _q_web_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation per canonical link target over the
+    anchor corpus (total refs, distinct texts, dominant text)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import anchor_text_agg
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return anchor_text_agg(pages)
+
+
+def _q_ta_gopher(sf_dir: str):
+    """Gopher-style composite quality gate: keep/drop verdict with a
+    reason bitmask, fusing length/diversity/stopword/repetition rules."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import gopher_filter
+
+    return gopher_filter(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_web_redirect_resolve(sf_dir: str):
@@ -1870,6 +1951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "ta_lm_score": _q_ta_lm_score,
         "ta_segment_dedup": _q_ta_segment_dedup,
+        "kg_trustrank": _q_kg_trustrank,
+        "web_anchor_texts": _q_web_anchor_texts,
+        "ta_gopher": _q_ta_gopher,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2358,6 +2442,9 @@ FROM events GROUP BY user_id
 """,
         "kg_pagerank": _pagerank_sql(),
         "kg_hits": _hits_sql(),
+        "kg_trustrank": _trustrank_sql(),
+        # ta_gopher / web_anchor_texts are assembled below (they
+        # compose other replays in this dict)
         # ta_lm_score: corpus unigram frequencies joined back onto every
         # token occurrence; integer floor-mean mirrors the Ray side.
         "ta_lm_score": r"""
@@ -3859,4 +3946,48 @@ SELECT url,
             ELSE 'changed' END AS status
 FROM j
 """
+    # ta_gopher: join the two signal replays, apply the bitmask rules
+    # (thresholds = stages/text_analysis.gopher_filter defaults)
+    d["ta_gopher"] = (
+        "WITH q AS (" + d["ta_quality"] + """),
+rt AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+rc AS (SELECT doc_id, tok, count(*) AS c FROM rt GROUP BY doc_id, tok),
+r AS (SELECT doc_id, sum(c)::BIGINT AS n_sp, max(c)::BIGINT AS top
+      FROM rc GROUP BY doc_id),
+j AS (
+  SELECT q.doc_id,
+         ((q.n_tokens < 20)::INT + 2 * (q.n_tokens > 90)::INT
+          + 4 * (q.ttr_micro < 350000)::INT
+          + 8 * (q.stopword_micro = 0)::INT
+          + 16 * ((r.top * 1000000 // greatest(r.n_sp, 1))
+                  > 150000)::INT)::BIGINT AS reject_mask
+  FROM q JOIN r ON q.doc_id = r.doc_id)
+SELECT doc_id, (reject_mask = 0)::BIGINT AS keep, reject_mask FROM j
+""")
+    # web_anchor_texts: the anchor replay extracting BOTH regex groups
+    # (href, inner text) zipped positionally, then the url_canon replay
+    # with the text riding along, then per-target totals + top text
+    # (ties -> lexicographically smallest, mirroring anchor_text_agg).
+    d["web_anchor_texts"] = (
+        _anchor_ex_cte + r""",
+ex2 AS (
+  SELECT unnest(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS u,
+         unnest(regexp_extract_all(html,
+             '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS txt
+  FROM pg),
+m AS (SELECT txt, u FROM ex2),"""
+        + _canon_pc("txt") + r"""
+, base AS (
+  SELECT canon AS url, txt, count(*)::BIGINT AS n
+  FROM c WHERE parse_ok GROUP BY 1, 2),
+tot AS (SELECT url, sum(n)::BIGINT AS n_refs, count(*)::BIGINT AS n_texts
+        FROM base GROUP BY url),
+tops AS (SELECT url, txt AS top_text, n AS top_text_n,
+                row_number() OVER (PARTITION BY url
+                                   ORDER BY n DESC, txt) AS rn
+         FROM base)
+SELECT t.url, t.n_refs, t.n_texts, p.top_text, p.top_text_n
+FROM tot t JOIN tops p ON t.url = p.url AND p.rn = 1
+""")
     return d

@@ -174,7 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_host_quality", "web_redirect_resolve",
                  "kg_resource_alloc", "kg_scc", "kg_bowtie",
                  "web_outlink_stats", "kg_hits", "ta_lm_score",
-                 "ta_segment_dedup"):
+                 "ta_segment_dedup", "kg_trustrank", "web_anchor_texts",
+                 "ta_gopher"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

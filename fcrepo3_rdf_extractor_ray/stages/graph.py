@@ -2005,3 +2005,81 @@ def hits_scores(edges_ds, iters: int = 5, scale: int = 1_000_000,
         "node": hub["node"],
         "hub_scaled": hub["s"],
         "auth_scaled": pc.take(auth["s"].combine_chunks(), idx)}))
+
+
+def trust_rank(edges_ds, seeds, iters: int = 5, damping_pct: int = 85,
+               rank_scale: int = 1_000_000, n_parts: int | None = None):
+    """Seeded integer PageRank (TrustRank): the crawl-frontier /
+    spam-demotion ranking where teleport mass lands ONLY on a curated
+    seed set S, so trust decays with link distance from the seeds.
+    All-integer so the DuckDB oracle replays bit-for-bit:
+
+      r0(v) = rank_scale · [v ∈ S]
+      r'(v) = base·[v ∈ S] + (damping_pct · Σ_{u→v} r(u)//d(u)) // 100
+
+    with ``base = (rank_scale · (100 - damping_pct)) // 100`` — the
+    `pagerank` arithmetic with the uniform teleport term masked to S.
+    Nodes unreachable from S stay at exactly 0.
+
+    Shape: identical to `_pagerank_broadcast` (the ≤5M-node broadcast
+    regime): per round the rank table ships via ``ray.put``, edges map
+    statelessly with a per-batch combiner, ONE part-hash exchange,
+    vectorized per-partition sum. The seed set rides in the task
+    closure — curated trust seeds are small by construction (document
+    `ray.put` if a seed set ever approaches node scale). Returns
+    (node, trust_micro).
+    """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import ray.data as rd
+
+    e3, nodes, _ = _prepare(edges_ds)
+    base = (rank_scale * (100 - damping_pct)) // 100
+    seed_arr = pa.array(sorted(set(seeds)), pa.string())
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "obj": t["node"],
+            "inc": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "part": _part_of(t["node"], n_parts)}),
+        batch_format="pyarrow").materialize()
+
+    rank_tbl = _collect_table(nodes, pa.schema([("node", pa.string())]))
+    seeded0 = pc.is_in(rank_tbl["node"], value_set=seed_arr)
+    rank_tbl = rank_tbl.append_column("r", pc.if_else(
+        seeded0, pa.scalar(rank_scale, pa.int64()),
+        pa.scalar(0, pa.int64())))
+
+    def final_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["obj"]).aggregate([("inc", "sum")])
+        g = g.rename_columns(["node", "s"])
+        seed_base = pc.if_else(pc.is_in(g["node"], value_set=seed_arr),
+                               pa.scalar(base, pa.int64()),
+                               pa.scalar(0, pa.int64()))
+        r = pc.add(seed_base,
+                   pc.divide(pc.multiply(pa.scalar(damping_pct, pa.int64()),
+                                         g["s"]),
+                             pa.scalar(100, pa.int64())))
+        return pa.table({"node": g["node"], "r": pc.cast(r, pa.int64())})
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank_tbl)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            rt = ray.get(rank_ref)  # zero-copy object-store read
+            idx = pc.index_in(t["subj"], value_set=rt["node"])
+            inc = pc.divide(pc.take(rt["r"], idx), t["d"])  # floor div
+            g = pa.table({"obj": t["obj"], "inc": inc}).group_by(
+                ["obj"]).aggregate([("inc", "sum")])
+            g = g.rename_columns(["obj", "inc"])
+            return g.append_column("part", _part_of(g["obj"], n_parts))
+
+        new_ranks = (e3.map_batches(contrib, batch_format="pyarrow",
+                                    batch_size=None)
+                     .union(zero_rows)
+                     .groupby("part")
+                     .map_groups(final_sum, batch_format="pyarrow"))
+        rank_tbl = _collect_table(
+            new_ranks, pa.schema([("node", pa.string()),
+                                  ("r", pa.int64())]))
+    return rd.from_arrow(rank_tbl.rename_columns(["node", "trust_micro"]))

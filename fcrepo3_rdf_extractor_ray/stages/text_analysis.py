@@ -1185,3 +1185,131 @@ def segment_dedup_profile(docs_ds, window: int = 10, min_count: int = 2,
     return (docs_ds.map_batches(explode, batch_format="pandas")
             .groupby("part").map_groups(part_flags, batch_format="pandas")
             .groupby("part").map_groups(doc_sum, batch_format="pandas"))
+
+
+def gopher_filter(docs_ds, text_col="text", id_col="doc_id",
+                  min_tokens: int = 20, max_tokens: int = 90,
+                  min_ttr_micro: int = 350_000,
+                  max_top_frac_micro: int = 150_000):
+    """Gopher-style composite quality GATE — the keep/drop decision a
+    training-data pipeline actually applies, fusing the published rule
+    family (length bounds, lexical diversity, stopword presence,
+    dominant-token repetition) into one per-doc verdict with a reason
+    bitmask, so downstream can both filter and audit WHY:
+
+      bit 1  too_short      n_tokens < min_tokens
+      bit 2  too_long       n_tokens > max_tokens
+      bit 4  low_ttr        ttr_micro < min_ttr_micro
+      bit 8  no_stopwords   stopword_micro == 0
+      bit 16 repetitive     top_count·1e6 // n_tokens_sp > max_top_frac_micro
+
+    ``keep = (reject_mask == 0)`` as int64. Bits 1-8 use the
+    `quality_frame` signals (whitespace-run tokenizer); bit 16 uses the
+    `repetition_stats` signals (single-space tokenizer) — each signal
+    keeps its own exact-oracle tokenizer contract rather than inventing
+    a third. All-integer; zero shuffle (one fused stateless map — both
+    signal kernels run on the same in-memory batch, no join).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        q = quality_frame(df[text_col])
+        # repetition signals on the ' '-split contract (vectorized)
+        lens, flat = _split_flat(df[text_col])
+        ids = np.repeat(np.arange(len(df)), lens)
+        vc = (pd.DataFrame({"d": ids, "t": flat})
+              .groupby(["d", "t"], sort=False).size())
+        g = vc.groupby(level=0, sort=False).agg(["sum", "max"])
+        n_sp = g["sum"].reindex(range(len(df))).fillna(0).astype("int64")
+        top = g["max"].reindex(range(len(df))).fillna(0).astype("int64")
+        top_frac = (top * 1_000_000 // n_sp.clip(lower=1)).astype("int64")
+        mask = ((q["n_tokens"] < min_tokens).astype("int64")
+                + 2 * (q["n_tokens"] > max_tokens).astype("int64")
+                + 4 * (q["ttr_micro"] < min_ttr_micro).astype("int64")
+                + 8 * (q["stopword_micro"] == 0).astype("int64")
+                + 16 * (top_frac > max_top_frac_micro).astype("int64"))
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "keep": (mask == 0).astype("int64"),
+            "reject_mask": mask,
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def lm_buckets(docs_ds, k: int = 4, text_col="text", id_col="doc_id",
+               n_buckets: int | None = None):
+    """PERPLEXITY-BUCKETED MIXING: NTILE(k) quantile buckets over the
+    unigram-LM commonness score — the CCNet "head/middle/tail" split
+    that downstream mixing weights by data quality (tile 1 = rarest
+    vocabulary, tile k = stock boilerplate).
+
+    Shape: `unigram_lm_scores` (one token-hash exchange + broadcast
+    score pass), then the TeraSort range-partition rank the engine uses
+    for global order (pipelines/relational.global_rank_orders): one
+    min/max pass → value-range bucketing → an n_buckets-sized count
+    exchange whose prefix-sum offsets (AND total — no extra count pass)
+    are the only driver state → per-bucket vectorized sort + local
+    rank → the SQL NTILE formula per row (first n mod k tiles get one
+    extra row). Order is (avg_freq ASC, doc_id ASC), unique hence
+    deterministic. Returns (doc_id, avg_freq, tile).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    import ray
+
+    from ..runtime import cluster_cpus
+    if n_buckets is None:
+        n_buckets = max(8, 2 * cluster_cpus())
+
+    scores = unigram_lm_scores(docs_ds, text_col=text_col,
+                               id_col=id_col).materialize()
+    mm = scores.aggregate(Min("avg_freq"), Max("avg_freq"))
+    if not mm or mm.get("min(avg_freq)") is None:  # empty corpus
+        return scores.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "avg_freq": t["avg_freq"],
+                                "tile": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    lo, hi = int(mm["min(avg_freq)"]), int(mm["max(avg_freq)"])
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = ((t["avg_freq"].to_numpy() - lo) * n_buckets) // span
+        return pa.table({id_col: t[id_col], "avg_freq": t["avg_freq"],
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    bucketed = (scores.map_batches(bucketize, batch_format="pyarrow")
+                .materialize())
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"bucket": t["bucket"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (g.group_by("bucket").aggregate([("n", "sum")])
+                .rename_columns(["bucket", "n"]))
+
+    counts = (bucketed.map_batches(count_part, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n")).take_all())
+    counts.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["sum(n)"]
+    total = acc
+    size, rem = divmod(total, k)
+    boundary = rem * (size + 1)
+    off_ref = ray.put(offsets)
+
+    def rank_tile(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["avg_freq", id_col])
+        r = off + np.arange(len(g), dtype=np.int64)  # 0-based global
+        in_head = r < boundary  # when size == 0 the head covers all rows
+        tile = np.where(in_head, r // (size + 1) + 1,
+                        (r - boundary) // max(size, 1) + rem + 1)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "avg_freq": g["avg_freq"].to_numpy(),
+                             "tile": tile.astype(np.int64)})
+
+    return bucketed.groupby("bucket").map_groups(rank_tile,
+                                                 batch_format="pandas")

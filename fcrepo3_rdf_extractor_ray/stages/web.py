@@ -519,3 +519,115 @@ def host_stats(ds, url_col: str = "url", id_col: str = "doc_id",
 
     return (canon.map_batches(combine, batch_format="pyarrow")
             .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def anchor_text_agg(ds, html_col: str = "html", id_col: str = "doc_id",
+                    n_parts: int | None = None):
+    """ANCHOR-TEXT AGGREGATION per canonical link target — the IR /
+    retrieval-training primitive: the text of the anchors pointing AT a
+    page is the best independent description of it (classic web-search
+    signal; anchor-text corpora train retrievers the same way). Per
+    canonical target url: total referring anchors, distinct anchor
+    texts, and the dominant text with its count (ties broken by
+    lexicographically smallest text, so the result is deterministic).
+
+    Shape: stateless anchor explode (polars extract_all of the full
+    ``<a href="H">TEXT</a>`` element, groups 1+2 — same vectorized Rust
+    regex as `extract_links`) → stateless `canonicalize_urls` with the
+    anchor text riding as the id column → per-batch (url, text)
+    combiner → ONE url-hash exchange → per-partition vectorized
+    totals + top-text pick (hash partitioning colocates every
+    reference to a url, so per-partition answers are GLOBAL). Returns
+    (url, n_refs, n_texts, top_text, top_text_n).
+    """
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import polars as pl
+
+    from ..functions.hashing import fast_part_hash
+
+    pat = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([html_col]))
+        out = (df.with_columns(
+                   pl.col(html_col).str.extract_all(pat).alias("m"))
+               .drop(html_col)
+               .explode("m").drop_nulls("m")
+               .with_columns(
+                   pl.col("m").str.extract(pat, 1).alias("url"),
+                   pl.col("m").str.extract(pat, 2).alias("txt"))
+               .drop("m"))
+        return out.to_arrow().cast(pa.schema([
+            ("url", pa.string()), ("txt", pa.string())]))
+
+    canon = canonicalize_urls(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        url_col="url", id_col="txt")
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(t["parse_ok"])
+        g = (pa.table({"url": t["url_canon"], "txt": t["txt"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["url", "txt"]).aggregate([("n", "sum")]))
+        g = g.rename_columns(["url", "txt", "n"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["url"], n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["url", "txt"], as_index=False)["n"].sum()
+             .sort_values(["url", "n", "txt"],
+                          ascending=[True, False, True]))
+        tot = (g.groupby("url", as_index=False)
+               .agg(n_refs=("n", "sum"), n_texts=("txt", "size")))
+        top = g.drop_duplicates("url")[["url", "txt", "n"]].rename(
+            columns={"txt": "top_text", "n": "top_text_n"})
+        out = tot.merge(top, on="url")
+        for c in ("n_refs", "n_texts", "top_text_n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (canon.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def host_cap_sample(ds, k: int = 5, host_col: str = "host",
+                    id_col: str = "doc_id", n_parts: int | None = None):
+    """DOMAIN-BALANCED SAMPLING CAP: keep at most ``k`` documents per
+    host, chosen by a deterministic content-free hash order — the
+    data-mixing step that stops a handful of mega-hosts from dominating
+    a training corpus (the per-domain cap in every web-corpus recipe).
+
+    The order key is the Knuth multiplicative hash
+    ``(id mod 2^32) · 2654435761 mod 2^32`` (ties → id), fully
+    vectorized in numpy uint64 (the natural-wrap product mod 2^32
+    equals the exact product mod 2^32, since 2^32 | 2^64) and replayed
+    exactly in SQL with HUGEINT arithmetic — same
+    published-hash-family contract as the md5 sketch oracles.
+
+    Shape: stateless hash map → ONE host-hash exchange → per-partition
+    vectorized sort + cumcount head-k (hash partitioning colocates a
+    host's docs, so the cap is GLOBAL per host). Returns the kept rows
+    (id, host, smp_rank) with ``smp_rank`` in 1..k.
+    """
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        oh = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        return pa.table({
+            id_col: t[id_col], host_col: t[host_col],
+            "oh": pa.array(oh.astype(np.int64)),
+            "part": pa.array(fast_part_hash(t[host_col], n_parts))})
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([host_col, "oh", id_col])
+        rk = df.groupby(host_col).cumcount() + 1
+        out = df[rk <= k].assign(smp_rank=rk[rk <= k].astype("int64"))
+        return out[[id_col, host_col, "smp_rank"]]
+
+    return (ds.map_batches(with_hash, batch_format="pyarrow")
+            .groupby("part").map_groups(head_k, batch_format="pandas"))

@@ -153,3 +153,33 @@ def test_hits_distributed_path_parity(ray_session):
            for r in hits_scores(_edges_ds(es).repartition(4), iters=4,
                                 small_graph_edges=0).take_all()}
     assert got == want
+
+
+def test_trustrank_matches_sequential_reference(ray_session):
+    """Seed-masked teleport: integer TrustRank vs a dict reference;
+    nodes unreachable from the seeds stay exactly 0."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import trust_rank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("d", "e"), ("x", "a"), ("q", "z"), ("a", "b")]
+    seeds = ["a"]
+    scale, damping, iters = 1_000_000, 85, 5
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    deg: dict = {}
+    for u, _ in es:
+        deg[u] = deg.get(u, 0) + 1
+    base = (scale * (100 - damping)) // 100
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for u, v in es:
+            inc[v] += r[u] // deg[u]
+        r = {n: (base if n in seeds else 0) + (damping * inc[n]) // 100
+             for n in nodes}
+    got = {row["node"]: row["trust_micro"]
+           for row in trust_rank(_edges_ds(edges), seeds=seeds,
+                                 iters=iters).take_all()}
+    assert got == r
+    # q/z are unreachable from the seed -> exactly zero trust
+    assert got["q"] == got["z"] == 0 and got["a"] > 0

@@ -46,6 +46,9 @@ def entry():
     ("kg_hits", ["node"]),
     ("ta_lm_score", ["doc_id"]),
     ("ta_segment_dedup", ["doc_id"]),
+    ("kg_trustrank", ["node"]),
+    ("web_anchor_texts", ["url"]),
+    ("ta_gopher", ["doc_id"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):
@@ -261,3 +264,108 @@ def test_unigram_lm_floor_mean(ray_session):
     assert got[1]["n_tokens"] == 2 and got[1]["sum_freq"] == 5
     assert got[1]["avg_freq"] == 2
     assert got[2]["sum_freq"] == 3 + 3 + 2 + 1 and got[2]["avg_freq"] == 2
+
+
+def test_gopher_filter_bits(ray_session):
+    """Each rule trips its own bit on a crafted doc."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import gopher_filter
+
+    good = "the quick brown fox and a dog of note " + " ".join(
+        f"w{i}" for i in range(30))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array([
+            good,                                # keeps
+            "the and of a",                      # too short (bit 1)
+            "the " + " ".join(f"t{i}" for i in range(95)),  # too long
+            "the the the the the " * 5,          # low ttr + repetitive
+            " ".join(f"u{i}" for i in range(25)),  # no stopwords
+        ], pa.string())}))
+    got = {r["doc_id"]: r for r in gopher_filter(docs).take_all()}
+    assert got[0]["keep"] == 1 and got[0]["reject_mask"] == 0
+    assert got[1]["reject_mask"] & 1
+    assert got[2]["reject_mask"] & 2
+    assert got[3]["reject_mask"] & 4 and got[3]["reject_mask"] & 16
+    assert got[4]["reject_mask"] & 8 and got[4]["keep"] == 0
+
+
+def test_fact_support_fusion(ray_session):
+    """Repeated assertions collapse correctly: per-fact assertion count,
+    distinct supporting pages, lexicographic first/last source."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import fact_support
+
+    rows = [
+        ("e1", "kg:knows", "e2", "u://a"),
+        ("e1", "kg:knows", "e2", "u://a"),   # same page asserts twice
+        ("e1", "kg:knows", "e2", "u://c"),
+        ("e1", "kg:knows", "e2", "u://b"),
+        ("e3", "kg:knows", "e4", "u://z"),
+    ]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "src_url": pa.array([r[3] for r in rows])})
+    got = {(r["subj"], r["obj"]): r for r in
+           fact_support(rd.from_arrow(t).repartition(3)).take_all()}
+    f = got[("e1", "e2")]
+    assert f["n_assertions"] == 4 and f["n_pages"] == 3
+    assert f["first_src"] == "u://a" and f["last_src"] == "u://c"
+    g = got[("e3", "e4")]
+    assert g["n_assertions"] == g["n_pages"] == 1
+
+
+def test_host_cap_sample_cap_and_determinism(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import host_cap_sample
+
+    ids = list(range(100))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "host": pa.array([f"h{i % 3}" for i in ids], pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    a = sorted((r["host"], r["doc_id"], r["smp_rank"])
+               for r in host_cap_sample(ds, k=5).take_all())
+    b = sorted((r["host"], r["doc_id"], r["smp_rank"])
+               for r in host_cap_sample(ds, k=5).take_all())
+    assert a == b and len(a) == 15  # 3 hosts x cap 5, deterministic
+    per_host: dict = {}
+    for h, _, rk in a:
+        per_host.setdefault(h, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_host.values())
+    # the kept set matches the published hash order exactly
+    want = sorted(ids, key=lambda i: ((i * 2654435761) % 2**32, i))
+    kept_h0 = {i for h, i, _ in a if h == "h0"}
+    assert kept_h0 == set([i for i in want if i % 3 == 0][:5])
+
+
+def test_lm_buckets_matches_sql_ntile(sf_dir, duck, ray_session):
+    """Engine NTILE over LM scores == DuckDB NTILE on the same scores
+    (order: avg_freq ASC, doc_id ASC)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import lm_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = (lm_buckets(docs, k=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = duck.execute(r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM tk),
+v AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok),
+s AS (SELECT t.doc_id, (sum(v.n)::BIGINT // count(*)::BIGINT) AS avg_freq
+      FROM tok t JOIN v USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, avg_freq,
+       ntile(4) OVER (ORDER BY avg_freq, doc_id)::BIGINT AS tile
+FROM s ORDER BY doc_id
+""").df()
+    assert got[["doc_id", "avg_freq", "tile"]].astype("int64").equals(
+        want.astype("int64"))

@@ -104,3 +104,46 @@ def test_crawl_diff_all_four_statuses(ray_session):
     got = {r["url"]: r["status"] for r in crawl_diff(old, new).take_all()}
     assert got == {"u1": "removed", "u2": "unchanged",
                    "u3": "changed", "u4": "added"}
+
+
+def test_anchor_text_agg_tiebreak_and_counts(ray_session):
+    """Dominant anchor text per canonical target: counts aggregate
+    across pages/variants, ties break to the lexicographically
+    smallest text, unparseable hrefs drop."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import anchor_text_agg
+
+    t = "https://ex1.org/p/7"
+    html = [
+        f'<p><a href="{t}">beta</a><a href="{t}#frag">alpha</a>'
+        f'<a href="/rel">Home</a></p>',
+        f'<a class="z" href="HTTPS://EX1.ORG/p/7">alpha</a>'
+        f'<a href="https://ex2.org/q">only</a>',
+    ]
+    pages = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "html": pa.array(html, pa.string())}))
+    got = {r["url"]: r for r in anchor_text_agg(pages).take_all()}
+    assert set(got) == {t, "https://ex2.org/q"}
+    r = got[t]
+    assert r["n_refs"] == 3 and r["n_texts"] == 2
+    # alpha and beta both... alpha has 2 refs -> top by count
+    assert r["top_text"] == "alpha" and r["top_text_n"] == 2
+    assert got["https://ex2.org/q"]["top_text"] == "only"
+
+
+def test_anchor_text_agg_tie_lexicographic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import anchor_text_agg
+
+    t = "https://ex3.org/x"
+    html = [f'<a href="{t}">zz</a><a href="{t}">aa</a>']
+    pages = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "html": pa.array(html, pa.string())}))
+    r = anchor_text_agg(pages).take_all()[0]
+    assert (r["top_text"], r["top_text_n"], r["n_refs"]) == ("aa", 1, 2)

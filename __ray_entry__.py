@@ -586,6 +586,44 @@ def _q_ta_gopher(sf_dir: str):
     return gopher_filter(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_kg_fact_support(sf_dir: str):
+    """Knowledge-fusion support aggregation: per distinct fact, total
+    assertions + distinct supporting pages + first/last source url."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import fact_support
+
+    return fact_support(_q_kg_fact_quads(sf_dir))
+
+
+def _q_web_host_cap(sf_dir: str):
+    """Domain-balanced sampling cap: keep ≤5 docs per host under the
+    deterministic Knuth-hash order (host = the synthetic ex{N}.org
+    page mapping shared with the web quality/anchor queries)."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import host_cap_sample
+
+    def with_host(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.char.add(np.char.add("ex", (ids % 20).astype("U")), ".org")
+        return pa.table({"doc_id": t["doc_id"],
+                         "host": pa.array(h.tolist(), pa.string())})
+
+    return host_cap_sample(
+        _docs(sf_dir, ["doc_id"]).map_batches(with_host,
+                                              batch_format="pyarrow"),
+        k=5)
+
+
+def _q_ta_lm_buckets(sf_dir: str):
+    """NTILE(4) quantile buckets over the unigram-LM commonness score
+    (the CCNet head/middle/tail mixing split)."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import lm_buckets
+
+    return lm_buckets(_docs(sf_dir, ["doc_id", "text"]), k=4)
+
+
 def _q_web_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution by pointer doubling: per 10-id block,
     ids p=0..6 chain to the next id (terminal at p=7), ids 8↔9 form a
@@ -1954,6 +1992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_trustrank": _q_kg_trustrank,
         "web_anchor_texts": _q_web_anchor_texts,
         "ta_gopher": _q_ta_gopher,
+        "kg_fact_support": _q_kg_fact_support,
+        "web_host_cap": _q_web_host_cap,
+        "ta_lm_buckets": _q_ta_lm_buckets,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2445,6 +2486,43 @@ FROM events GROUP BY user_id
         "kg_trustrank": _trustrank_sql(),
         # ta_gopher / web_anchor_texts are assembled below (they
         # compose other replays in this dict)
+        # kg_fact_support: knowledge-fusion aggregation over the
+        # fact-quad replay (pipelines/kg.fact_support)
+        "kg_fact_support": (
+            _U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """
+SELECT subj, pred, obj, count(*)::BIGINT AS n_assertions,
+       count(DISTINCT src_url)::BIGINT AS n_pages,
+       min(src_url) AS first_src, max(src_url) AS last_src
+FROM f GROUP BY 1, 2, 3
+"""),
+        # web_host_cap: the Knuth multiplicative-hash order replayed in
+        # HUGEINT (stages/web.host_cap_sample contract)
+        "web_host_cap": """
+WITH h AS (
+  SELECT doc_id, 'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+         ((doc_id % 4294967296)::HUGEINT * 2654435761)
+             % 4294967296 AS oh
+  FROM documents),
+r AS (SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY oh, doc_id)::BIGINT AS smp_rank
+      FROM h)
+SELECT doc_id, host, smp_rank FROM r WHERE smp_rank <= 5
+""",
+        # ta_lm_buckets: NTILE(4) over the ta_lm_score replay
+        # (order avg_freq ASC, doc_id ASC — unique, deterministic)
+        "ta_lm_buckets": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM tk),
+v AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok),
+s AS (SELECT t.doc_id, (sum(v.n)::BIGINT // count(*)::BIGINT) AS avg_freq
+      FROM tok t JOIN v USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, avg_freq,
+       ntile(4) OVER (ORDER BY avg_freq, doc_id)::BIGINT AS tile
+FROM s
+""",
         # ta_lm_score: corpus unigram frequencies joined back onto every
         # token occurrence; integer floor-mean mirrors the Ray side.
         "ta_lm_score": r"""

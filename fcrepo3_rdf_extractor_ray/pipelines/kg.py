@@ -437,3 +437,54 @@ def entity_profile(pages_ds, n_parts: int | None = None):
                 pd.Series(norms, index=norms)).to_numpy()})
 
     return union.groupby("part").map_groups(assemble, batch_format="pandas")
+
+
+def fact_support(facts_ds, n_parts: int | None = None):
+    """KNOWLEDGE FUSION support aggregation: per distinct fact
+    (subj, pred, obj), how strongly the corpus supports it — total
+    assertions, distinct supporting pages, and the lexicographic
+    first/last source url. The confidence input every KB-construction
+    triage step consumes (single-page facts are extraction-noise
+    candidates; multi-page facts promote into the KB). The reference
+    emits each assertion independently (one triple per relation,
+    ObjectProcessor.java:256-270) — fusing them is the step after.
+
+    Shape: per-batch combiner collapses repeated (fact, src_url)
+    assertions before the wire → ONE fact-hash exchange → per-partition
+    vectorized groupby (hash partitioning colocates every assertion of
+    a fact, so counts/min/max are GLOBAL). Returns (subj, pred, obj,
+    n_assertions, n_pages, first_src, last_src).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (pa.table({"subj": t["subj"], "pred": t["pred"],
+                       "obj": t["obj"], "src_url": t["src_url"],
+                       "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+             .group_by(["subj", "pred", "obj", "src_url"])
+             .aggregate([("n", "sum")]))
+        g = g.rename_columns(["subj", "pred", "obj", "src_url", "n"])
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(g["subj"], g["pred"], g["obj"],
+                                          "\x1f")
+        return g.append_column("part", pa.array(fast_part_hash(key,
+                                                               n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["subj", "pred", "obj"], as_index=False)
+               .agg(n_assertions=("n", "sum"),
+                    n_pages=("src_url", "nunique"),
+                    first_src=("src_url", "min"),
+                    last_src=("src_url", "max")))
+        for c in ("n_assertions", "n_pages"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (facts_ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))

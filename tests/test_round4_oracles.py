@@ -49,6 +49,9 @@ def entry():
     ("kg_trustrank", ["node"]),
     ("web_anchor_texts", ["url"]),
     ("ta_gopher", ["doc_id"]),
+    ("kg_fact_support", ["subj", "pred", "obj"]),
+    ("web_host_cap", ["doc_id"]),
+    ("ta_lm_buckets", ["doc_id"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

@@ -624,6 +624,52 @@ def _q_ta_lm_buckets(sf_dir: str):
     return lm_buckets(_docs(sf_dir, ["doc_id", "text"]), k=4)
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic graph-walk corpus (node2vec/DeepWalk ingest) over
+    the entity graph: one 4-step walk per node, md5-seeded next hop;
+    oracle = unrolled walk CTEs over the sorted adjacency lists."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import deterministic_walks
+
+    facts = _q_kg_fact_quads(sf_dir)
+    edges = facts.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return deterministic_walks(edges, length=4)
+
+
+def _q_prep_mix_report(sf_dir: str):
+    """Training-mix report: per (host, LM tile) doc counts and Gopher
+    keep counts — the mixing-weights input table."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import mix_report
+
+    return mix_report(sf_dir, k=4)
+
+
+def _walks_sql(length: int = 4) -> str:
+    """Unrolled deterministic-walk oracle: at step i the walk started
+    at s picks sorted-neighbor index md5_60(s||'|'||i) mod out-degree
+    (stages/graph.deterministic_walks rule, md5_hash60 family). Each
+    w{k} references w{k-1} once; the final union fans out O(L^2)
+    subplans — fine at L=4 (see the CTE-inlining note on _hits_sql)."""
+    sql = (_U_CTE
+           + ", f AS (" + _FACT_QUADS_SQL + ")"
+           + ", e AS (SELECT DISTINCT subj, obj FROM f)"
+           + ", nodes AS (SELECT DISTINCT node FROM ("
+           "SELECT subj AS node FROM e UNION ALL SELECT obj FROM e) n0)"
+           + ", adj AS (SELECT subj, list(obj ORDER BY obj) AS ns, "
+           "count(*)::BIGINT AS d FROM e GROUP BY subj)"
+           + ", w0 AS (SELECT node AS start, node AS cur FROM nodes)")
+    for k in range(1, length + 1):
+        sql += f""",
+w{k} AS (
+  SELECT w.start,
+         a.ns[(CAST('0x' || substring(md5(w.start || '|{k - 1}'), 1, 15)
+               AS BIGINT) % a.d) + 1] AS cur
+  FROM w{k - 1} w JOIN adj a ON w.cur = a.subj)"""
+    parts = [f"SELECT start, {k}::BIGINT AS step, cur AS node FROM w{k}"
+             for k in range(length + 1)]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def _q_web_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution by pointer doubling: per 10-id block,
     ids p=0..6 chain to the next id (terminal at p=7), ids 8↔9 form a
@@ -1995,6 +2041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_support": _q_kg_fact_support,
         "web_host_cap": _q_web_host_cap,
         "ta_lm_buckets": _q_ta_lm_buckets,
+        "kg_walks": _q_kg_walks,
+        "prep_mix_report": _q_prep_mix_report,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2523,6 +2571,7 @@ SELECT doc_id, avg_freq,
        ntile(4) OVER (ORDER BY avg_freq, doc_id)::BIGINT AS tile
 FROM s
 """,
+        "kg_walks": _walks_sql(),
         # ta_lm_score: corpus unigram frequencies joined back onto every
         # token occurrence; integer floor-mean mirrors the Ray side.
         "ta_lm_score": r"""
@@ -4067,5 +4116,15 @@ tops AS (SELECT url, txt AS top_text, n AS top_text_n,
          FROM base)
 SELECT t.url, t.n_refs, t.n_texts, p.top_text, p.top_text_n
 FROM tot t JOIN tops p ON t.url = p.url AND p.rn = 1
+""")
+    # prep_mix_report: LM-tile × Gopher-keep per host, composed from
+    # the two replays above (nested WITH inside a CTE body is fine)
+    d["prep_mix_report"] = (
+        "WITH tb AS (" + d["ta_lm_buckets"] + "),\ngp AS ("
+        + d["ta_gopher"] + """)
+SELECT 'ex' || (t.doc_id % 20)::VARCHAR || '.org' AS host, t.tile,
+       count(*)::BIGINT AS n_docs, sum(g.keep)::BIGINT AS n_keep
+FROM tb t JOIN gp g USING (doc_id)
+GROUP BY 1, 2
 """)
     return d

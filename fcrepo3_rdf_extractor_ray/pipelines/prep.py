@@ -162,3 +162,78 @@ def corpus_report(sf_dir: str):
         "mean_chars_micro": pd.array(
             [(1_000_000 * agg["sum(n_chars)"]) // n_docs], dtype="int64"),
     })
+
+
+def mix_report(sf_dir: str, k: int = 4, n_parts: int | None = None):
+    """TRAINING-MIX REPORT: what the corpus looks like after the
+    quality gate, per (host, LM-quality tile) cell — the table a data
+    engineer reads before setting mixing weights (which domains
+    dominate which quality band, and how much the Gopher gate removes
+    from each). Composes `gopher_filter` (keep/drop verdict) with
+    `lm_buckets` (NTILE over the unigram-LM commonness score) and the
+    corpus host mapping.
+
+    Shape: the two per-doc signal Datasets and the host map are merged
+    by ONE doc-hash co-partition exchange (tagged union + groupby —
+    no join operator), then reduced by ONE (host, tile) exchange with
+    a per-batch combiner. Returns (host, tile, n_docs, n_keep).
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    from ..stages.text_analysis import gopher_filter, lm_buckets
+    n_parts = n_parts or default_parts(1.0)
+    import os
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def tag(col_from, col_as, kind):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow as pa
+
+            ids = t["doc_id"]
+            return pa.table({
+                "doc_id": ids,
+                "val": pa.Array.from_pandas(
+                    t[col_from].to_pandas().astype("int64"))
+                if col_from else pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(np.full(t.num_rows, kind, np.int8)),
+                "part": pa.array(fast_part_hash(ids, n_parts))})
+        return fn
+
+    tiles = lm_buckets(docs, k=k).map_batches(
+        tag("tile", "tile", 0), batch_format="pyarrow")
+    keeps = gopher_filter(docs).map_batches(
+        tag("keep", "keep", 1), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="doc_id", columns="kind", values="val",
+                           aggfunc="first")
+        # token-less docs have no LM tile — inner-join semantics
+        p = p.dropna()
+        out = pd.DataFrame({
+            "doc_id": p.index.to_numpy(),
+            "tile": p[0].astype("int64").to_numpy(),
+            "keep": p[1].astype("int64").to_numpy()})
+        ids = out["doc_id"].to_numpy()
+        out["host"] = np.char.add(
+            np.char.add("ex", (ids % 20).astype("U")), ".org")
+        g = (out.groupby(["host", "tile"], as_index=False)
+             .agg(n_docs=("keep", "size"), n_keep=("keep", "sum")))
+        g["part"] = fast_part_hash(g["host"], n_parts)
+        for c in ("n_docs", "n_keep"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["host", "tile"], as_index=False)
+             [["n_docs", "n_keep"]].sum())
+        for c in ("n_docs", "n_keep"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (tiles.union(keeps)
+            .groupby("part").map_groups(merge, batch_format="pandas")
+            .groupby("part").map_groups(final, batch_format="pandas"))

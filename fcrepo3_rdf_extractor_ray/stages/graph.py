@@ -2083,3 +2083,158 @@ def trust_rank(edges_ds, seeds, iters: int = 5, damping_pct: int = 85,
             new_ranks, pa.schema([("node", pa.string()),
                                   ("r", pa.int64())]))
     return rd.from_arrow(rank_tbl.rename_columns(["node", "trust_micro"]))
+
+
+def deterministic_walks(edges_ds, length: int = 4,
+                        n_parts: int | None = None,
+                        broadcast_max_edges: int = 2_000_000):
+    """GRAPH-WALK CORPUS generation (the node2vec/DeepWalk ingest:
+    random walks become training sentences for graph embeddings) with a
+    DETERMINISTIC next-hop rule so the DuckDB oracle replays exactly:
+    at step i, a walk started at ``s`` standing on ``u`` moves to
+
+        ns(u)[ md5_60(s + '|' + str(i)) % d(u) ]
+
+    where ``ns(u)`` is u's SORTED out-neighbor list and ``d(u)`` its
+    out-degree (functions/hashing.md5_hash60 — the engine's published
+    SQL-replayable hash family). One walk starts at every node; walks
+    stop early at sinks. Returns (start, step, node), step 0..length.
+
+    Shape: ``length`` rounds. At or below ``broadcast_max_edges`` the
+    adjacency (CSR-style numpy triple: sorted subj array, offsets, flat
+    sorted neighbors) ships ONCE via ``ray.put`` and every round is a
+    stateless map over the walk Dataset (#nodes rows, materialized per
+    round — no loop-carried lineage). Above it, each round is ONE
+    co-partition exchange: walks keyed by hash(cur) union the edge set
+    keyed by hash(subj), with the nth-smallest-neighbor selection done
+    vectorized per partition (sort + prefix offsets). The md5 runs once
+    per (walk, step) — not per edge. Per-walk-step md5 is the same
+    published-contract loop as ta_split's content addressing.
+    """
+    from ..functions.hashing import fast_part_hash, md5_hash60
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import ray.data as rd
+
+    edges = _distinct(edges_ds, ["subj", "obj"]).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [c.combine_chunks() for c in (t["subj"], t["obj"])])})
+
+    nodes = _distinct(edges.map_batches(both_ends, batch_format="pyarrow"),
+                      ["node"]).materialize()
+
+    outs = [nodes.map_batches(
+        lambda t: pa.table({
+            "start": t["node"],
+            "step": pa.array(np.zeros(t.num_rows, np.int64)),
+            "node": t["node"]}),
+        batch_format="pyarrow")]
+
+    def pick_next(starts, curs, step, subj_sorted, offsets, flat_obj):
+        """Vectorized next-hop for walk rows (md5 once per row)."""
+        if not len(subj_sorted) or not len(curs):
+            empty = np.array([], dtype=object)
+            return empty, empty
+        idx = np.searchsorted(subj_sorted, curs)
+        idx = np.clip(idx, 0, len(subj_sorted) - 1)
+        alive = subj_sorted[idx] == curs  # cur has out-edges
+        starts, idx = starts[alive], idx[alive]
+        d = offsets[idx + 1] - offsets[idx]
+        h = np.fromiter((md5_hash60(f"{s}|{step}") for s in starts),
+                        dtype=np.int64, count=len(starts))
+        nxt = flat_obj[offsets[idx] + (h % d)]
+        return starts, nxt
+
+    if edges.count() <= broadcast_max_edges:
+        et = _collect_table(edges, pa.schema([("subj", pa.string()),
+                                              ("obj", pa.string())]))
+        subj = et["subj"].to_numpy(zero_copy_only=False)
+        obj = et["obj"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((obj, subj))
+        subj, obj = subj[order], obj[order]
+        subj_sorted, starts_idx = np.unique(subj, return_index=True)
+        offsets = np.append(starts_idx, len(subj))
+        adj_ref = ray.put((subj_sorted, offsets, obj))
+
+        state = nodes.map_batches(
+            lambda t: pa.table({"start": t["node"], "cur": t["node"]}),
+            batch_format="pyarrow").materialize()
+        for i in range(length):
+            def step_fn(t: pa.Table, _i=i) -> pa.Table:
+                ss, oo, ff = ray.get(adj_ref)
+                starts = t["start"].to_numpy(zero_copy_only=False)
+                curs = t["cur"].to_numpy(zero_copy_only=False)
+                s2, nxt = pick_next(starts, curs, _i, ss, oo, ff)
+                return pa.table({"start": pa.array(s2.tolist(),
+                                                   pa.string()),
+                                 "cur": pa.array(nxt.tolist(),
+                                                 pa.string())})
+
+            state = state.map_batches(step_fn,
+                                      batch_format="pyarrow").materialize()
+            outs.append(state.map_batches(
+                lambda t, _i=i: pa.table({
+                    "start": t["start"],
+                    "step": pa.array(np.full(t.num_rows, _i + 1,
+                                             np.int64)),
+                    "node": t["cur"]}),
+                batch_format="pyarrow"))
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.union(o)
+        return res
+
+    # co-partitioned mode: edges keyed by hash(subj) once; each round
+    # unions the walk frontier (keyed by hash(cur)) with the edge set
+    # and resolves next hops inside the partition
+    adj = edges.map_batches(
+        lambda t: pa.table({
+            "subj": t["subj"], "obj": t["obj"],
+            "start": pa.nulls(t.num_rows, pa.string()),
+            "part": _part_of(t["subj"], n_parts)}),
+        batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda t: pa.table({"start": t["node"], "cur": t["node"]}),
+        batch_format="pyarrow").materialize()
+    for i in range(length):
+        frontier = state.map_batches(
+            lambda t: pa.table({
+                "subj": t["cur"],
+                "obj": pa.nulls(t.num_rows, pa.string()),
+                "start": t["start"],
+                "part": _part_of(t["cur"], n_parts)}),
+            batch_format="pyarrow")
+
+        def local_step(df, _i=i):
+            import pandas as pd
+
+            e = df[df["obj"].notna()].sort_values(["subj", "obj"])
+            w = df[df["obj"].isna()]
+            if not len(e) or not len(w):
+                return pd.DataFrame({"start": [], "cur": []})
+            subj_sorted, starts_idx = np.unique(
+                e["subj"].to_numpy(), return_index=True)
+            offsets = np.append(starts_idx, len(e))
+            s2, nxt = pick_next(w["start"].to_numpy(),
+                                w["subj"].to_numpy(), _i,
+                                subj_sorted, offsets,
+                                e["obj"].to_numpy())
+            return pd.DataFrame({"start": s2, "cur": nxt})
+
+        state = (frontier.union(adj)
+                 .groupby("part")
+                 .map_groups(local_step, batch_format="pandas")
+                 .repartition(n_parts).materialize())
+        outs.append(state.map_batches(
+            lambda t, _i=i: pa.table({
+                "start": t["start"],
+                "step": pa.array(np.full(t.num_rows, _i + 1, np.int64)),
+                "node": t["cur"]}),
+            batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

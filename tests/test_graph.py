@@ -183,3 +183,42 @@ def test_trustrank_matches_sequential_reference(ray_session):
     assert got == r
     # q/z are unreachable from the seed -> exactly zero trust
     assert got["q"] == got["z"] == 0 and got["a"] > 0
+
+
+def _seq_walks(edges, length=4):
+    from fcrepo3_rdf_extractor_ray.functions.hashing import md5_hash60
+
+    es = sorted(set(edges))
+    adj: dict = {}
+    for u, v in es:
+        adj.setdefault(u, []).append(v)
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    rows = set()
+    for s in nodes:
+        cur = s
+        rows.add((s, 0, s))
+        for i in range(length):
+            ns = adj.get(cur)
+            if not ns:
+                break
+            cur = sorted(ns)[md5_hash60(f"{s}|{i}") % len(ns)]
+            rows.add((s, i + 1, cur))
+    return rows
+
+
+def test_deterministic_walks_both_modes(ray_session):
+    """Broadcast-CSR and co-partitioned modes both equal the sequential
+    md5-next-hop reference, including early stops at sinks."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import deterministic_walks
+
+    rng = np.random.default_rng(9)
+    es = [(f"n{int(a)}", f"n{int(b)}")
+          for a, b in rng.integers(0, 25, size=(60, 2)) if a != b]
+    es += [("n0", "sink"), ("iso_src", "n1")]
+    want = _seq_walks(es, length=4)
+    for kw in ({"broadcast_max_edges": 10_000},
+               {"broadcast_max_edges": 0, "n_parts": 3}):
+        got = {(r["start"], r["step"], r["node"])
+               for r in deterministic_walks(_edges_ds(es).repartition(4),
+                                            length=4, **kw).take_all()}
+        assert got == want, kw

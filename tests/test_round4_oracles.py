@@ -52,6 +52,8 @@ def entry():
     ("kg_fact_support", ["subj", "pred", "obj"]),
     ("web_host_cap", ["doc_id"]),
     ("ta_lm_buckets", ["doc_id"]),
+    ("kg_walks", ["start", "step"]),
+    ("prep_mix_report", ["host", "tile"]),
 ])
 def test_round4_new_ops_oracle_exact(entry, sf_dir, duck, ray_session,
                                      name, sort_cols):

@@ -869,37 +869,48 @@ def _q_kg_kcore(sf_dir: str):
     return kcore_nodes(_q_kg_cooccurrence(sf_dir), k=2, max_rounds=20)
 
 
-def _q_web_dedup_canon(sf_dir: str):
-    """Crawl dedup by canonical url: the messy generator maps PAIRS of
-    docs (doc_id // 2) onto the same base address through different
-    surface forms (fragment / port / trailing slash / tracking
-    params), so canonicalization is what actually merges them; keep
-    the min doc_id per canonical url."""
+def _messy_urls_batch(t):
+    """Deterministic messy-url corpus: PAIRS of docs (doc_id // 2)
+    share one base address through different surface forms (fragment /
+    port / trailing slash / tracking params), so canonicalization is
+    what actually merges them. Keeps any extra input columns."""
     import numpy as np
     import pyarrow as pa
 
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = d // 2  # two docs share each base address
+    m = (b % 20).astype("U")
+    i = b.astype("U")
+    base = np.char.add(np.char.add(np.char.add(
+        "https://ex", m), ".org/p/"), i)
+    v = d % 4
+    u = base.copy()
+    u = np.where(v == 1, np.char.add(base, "/#top"), u)
+    u = np.where(v == 2, np.char.add(base, "?utm_ref=a"), u)
+    u = np.where(v == 3, np.char.add(np.char.add(np.char.add(
+        np.char.add("HTTPS://EX", m), ".ORG:443/p/"), i), "#x"), u)
+    return t.append_column("url", pa.array(u.tolist(), pa.string()))
+
+
+def _q_web_dedup_canon(sf_dir: str):
+    """Crawl dedup by canonical url over the messy-url corpus; keep
+    the min doc_id per canonical url."""
     from fcrepo3_rdf_extractor_ray.stages.web import dedup_by_canonical_url
 
-    def messy(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = d // 2  # two docs share each base address
-        m = (b % 20).astype("U")
-        i = b.astype("U")
-        base = np.char.add(np.char.add(np.char.add(
-            "https://ex", m), ".org/p/"), i)
-        v = d % 4
-        u = base.copy()
-        u = np.where(v == 1, np.char.add(base, "/#top"), u)
-        u = np.where(v == 2, np.char.add(base, "?utm_ref=a"), u)
-        u = np.where(v == 3, np.char.add(np.char.add(np.char.add(
-            np.char.add("HTTPS://EX", m), ".ORG:443/p/"), i), "#x"), u)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "url": pa.array(u.tolist(), pa.string()),
-        })
-
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(messy, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_urls_batch,
+                                               batch_format="pyarrow")
     return dedup_by_canonical_url(ds)
+
+
+def _q_web_corpus_prep(sf_dir: str):
+    """End-to-end web training-corpus prep: canonical-url crawl dedup →
+    Gopher quality gate on the winners → per-host sampling cap (k=5),
+    over the messy-url corpus carrying the real document texts."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import web_corpus_prep
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _messy_urls_batch, batch_format="pyarrow")
+    return web_corpus_prep(ds, k=5)
 
 
 def _q_ta_split(sf_dir: str):
@@ -2043,6 +2054,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lm_buckets": _q_ta_lm_buckets,
         "kg_walks": _q_kg_walks,
         "prep_mix_report": _q_prep_mix_report,
+        # position 51 — outside this round's 50-entry driver window
+        # (pytest + independent sf0.01 sweep cover it); round-5
+        # rotation: move to the FRONT of this dict
+        "web_corpus_prep": _q_web_corpus_prep,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4126,5 +4141,23 @@ SELECT 'ex' || (t.doc_id % 20)::VARCHAR || '.org' AS host, t.tile,
        count(*)::BIGINT AS n_docs, sum(g.keep)::BIGINT AS n_keep
 FROM tb t JOIN gp g USING (doc_id)
 GROUP BY 1, 2
+""")
+    # web_corpus_prep: canonical-url dedup winners ∩ Gopher keeps, then
+    # the per-host Knuth-hash cap — the three replays chained
+    d["web_corpus_prep"] = (
+        "WITH wd AS (" + d["web_dedup_canon"] + "),\ngp AS ("
+        + d["ta_gopher"] + """),
+sv AS (SELECT wd.url_canon, wd.doc_id
+       FROM wd JOIN gp USING (doc_id) WHERE gp.keep = 1),
+h AS (SELECT doc_id,
+             regexp_extract(url_canon, '^https?://([^/?#]+)', 1) AS host,
+             ((doc_id % 4294967296)::HUGEINT * 2654435761)
+                 % 4294967296 AS oh
+      FROM sv),
+r AS (SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY oh, doc_id)::BIGINT AS smp_rank
+      FROM h)
+SELECT doc_id, host, smp_rank FROM r WHERE smp_rank <= 5
 """)
     return d

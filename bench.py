@@ -176,7 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_outlink_stats", "kg_hits", "ta_lm_score",
                  "ta_segment_dedup", "kg_trustrank", "web_anchor_texts",
                  "ta_gopher", "kg_fact_support", "web_host_cap",
-                 "ta_lm_buckets", "kg_walks", "prep_mix_report"):
+                 "ta_lm_buckets", "kg_walks", "prep_mix_report",
+                 "web_corpus_prep"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -237,3 +237,91 @@ def mix_report(sf_dir: str, k: int = 4, n_parts: int | None = None):
     return (tiles.union(keeps)
             .groupby("part").map_groups(merge, batch_format="pandas")
             .groupby("part").map_groups(final, batch_format="pandas"))
+
+
+def web_corpus_prep(docs_ds, k: int = 5, n_parts: int | None = None):
+    """END-TO-END WEB TRAINING-CORPUS PREP over (doc_id, url, text):
+    canonical-url crawl dedup (keep min doc per canonical address) →
+    Gopher composite quality gate on the survivors → domain-balanced
+    per-host cap — the three filters every web-corpus recipe chains,
+    as ONE pipeline a user can actually run. Returns the final kept
+    docs (doc_id, host, smp_rank).
+
+    Shape: `dedup_by_canonical_url` (stateless canon + one url-hash
+    exchange) → ONE doc-hash co-partition exchange merging winners with
+    their text (tagged union + groupby, no join operator) → stateless
+    `gopher_filter` verdict on the merged rows → host extract (Arrow
+    regex) → `host_cap_sample` (one host-hash exchange). Four
+    exchanges total, all key-partitioned; nothing driver-side.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    from ..stages.text_analysis import gopher_filter
+    from ..stages.web import dedup_by_canonical_url, host_cap_sample
+    n_parts = n_parts or default_parts(1.0)
+
+    winners = dedup_by_canonical_url(
+        docs_ds.map_batches(lambda t: t.select(["doc_id", "url"]),
+                            batch_format="pyarrow"))
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url_canon": t["url_canon"],
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "part": pa.array(fast_part_hash(t["doc_id"], n_parts))})
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url_canon": pa.nulls(t.num_rows, pa.string()),
+            "text": t["text"],
+            "part": pa.array(fast_part_hash(t["doc_id"], n_parts))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["url_canon"].notna()][["doc_id", "url_canon"]]
+        tx = df[df["text"].notna()][["doc_id", "text"]]
+        return w.merge(tx, on="doc_id")  # winners only (semi-join)
+
+    merged = (winners.map_batches(tag_winner, batch_format="pyarrow")
+              .union(docs_ds.map_batches(
+                  lambda t: t.select(["doc_id", "text"]),
+                  batch_format="pyarrow")
+                  .map_batches(tag_text, batch_format="pyarrow"))
+              .groupby("part").map_groups(merge, batch_format="pandas")
+              .materialize())
+
+    verdict = gopher_filter(merged)
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["keep"], 1))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url_canon": pa.nulls(t.num_rows, pa.string()),
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "part": pa.array(fast_part_hash(t["doc_id"], n_parts))})
+
+    def keep_merge(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["url_canon"].isna() & df["text"].isna()]["doc_id"]
+        w = df[df["url_canon"].notna()]
+        return w[w["doc_id"].isin(set(kept))][["doc_id", "url_canon"]]
+
+    survivors = (verdict.map_batches(tag_keep, batch_format="pyarrow")
+                 .union(merged.map_batches(
+                     lambda t: t.append_column(
+                         "part", pa.array(fast_part_hash(t["doc_id"],
+                                                         n_parts))),
+                     batch_format="pyarrow"))
+                 .groupby("part").map_groups(keep_merge,
+                                             batch_format="pandas"))
+
+    def with_host(t: pa.Table) -> pa.Table:
+        h = pc.struct_field(
+            pc.extract_regex(t["url_canon"], r"^https?://(?P<h>[^/?#]+)"),
+            "h")
+        return pa.table({"doc_id": t["doc_id"], "host": h})
+
+    return host_cap_sample(
+        survivors.map_batches(with_host, batch_format="pyarrow"), k=k)

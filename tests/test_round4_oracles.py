@@ -374,3 +374,22 @@ FROM s ORDER BY doc_id
 """).df()
     assert got[["doc_id", "avg_freq", "tile"]].astype("int64").equals(
         want.astype("int64"))
+
+
+def test_web_corpus_prep_oracle_exact(entry, sf_dir, duck, ray_session):
+    """End-to-end prep composite (canon dedup → Gopher gate → host cap)
+    vs the chained SQL replays."""
+    _compare(entry.queries()["web_corpus_prep"](sf_dir), duck,
+             entry.oracle_sql()["web_corpus_prep"], ["doc_id"])
+
+
+def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
+    """Composite survivors ⊆ dedup winners ∩ gopher keeps, with ≤5 docs
+    per host."""
+    kept = entry.queries()["web_corpus_prep"](sf_dir).to_pandas()
+    winners = set(entry.queries()["web_dedup_canon"](sf_dir)
+                  .to_pandas()["doc_id"])
+    keeps = entry.queries()["ta_gopher"](sf_dir).to_pandas()
+    keep_ids = set(keeps.loc[keeps["keep"] == 1, "doc_id"])
+    assert set(kept["doc_id"]) <= (winners & keep_ids)
+    assert kept.groupby("host").size().max() <= 5

@@ -234,8 +234,12 @@ def mix_report(sf_dir: str, k: int = 4, n_parts: int | None = None):
             g[c] = g[c].astype("int64")
         return g
 
-    return (tiles.union(keeps)
+    # repartition BEFORE each exchange: union doubles the block count
+    # and the sort-shuffle inherits it (128 tiny map+reduce tasks);
+    # coalescing to n_parts first quarters the task fan-out.
+    return (tiles.union(keeps).repartition(n_parts)
             .groupby("part").map_groups(merge, batch_format="pandas")
+            .repartition(min(n_parts, 8))
             .groupby("part").map_groups(final, batch_format="pandas"))
 
 

@@ -1084,6 +1084,7 @@ def unigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
         return g.rename_columns(["token", "n"])
 
     vocab_ds = (docs_ds.map_batches(combine, batch_format="pandas")
+                .repartition(n_parts)  # coalesce before the exchange
                 .groupby("part").map_groups(part_sum,
                                             batch_format="pyarrow"))
     vocab = pa.Table.from_pandas(vocab_ds.to_pandas(),
@@ -1279,8 +1280,10 @@ def lm_buckets(docs_ds, k: int = 4, text_col="text", id_col="doc_id",
         return pa.table({id_col: t[id_col], "avg_freq": t["avg_freq"],
                          "bucket": pa.array(b.astype(np.int64))})
 
-    bucketed = (scores.map_batches(bucketize, batch_format="pyarrow")
-                .materialize())
+    # NOT materialized: bucketize is a stateless numpy map over the
+    # already-materialized scores — recomputing it for the count pass
+    # and the rank pass is cheaper than a third materialize round.
+    bucketed = scores.map_batches(bucketize, batch_format="pyarrow")
 
     def count_part(t: pa.Table) -> pa.Table:
         g = pa.table({"bucket": t["bucket"],

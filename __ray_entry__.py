@@ -913,6 +913,43 @@ def _q_web_corpus_prep(sf_dir: str):
     return web_corpus_prep(ds, k=5)
 
 
+def _q_kg_entity_lift(sf_dir: str):
+    """Entity co-mention lift (integer PMI analog): how much more often
+    two entities share a page than independence predicts."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.ner import (detect_mentions,
+                                                      mention_lift)
+
+    return mention_lift(detect_mentions(pages_for_sf(sf_dir)))
+
+
+def _q_kg_fact_current(sf_dir: str):
+    """Temporal KG snapshot: the most recently fetched assertion per
+    (subject, predicate) slot, with its fetch time and source url."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (current_facts,
+                                                        pages_for_sf)
+
+    return current_facts(_q_kg_fact_quads(sf_dir), pages_for_sf(sf_dir))
+
+
+def _q_web_template(sf_dir: str):
+    """Per-host template-shingle (boilerplate) profile over the
+    documents table with the standard host mapping (doc_id % 20)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import template_shingles
+
+    def with_host(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.char.add(np.char.add("ex", (ids % 20).astype("U")), ".org")
+        return t.append_column("host", pa.array(h.tolist(), pa.string()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_host, batch_format="pyarrow")
+    return template_shingles(ds, w=3, pct=8)
+
+
 def _q_ta_split(sf_dir: str):
     """Content-addressed train/val/test split (md5-bucketed, stable
     under re-ingestion); the oracle replays the bucket hash exactly."""
@@ -2054,10 +2091,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lm_buckets": _q_ta_lm_buckets,
         "kg_walks": _q_kg_walks,
         "prep_mix_report": _q_prep_mix_report,
-        # position 51 — outside this round's 50-entry driver window
-        # (pytest + independent sf0.01 sweep cover it); round-5
-        # rotation: move to the FRONT of this dict
+        # positions 51+ — outside this round's 50-entry driver window
+        # (pytest + independent sf0.01 sweep cover them); round-5
+        # rotation: move these to the FRONT of this dict
         "web_corpus_prep": _q_web_corpus_prep,
+        "kg_entity_lift": _q_kg_entity_lift,
+        "kg_fact_current": _q_kg_fact_current,
+        "web_template": _q_web_template,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4160,4 +4200,63 @@ r AS (SELECT doc_id, host,
       FROM h)
 SELECT doc_id, host, smp_rank FROM r WHERE smp_rank <= 5
 """)
+    # kg_entity_lift: lift_micro = 10^6·n_ab·N // (n_a·n_b), all BIGINT
+    d["kg_entity_lift"] = (
+        _U_CTE
+        + ", m AS (" + _MENTIONS_SQL + ")"
+        + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+nf AS (SELECT norm, count(*)::BIGINT AS n FROM d GROUP BY norm),
+tot AS (SELECT count(DISTINCT src_url)::BIGINT AS n FROM d),
+p AS (SELECT a.norm AS norm_a, b.norm AS norm_b,
+             count(*)::BIGINT AS n_pages
+      FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm
+      GROUP BY 1, 2)
+SELECT p.norm_a, p.norm_b, p.n_pages,
+       ((1000000 * p.n_pages * tot.n) // (fa.n * fb.n))::BIGINT
+           AS lift_micro
+FROM p
+JOIN nf fa ON fa.norm = p.norm_a
+JOIN nf fb ON fb.norm = p.norm_b
+CROSS JOIN tot
+""")
+    # kg_fact_current: latest assertion per (subj, pred) by fetch time
+    d["kg_fact_current"] = (
+        _U_CTE
+        + ", f AS (" + _FACT_QUADS_SQL + ")"
+        + """,
+uts AS (SELECT url, make_timestamp(1700000000000000
+                                   + doc_id * 86400000000) AS wts
+        FROM u),
+r AS (SELECT f.subj, f.pred, f.obj, uts.wts AS last_ts, f.src_url,
+             row_number() OVER (
+                 PARTITION BY f.subj, f.pred
+                 ORDER BY uts.wts DESC, f.src_url DESC, f.obj DESC) AS rn
+      FROM f JOIN uts ON uts.url = f.src_url)
+SELECT subj, pred, obj, last_ts, src_url FROM r WHERE rn = 1
+""")
+    # web_template: w=3 shingles; template iff df·100 ≥ 8·host_docs and
+    # df ≥ 2 (a shingle unique to one doc is never template)
+    d["web_template"] = r"""
+WITH t AS (SELECT doc_id,
+                  'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '') AS l
+           FROM documents),
+hd AS (SELECT host, count(*)::BIGINT AS n_docs FROM t GROUP BY host),
+s AS (SELECT DISTINCT doc_id, host,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+      FROM t, unnest(range(1, len(l) - 1)) AS r(i)
+      WHERE len(l) >= 3),
+df AS (SELECT host, sh, count(*)::BIGINT AS c FROM s GROUP BY host, sh),
+tm AS (SELECT df.host, df.sh FROM df JOIN hd USING (host)
+       WHERE df.c * 100 >= 8 * hd.n_docs AND df.c >= 2),
+p AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+             count(tm.sh)::BIGINT AS n_template
+      FROM s LEFT JOIN tm ON s.host = tm.host AND s.sh = tm.sh
+      GROUP BY s.doc_id)
+SELECT doc_id, n_shingles, n_template,
+       ((1000 * n_template) // n_shingles)::BIGINT AS template_permille
+FROM p
+"""
     return d

@@ -488,3 +488,81 @@ def fact_support(facts_ds, n_parts: int | None = None):
 
     return (facts_ds.map_batches(combine, batch_format="pyarrow")
             .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
+    """TEMPORAL KG SNAPSHOT: the CURRENT assertion per (subject,
+    predicate) — for every functional-property slot, the fact from the
+    most recently fetched page, with its fetch time and source. A KG
+    built from recrawls must supersede stale assertions (the page that
+    said ``basedIn X`` in 2023 loses to the 2025 recrawl saying
+    ``basedIn Y``); the reference emits every assertion with no
+    temporal resolution (one triple per relation), so this is the
+    as-of step a consumer runs after it.
+
+    Shape: ONE url-hash co-partition exchange attaches each page's
+    ``warc_ts`` to its fact assertions (tagged union + groupby — the
+    page table streams, never broadcast), then ONE (subj, pred)-hash
+    exchange keeps the max-(ts, src_url) row per slot via vectorized
+    sort + drop_duplicates. Returns (subj, pred, obj, last_ts,
+    src_url); ``last_ts`` stays a microsecond timestamp end-to-end.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def tag_f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["src_url"], "subj": t["subj"], "pred": t["pred"],
+            "obj": t["obj"], "ts_us": pa.nulls(t.num_rows, pa.int64()),
+            "part": pa.array(fast_part_hash(t["src_url"], n_parts))})
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "url": t["url"], "subj": pa.nulls(t.num_rows, pa.string()),
+            "pred": pa.nulls(t.num_rows, pa.string()),
+            "obj": pa.nulls(t.num_rows, pa.string()),
+            "ts_us": ts,
+            "part": pa.array(fast_part_hash(t["url"], n_parts))})
+
+    tagged = (facts_ds.map_batches(tag_f, batch_format="pyarrow")
+              .union(pages_ds.map_batches(tag_p, batch_format="pyarrow")))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        # max warc_ts per url (a url refetched in the same corpus
+        # contributes its LATEST fetch to every fact it asserts)
+        ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
+              .groupby("url")["ts_us"].max())
+        rows = df[df["subj"].notna()].merge(
+            ts, left_on="url", right_index=True, how="left",
+            suffixes=("", "_p"))
+        out = rows[["subj", "pred", "obj", "url"]].copy()
+        out["ts_us"] = rows["ts_us_p"].astype("int64")
+        # per-partition combiner: keep the local max-(ts, url) per slot
+        out = out.sort_values(["subj", "pred", "ts_us", "url", "obj"],
+                              ascending=[True, True, False, False, False])
+        out = out.drop_duplicates(["subj", "pred"], keep="first")
+        out["p2"] = fast_part_hash(out["subj"], n_parts)
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["subj", "pred", "ts_us", "url", "obj"],
+                            ascending=[True, True, False, False, False])
+        return df.drop_duplicates(["subj", "pred"], keep="first")
+
+    g = (tagged.repartition(n_parts)
+         .groupby("part").map_groups(attach, batch_format="pandas")
+         .groupby("p2").map_groups(finish, batch_format="pandas"))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+            "last_ts": pc.cast(t["ts_us"], pa.timestamp("us")),
+            "src_url": t["url"]})
+
+    return g.map_batches(to_out, batch_format="pyarrow")

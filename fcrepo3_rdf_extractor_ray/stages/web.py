@@ -739,3 +739,76 @@ def template_shingles(ds, text_col: str = "text", id_col: str = "doc_id",
     return (shingles.groupby("part").map_groups(mark,
                                                 batch_format="pandas")
             .groupby("p2").map_groups(finish, batch_format="pandas"))
+
+
+def link_reciprocity(edges_ds, n_parts: int | None = None):
+    """HOST LINK RECIPROCITY: for every host, how many of its distinct
+    out-neighbor hosts link back — the classic link-farm / collusion
+    signal (organic cross-host links are mostly one-way; reciprocal
+    clusters near 1.0 flag link exchanges). Consumes the
+    (src_host, dst_host, n_links) table from `anchor_host_graph`;
+    self-loops are ignored. The reference has no graph analytics at
+    all (SURVEY §2.7) — this is crawl-side KG hygiene on top of it.
+
+    Shape: per-batch distinct-pair combiner on an UNORDERED pair key
+    with a direction bit (1 = lo→hi, 2 = hi→lo) → ONE pair-hash
+    exchange where the bit-union over a pair marks it reciprocal →
+    each pair explodes back into composable (host, n_out, n_recip)
+    partials → ONE host-hash exchange summing them. Both exchanges
+    carry host-pair-level rows only (never per-link rows), so the
+    volume is the distinct-edge count of the HOST graph. Returns
+    (host, n_out_hosts, n_reciprocal, recip_micro) with
+    recip_micro = n_reciprocal * 1_000_000 // n_out_hosts.
+    """
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def pair_combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["src_host"], t["dst_host"]))
+        s, d = t["src_host"], t["dst_host"]
+        fwd = pc.less(s, d)
+        lo = pc.if_else(fwd, s, d)
+        hi = pc.if_else(fwd, d, s)
+        mask = pc.if_else(fwd, pa.scalar(1, pa.int64()),
+                          pa.scalar(2, pa.int64()))
+        g = (pa.table({"lo": lo, "hi": hi, "mask": mask})
+             .group_by(["lo", "hi", "mask"]).aggregate([]))
+        key = pc.binary_join_element_wise(g["lo"], g["hi"], "\x1f")
+        return g.append_column("part",
+                               pa.array(fast_part_hash(key, n_parts)))
+
+    def pair_finish(df: pd.DataFrame) -> pd.DataFrame:
+        # all directions of a pair are colocated: bit-union the masks
+        g = (df.drop_duplicates(["lo", "hi", "mask"])
+             .groupby(["lo", "hi"], as_index=False)["mask"].sum())
+        m = g["mask"].to_numpy()
+        rec = (m == 3).astype(np.int64)
+        out_lo = (m & 1).astype(bool)
+        out_hi = (m & 2).astype(bool)
+        host = np.concatenate([g["lo"].to_numpy()[out_lo],
+                               g["hi"].to_numpy()[out_hi]])
+        recs = np.concatenate([rec[out_lo], rec[out_hi]])
+        part = pd.DataFrame({"host": host,
+                             "n_out": np.ones(len(host), np.int64),
+                             "n_rec": recs})
+        p = part.groupby("host", as_index=False).sum()
+        p["p2"] = fast_part_hash(p["host"], n_parts)
+        return p
+
+    def host_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False)[["n_out", "n_rec"]].sum()
+        out = pd.DataFrame({
+            "host": g["host"],
+            "n_out_hosts": g["n_out"].astype("int64"),
+            "n_reciprocal": g["n_rec"].astype("int64")})
+        out["recip_micro"] = (
+            out["n_reciprocal"] * 1_000_000) // out["n_out_hosts"]
+        out["recip_micro"] = out["recip_micro"].astype("int64")
+        return out
+
+    return (edges_ds.map_batches(pair_combine, batch_format="pyarrow")
+            .groupby("part").map_groups(pair_finish,
+                                        batch_format="pandas")
+            .groupby("p2").map_groups(host_finish,
+                                      batch_format="pandas"))

@@ -147,3 +147,24 @@ def test_anchor_text_agg_tie_lexicographic(ray_session):
         "html": pa.array(html, pa.string())}))
     r = anchor_text_agg(pages).take_all()[0]
     assert (r["top_text"], r["top_text_n"], r["n_refs"]) == ("aa", 1, 2)
+
+
+def test_link_reciprocity_mixed_and_self_loops(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import link_reciprocity
+
+    edges = rd.from_arrow(pa.table({
+        # a<->b reciprocal; a->c one-way; c->d one-way; d->a one-way;
+        # b->b self-loop ignored; duplicate a->b rows collapse
+        "src_host": ["a", "b", "a", "c", "d", "b", "a"],
+        "dst_host": ["b", "a", "c", "d", "a", "b", "b"],
+        "n_links": [5, 1, 2, 9, 1, 7, 3],
+    }))
+    got = {r["host"]: (r["n_out_hosts"], r["n_reciprocal"],
+                       r["recip_micro"])
+           for r in link_reciprocity(edges).take_all()}
+    assert got == {
+        "a": (2, 1, 500000),   # out: b (recip), c
+        "b": (1, 1, 1000000),  # out: a (recip); self-loop dropped
+        "c": (1, 0, 0),        # out: d, no edge back
+        "d": (1, 0, 0),        # out: a, a does not link d
+    }

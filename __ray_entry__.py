@@ -594,6 +594,15 @@ def _q_kg_fact_support(sf_dir: str):
     return fact_support(_q_kg_fact_quads(sf_dir))
 
 
+def _q_kg_pred_stats(sf_dir: str):
+    """Per-predicate ontology profile over the canonical fact quads:
+    assertion volume, triple/subject/object cardinalities, and the
+    functional-property flag (max objects per subject == 1)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pred_stats
+
+    return pred_stats(_q_kg_fact_quads(sf_dir))
+
+
 def _q_web_host_cap(sf_dir: str):
     """Domain-balanced sampling cap: keep ≤5 docs per host under the
     deterministic Knuth-hash order (host = the synthetic ex{N}.org
@@ -2111,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_current": _q_kg_fact_current,
         "web_template": _q_web_template,
         "web_link_recip": _q_web_link_recip,
+        "kg_pred_stats": _q_kg_pred_stats,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2610,6 +2620,24 @@ SELECT subj, pred, obj, count(*)::BIGINT AS n_assertions,
        count(DISTINCT src_url)::BIGINT AS n_pages,
        min(src_url) AS first_src, max(src_url) AS last_src
 FROM f GROUP BY 1, 2, 3
+"""),
+        # kg_pred_stats: per-predicate ontology profile over the same
+        # fact-quad replay (pipelines/kg.pred_stats)
+        "kg_pred_stats": (
+            _U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+t AS (SELECT DISTINCT pred, subj, obj FROM f),
+a AS (SELECT pred, count(*)::BIGINT AS n_assertions FROM f GROUP BY 1),
+ps AS (SELECT pred, subj, count(*) AS nobj FROM t GROUP BY 1, 2),
+g AS (SELECT pred, count(*)::BIGINT AS n_triples,
+             count(DISTINCT subj)::BIGINT AS n_subj,
+             count(DISTINCT obj)::BIGINT AS n_obj
+      FROM t GROUP BY 1),
+m AS (SELECT pred, max(nobj)::BIGINT AS max_obj_per_subj
+      FROM ps GROUP BY 1)
+SELECT g.pred, a.n_assertions, g.n_triples, g.n_subj, g.n_obj,
+       m.max_obj_per_subj,
+       (m.max_obj_per_subj = 1) AS is_functional
+FROM g JOIN a USING (pred) JOIN m USING (pred)
 """),
         # web_host_cap: the Knuth multiplicative-hash order replayed in
         # HUGEINT (stages/web.host_cap_sample contract)

@@ -566,3 +566,99 @@ def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
             "src_url": t["url"]})
 
     return g.map_batches(to_out, batch_format="pyarrow")
+
+
+def pred_stats(facts_ds, n_parts: int | None = None):
+    """ONTOLOGY PROFILE per predicate: assertion volume, distinct-triple
+    count, subject/object cardinalities, and the max objects asserted
+    per subject — the functional-property detector (max == 1) that
+    drives schema inference and the `current_facts` supersede step.
+    The reference hard-codes its predicate list (constant triples per
+    object, ObjectProcessor.java:256-270); at web scale the predicate
+    inventory is DATA and must be profiled from the corpus.
+
+    Shape: two independent pair-keyed exchanges over per-batch distinct
+    combiners — hash(pred, subj) colocates every (subj → objs) slot, so
+    per-pred partials (assertion sums, distinct-subj counts, distinct
+    triples, max objects per subject) are exact and composable;
+    hash(pred, obj) does the same for distinct objects. Both emit
+    per-pred PARTIAL rows only (vocabulary-sized), unioned and folded
+    by a final tiny pred groupby. No full-table shuffle anywhere.
+    Returns (pred, n_assertions, n_triples, n_subj, n_obj,
+    max_obj_per_subj, is_functional).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def combine_ps(t: pa.Table) -> pa.Table:
+        g = (pa.table({"pred": t["pred"], "subj": t["subj"],
+                       "obj": t["obj"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["pred", "subj", "obj"]).aggregate([("n", "sum")]))
+        g = g.rename_columns(["pred", "subj", "obj", "n"])
+        key = pc.binary_join_element_wise(g["pred"], g["subj"], "\x1f")
+        return g.append_column("part", pa.array(fast_part_hash(key,
+                                                               n_parts)))
+
+    def finish_ps(df: pd.DataFrame) -> pd.DataFrame:
+        # every (pred, subj) slot is fully colocated here
+        tri = df.drop_duplicates(["pred", "subj", "obj"])
+        slot = tri.groupby(["pred", "subj"], as_index=False).agg(
+            nobj=("obj", "count"))
+        agg = slot.groupby("pred", as_index=False).agg(
+            n_subj=("subj", "count"), max_ops=("nobj", "max"))
+        agg = agg.merge(
+            tri.groupby("pred", as_index=False).agg(n_tri=("obj", "count")),
+            on="pred")
+        agg = agg.merge(
+            df.groupby("pred", as_index=False).agg(n_asrt=("n", "sum")),
+            on="pred")
+        return pd.DataFrame({
+            "pred": agg["pred"],
+            "n_asrt": agg["n_asrt"].astype("int64"),
+            "n_tri": agg["n_tri"].astype("int64"),
+            "n_subj": agg["n_subj"].astype("int64"),
+            "n_obj": np.zeros(len(agg), np.int64),
+            "max_ops": agg["max_ops"].astype("int64")})
+
+    def combine_po(t: pa.Table) -> pa.Table:
+        g = (pa.table({"pred": t["pred"], "obj": t["obj"]})
+             .group_by(["pred", "obj"]).aggregate([]))
+        key = pc.binary_join_element_wise(g["pred"], g["obj"], "\x1f")
+        return g.append_column("part", pa.array(fast_part_hash(key,
+                                                               n_parts)))
+
+    def finish_po(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["pred", "obj"])
+             .groupby("pred", as_index=False).agg(n_obj=("obj", "count")))
+        z = np.zeros(len(g), np.int64)
+        return pd.DataFrame({
+            "pred": g["pred"], "n_asrt": z, "n_tri": z,
+            "n_subj": z, "n_obj": g["n_obj"].astype("int64"),
+            "max_ops": z})
+
+    ps = (facts_ds.map_batches(combine_ps, batch_format="pyarrow")
+          .groupby("part").map_groups(finish_ps, batch_format="pandas"))
+    po = (facts_ds.map_batches(combine_po, batch_format="pyarrow")
+          .groupby("part").map_groups(finish_po, batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pred", as_index=False).agg(
+            n_assertions=("n_asrt", "sum"), n_triples=("n_tri", "sum"),
+            n_subj=("n_subj", "sum"), n_obj=("n_obj", "sum"),
+            max_obj_per_subj=("max_ops", "max"))
+        for c in ("n_assertions", "n_triples", "n_subj", "n_obj",
+                  "max_obj_per_subj"):
+            g[c] = g[c].astype("int64")
+        g["is_functional"] = g["max_obj_per_subj"] == 1
+        return g
+
+    # per-pred partial rows are vocabulary-sized: coalesce the tagged
+    # union before the final exchange (the mix_report block-count fix)
+    return (ps.union(po).repartition(8)
+            .groupby("pred").map_groups(fold, batch_format="pandas"))

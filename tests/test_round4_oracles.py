@@ -399,6 +399,8 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("kg_entity_lift", ["norm_a", "norm_b"]),
     ("kg_fact_current", ["subj", "pred"]),
     ("web_template", ["doc_id"]),
+    ("web_link_recip", ["host"]),
+    ("kg_pred_stats", ["pred"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -425,3 +427,30 @@ def test_entity_lift_bounds(entry, sf_dir, ray_session):
     a = set(map(tuple, lift[["norm_a", "norm_b"]].to_numpy()))
     b = set(map(tuple, co[["norm_a", "norm_b"]].to_numpy()))
     assert a == b
+
+
+def test_pred_stats_functional_and_cardinalities(ray_session):
+    """Hand-built fact stream: duplicate assertions collapse into one
+    triple; a predicate is functional iff no subject asserts two
+    distinct objects."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pred_stats
+
+    t = pa.table({
+        "subj": ["a", "a", "b", "a", "a", "b", "c"],
+        "pred": ["p:one", "p:one", "p:one",
+                 "p:multi", "p:multi", "p:multi", "p:multi"],
+        "obj": ["x", "x", "x", "x", "y", "x", "x"],
+    })
+    got = {r["pred"]: r for r in
+           pred_stats(rd.from_arrow(t).repartition(3)).take_all()}
+    one, multi = got["p:one"], got["p:multi"]
+    # p:one: 3 assertions, 2 triples (a-x dup), subjects {a,b}, objs {x}
+    assert (one["n_assertions"], one["n_triples"], one["n_subj"],
+            one["n_obj"], one["max_obj_per_subj"],
+            one["is_functional"]) == (3, 2, 2, 1, 1, True)
+    # p:multi: subject a asserts two objects -> not functional
+    assert (multi["n_assertions"], multi["n_triples"], multi["n_subj"],
+            multi["n_obj"], multi["max_obj_per_subj"],
+            multi["is_functional"]) == (4, 4, 3, 2, 2, False)

@@ -814,6 +814,17 @@ def _q_web_link_recip(sf_dir: str):
     return link_reciprocity(anchor_host_graph(pages))
 
 
+def _q_web_frontier(sf_dir: str):
+    """Crawl frontier prioritization: host_rank × staleness-hours per
+    url, top-3 per host (politeness budget). The host-rank small side
+    is broadcast once; staleness comes from one tiny max aggregate."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.stages.web import frontier_scores
+
+    pages = pages_for_sf(sf_dir).select_columns(["url", "warc_ts"])
+    return frontier_scores(pages, _q_web_host_rank(sf_dir), k=3)
+
+
 def _crawl_snapshots(sf_dir: str):
     """Two deterministic crawl snapshots from `documents`: the old
     crawl has every doc; in the new crawl doc_id%7==3 pages are gone,
@@ -2121,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_template": _q_web_template,
         "web_link_recip": _q_web_link_recip,
         "kg_pred_stats": _q_kg_pred_stats,
+        "web_frontier": _q_web_frontier,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4102,6 +4114,30 @@ FROM c GROUP BY doc_id
         "WITH al AS (" + d["web_anchor_links"] + """),
 e AS (SELECT DISTINCT src_host AS subj, dst_host AS obj FROM al)"""
         + _pagerank_tail_sql(iters=5, node_as="host"))
+    # crawl frontier prioritization: host_rank replay × integer
+    # staleness hours over the pages-ts replay, top-3 per host
+    d["web_frontier"] = (
+        "WITH hr AS (" + d["web_host_rank"] + """),
+pp AS (SELECT doc_id,
+         'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+             || doc_id::VARCHAR AS url,
+         'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+         (1700000000000000 + doc_id * 86400000000)::BIGINT AS ts_us
+       FROM documents),
+s AS (SELECT url, host,
+             ((max(ts_us) OVER () - ts_us) // 3600000000)::BIGINT
+                 AS age_hours
+      FROM pp),
+j AS (SELECT s.url, s.host, s.age_hours,
+             (s.age_hours * coalesce(hr.rank_micro, 0))::BIGINT AS score
+      FROM s LEFT JOIN hr ON hr.host = s.host),
+r AS (SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY score DESC, url)::BIGINT
+                AS frontier_rank
+      FROM j)
+SELECT url, host, age_hours, score, frontier_rank
+FROM r WHERE frontier_rank <= 3
+""")
     # host link reciprocity on the same distinct host-edge set: a
     # left self-join marks out-neighbors that link back
     d["web_link_recip"] = (

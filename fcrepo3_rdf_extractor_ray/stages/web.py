@@ -812,3 +812,68 @@ def link_reciprocity(edges_ds, n_parts: int | None = None):
                                         batch_format="pandas")
             .groupby("p2").map_groups(host_finish,
                                       batch_format="pandas"))
+
+
+def frontier_scores(pages_ds, ranks_ds, k: int = 3,
+                    url_col: str = "url", ts_col: str = "warc_ts",
+                    n_parts: int | None = None):
+    """CRAWL FRONTIER PRIORITIZATION: rank every known url by
+    ``host_rank × staleness`` and keep the top-k per host — the
+    recrawl-scheduling table a frontier emits each cycle (important
+    hosts first, stalest pages first, a politeness budget of k urls
+    per host per cycle). Staleness is whole hours behind the corpus's
+    newest fetch, so the score is all-integer and SQL-replayable.
+
+    Shape: the host-rank table is HOST-level (small side) — taken once
+    and ``ray.put`` once, read zero-copy per task, never re-shipped
+    per batch; the corpus max fetch time is ONE tiny aggregate; then a
+    stateless vectorized score map → ONE host-hash exchange →
+    per-partition head-k (colocation makes the per-host cut global).
+    Returns (url, host, age_hours, score, frontier_rank).
+    """
+    import ray
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    host_re = r"^https?://(?P<h>[^/?#]+)"
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        v = pc.max(pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                           pa.int64()))
+        return pa.table({"m": pa.array([v.as_py()], pa.int64())})
+
+    mx = pages_ds.map_batches(ts_max, batch_format="pyarrow").max("m")
+
+    ranks = {r["host"]: r["rank_micro"] for r in ranks_ds.take_all()}
+    rank_ref = ray.put(ranks)
+
+    def score(t: pa.Table) -> pa.Table:
+        rmap = ray.get(rank_ref)
+        host = pc.struct_field(
+            pc.extract_regex(pc.cast(t[url_col], pa.string()), host_re),
+            "h")
+        ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        age = (mx - ts_us) // 3_600_000_000
+        hs = host.to_pandas()
+        rank = hs.map(rmap).fillna(0).to_numpy(np.int64)
+        out = pa.table({
+            "url": pc.cast(t[url_col], pa.string()), "host": host,
+            "age_hours": pa.array(age.astype(np.int64)),
+            "score": pa.array(rank * age.astype(np.int64))})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(out["host"], n_parts)))
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "score", "url"],
+                            ascending=[True, False, True])
+        rk = df.groupby("host").cumcount() + 1
+        out = df[rk <= k].assign(
+            frontier_rank=rk[rk <= k].astype("int64"))
+        return out[["url", "host", "age_hours", "score",
+                    "frontier_rank"]]
+
+    return (pages_ds.map_batches(score, batch_format="pyarrow")
+            .groupby("part").map_groups(head_k, batch_format="pandas"))

@@ -401,6 +401,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("web_template", ["doc_id"]),
     ("web_link_recip", ["host"]),
     ("kg_pred_stats", ["pred"]),
+    ("web_frontier", ["host", "frontier_rank"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -454,3 +455,31 @@ def test_pred_stats_functional_and_cardinalities(ray_session):
     assert (multi["n_assertions"], multi["n_triples"], multi["n_subj"],
             multi["n_obj"], multi["max_obj_per_subj"],
             multi["is_functional"]) == (4, 4, 3, 2, 2, False)
+
+
+def test_frontier_scores_staleness_and_cap(ray_session):
+    """Stalest pages of high-rank hosts come first; a host absent from
+    the rank table scores 0 but still appears; top-k is per host."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import frontier_scores
+
+    ts = pd.to_datetime([0, 3_600_000_000 * 5, 3_600_000_000 * 10,
+                         0, 3_600_000_000 * 10], unit="us")
+    pages = rd.from_pandas(pd.DataFrame({
+        "url": ["https://a.org/1", "https://a.org/2", "https://a.org/3",
+                "https://z.org/1", "https://z.org/2"],
+        "warc_ts": ts}))
+    ranks = rd.from_arrow(pa.table({"host": ["a.org"],
+                                    "rank_micro": [2]}))
+    out = frontier_scores(pages, ranks, k=2).to_pandas()
+    a = out[out["host"] == "a.org"].sort_values("frontier_rank")
+    # newest fetch is hour 10; ages are 10, 5, 0 -> scores 20, 10, 0
+    assert list(a["url"]) == ["https://a.org/1", "https://a.org/2"]
+    assert list(a["score"]) == [20, 10]
+    assert list(a["age_hours"]) == [10, 5]
+    z = out[out["host"] == "z.org"].sort_values("frontier_rank")
+    # unranked host: score 0, ties broken by url, still capped at k
+    assert list(z["url"]) == ["https://z.org/1", "https://z.org/2"]
+    assert list(z["score"]) == [0, 0]
+    assert len(out) == 4

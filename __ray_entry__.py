@@ -603,6 +603,33 @@ def _q_kg_pred_stats(sf_dir: str):
     return pred_stats(_q_kg_fact_quads(sf_dir))
 
 
+def _q_kg_entity_cards(sf_dir: str):
+    """Knowledge-panel cards: per canonical entity, mention volume,
+    page span (first/last fetch), fact in/out degree and dominant
+    predicate — mentions linked through the same canonical map the
+    flagship resolves quads with."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (entity_cards,
+                                                        extract_raw_quads,
+                                                        pages_for_sf)
+    from fcrepo3_rdf_extractor_ray.sources.pages import build_alias_table
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+        build_entity_map, resolve_quads)
+    from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
+
+    pages = pages_for_sf(sf_dir)
+    raw = extract_raw_quads(pages).map_batches(
+        lambda t: t.filter(pc.is_in(t["pred"], value_set=pa.array(
+            ["kg:worksWith", "kg:acquired", "kg:basedIn"]))),
+        batch_format="pyarrow").materialize()
+    mapping = build_entity_map(raw, build_alias_table())
+    facts = resolve_quads(raw, mapping)
+    return entity_cards(facts, detect_mentions(pages),
+                        pages.select_columns(["url", "warc_ts"]), mapping)
+
+
 def _q_web_host_cap(sf_dir: str):
     """Domain-balanced sampling cap: keep ≤5 docs per host under the
     deterministic Knuth-hash order (host = the synthetic ex{N}.org
@@ -2133,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_link_recip": _q_web_link_recip,
         "kg_pred_stats": _q_kg_pred_stats,
         "web_frontier": _q_web_frontier,
+        "kg_entity_cards": _q_kg_entity_cards,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2632,6 +2660,52 @@ SELECT subj, pred, obj, count(*)::BIGINT AS n_assertions,
        count(DISTINCT src_url)::BIGINT AS n_pages,
        min(src_url) AS first_src, max(src_url) AS last_src
 FROM f GROUP BY 1, 2, 3
+"""),
+        # kg_entity_cards: the knowledge-panel assembly — mention
+        # replay linked through the alias rule (entityN → ent:eN, miss
+        # → ent:sk:), page-ts replay, fact in/out degrees + top pred
+        "kg_entity_cards": (
+            _U_CTE + ", m AS (" + _MENTIONS_SQL + "), f AS ("
+            + _FACT_QUADS_SQL + ")" + """,
+lk AS (SELECT src_url,
+              CASE WHEN starts_with(norm, 'entity')
+                   THEN 'ent:e' || substr(norm, 7)
+                   ELSE 'ent:sk:' || norm END AS entity
+       FROM m),
+pt AS (SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+                  || doc_id::VARCHAR AS url,
+              (1700000000000000 + doc_id * 86400000000)::BIGINT AS ts_us
+       FROM documents),
+a AS (SELECT entity, count(*)::BIGINT AS n_mentions,
+             count(DISTINCT l.src_url)::BIGINT AS n_pages,
+             min(pt.ts_us)::BIGINT AS first_us,
+             max(pt.ts_us)::BIGINT AS last_us
+      FROM lk l JOIN pt ON pt.url = l.src_url GROUP BY 1),
+fo AS (SELECT subj AS entity, pred, count(*)::BIGINT AS n
+       FROM f GROUP BY 1, 2),
+tp AS (SELECT entity, pred, n,
+              row_number() OVER (PARTITION BY entity
+                                 ORDER BY n DESC, pred) AS rk
+       FROM fo),
+fi AS (SELECT obj AS entity, count(*)::BIGINT AS n_facts_in
+       FROM f WHERE NOT obj_is_literal GROUP BY 1),
+e AS (SELECT entity FROM a UNION SELECT entity FROM fo
+      UNION SELECT entity FROM fi)
+SELECT e.entity,
+       coalesce(a.n_mentions, 0)::BIGINT AS n_mentions,
+       coalesce(a.n_pages, 0)::BIGINT AS n_pages,
+       coalesce(a.first_us, 0)::BIGINT AS first_us,
+       coalesce(a.last_us, 0)::BIGINT AS last_us,
+       coalesce(ft.n_facts_out, 0)::BIGINT AS n_facts_out,
+       coalesce(fi.n_facts_in, 0)::BIGINT AS n_facts_in,
+       coalesce(tp.pred, '') AS top_pred,
+       coalesce(tp.n, 0)::BIGINT AS top_pred_n
+FROM e
+LEFT JOIN a USING (entity)
+LEFT JOIN (SELECT entity, sum(n)::BIGINT AS n_facts_out
+           FROM fo GROUP BY 1) ft USING (entity)
+LEFT JOIN fi USING (entity)
+LEFT JOIN tp ON tp.entity = e.entity AND tp.rk = 1
 """),
         # kg_pred_stats: per-predicate ontology profile over the same
         # fact-quad replay (pipelines/kg.pred_stats)

@@ -662,3 +662,152 @@ def pred_stats(facts_ds, n_parts: int | None = None):
     # union before the final exchange (the mix_report block-count fix)
     return (ps.union(po).repartition(8)
             .groupby("pred").map_groups(fold, batch_format="pandas"))
+
+
+def entity_cards(facts_ds, mentions_ds, pages_ds, mapping: dict[str, str],
+                 n_parts: int | None = None):
+    """KNOWLEDGE-PANEL MATERIALIZATION: one card per canonical entity —
+    mention volume, distinct mentioning pages, first/last fetch time,
+    fact in/out degree and the dominant outgoing predicate. This is
+    the consumer-facing end product a KG build publishes (the entity
+    page of every knowledge-panel UI); the reference stops at the raw
+    triple stream, so the card assembly is the step after it.
+
+    Shape: mention norms resolve through the broadcast canonical map
+    (``ray.put`` once, misses skolemize — same contract as
+    `resolve_quads`); page fetch times attach via ONE url-hash
+    tag-union exchange (the pages table STREAMS, never broadcast);
+    fact in/out degrees and per-predicate counts ride per-batch
+    combiners. Everything then meets in ONE entity-hash tag-union
+    exchange whose per-partition assemble is exact (colocation makes
+    counts, distincts, min/max and the top-predicate pick global).
+    Entities with no mentions carry zero time bounds; entities with no
+    outgoing facts carry an empty ``top_pred``. Returns (entity,
+    n_mentions, n_pages, first_us, last_us, n_facts_out, n_facts_in,
+    top_pred, top_pred_n).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import fast_part_hash
+    from ..functions.normalize import skolem_iri
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    map_ref = ray.put(mapping)
+
+    def tag_m(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        codes, uniq = pd.factorize(t["norm"].to_pandas())
+        resolved = np.array([m.get(u, skolem_iri(u)) for u in uniq],
+                            dtype=object)
+        ent = (pa.array(resolved[codes], pa.string()) if len(uniq)
+               else pa.array([], pa.string()))
+        g = (pa.table({"url": t["src_url"], "entity": ent,
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["url", "entity"]).aggregate([("n", "sum")]))
+        g = g.rename_columns(["url", "entity", "n"])
+        return pa.table({
+            "url": g["url"], "entity": g["entity"], "n": g["n"],
+            "ts_us": pa.nulls(g.num_rows, pa.int64()),
+            "part": pa.array(fast_part_hash(g["url"], n_parts))})
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "url": t["url"],
+            "entity": pa.nulls(t.num_rows, pa.string()),
+            "n": pa.nulls(t.num_rows, pa.int64()), "ts_us": ts,
+            "part": pa.array(fast_part_hash(t["url"], n_parts))})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df[df["entity"].isna()]
+              .drop_duplicates("url").set_index("url")["ts_us"])
+        m = (df[df["entity"].notna()]
+             .groupby(["url", "entity"], as_index=False)["n"].sum())
+        m["ts_us"] = m["url"].map(ts).fillna(0).astype("int64")
+        # (url, entity) is globally unique here: urls are colocated
+        return pd.DataFrame({
+            "entity": m["entity"], "kind": np.zeros(len(m), np.int64),
+            "pred": np.full(len(m), "", object),
+            "n": m["n"].astype("int64"), "ts_us": m["ts_us"]})
+
+    mention_part = (mentions_ds.map_batches(tag_m, batch_format="pyarrow")
+                    .union(pages_ds.map_batches(tag_p,
+                                                batch_format="pyarrow"))
+                    .repartition(n_parts)
+                    .groupby("part").map_groups(attach,
+                                                batch_format="pandas"))
+
+    def facts_out(t: pa.Table) -> pa.Table:
+        g = (pa.table({"entity": t["subj"], "pred": t["pred"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["entity", "pred"]).aggregate([("n", "sum")]))
+        g = g.rename_columns(["entity", "pred", "n"])
+        return pa.table({
+            "entity": g["entity"],
+            "kind": pa.array(np.ones(g.num_rows, np.int64)),
+            "pred": g["pred"], "n": g["n"],
+            "ts_us": pa.array(np.zeros(g.num_rows, np.int64))})
+
+    def facts_in(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.cast(t["obj_is_literal"], pa.bool_())))
+        g = (pa.table({"entity": t["obj"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("entity").aggregate([("n", "sum")]))
+        g = g.rename_columns(["entity", "n"])
+        return pa.table({
+            "entity": g["entity"],
+            "kind": pa.array(np.full(g.num_rows, 2, np.int64)),
+            "pred": pa.array(np.full(g.num_rows, "", object), pa.string()),
+            "n": g["n"],
+            "ts_us": pa.array(np.zeros(g.num_rows, np.int64))})
+
+    def part_col(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(fast_part_hash(t["entity"], n_parts)))
+
+    tagged = (mention_part.map_batches(part_col, batch_format="pyarrow")
+              .union(facts_ds.map_batches(facts_out,
+                                          batch_format="pyarrow")
+                     .map_batches(part_col, batch_format="pyarrow"))
+              .union(facts_ds.map_batches(facts_in,
+                                          batch_format="pyarrow")
+                     .map_batches(part_col, batch_format="pyarrow"))
+              .repartition(n_parts))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        men = df[df["kind"] == 0]
+        a = men.groupby("entity").agg(
+            n_mentions=("n", "sum"), n_pages=("n", "count"),
+            first_us=("ts_us", "min"), last_us=("ts_us", "max"))
+        out_rows = df[df["kind"] == 1]
+        per_pred = (out_rows.groupby(["entity", "pred"], as_index=False)
+                    ["n"].sum())
+        fo = per_pred.groupby("entity")["n"].sum()
+        top = (per_pred.sort_values(["entity", "n", "pred"],
+                                    ascending=[True, False, True])
+               .drop_duplicates("entity").set_index("entity"))
+        fi = df[df["kind"] == 2].groupby("entity")["n"].sum()
+        ents = pd.Index(sorted(set(df["entity"])))
+        return pd.DataFrame({
+            "entity": ents.to_numpy(),
+            "n_mentions": a["n_mentions"].reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "n_pages": a["n_pages"].reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "first_us": a["first_us"].reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "last_us": a["last_us"].reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "n_facts_out": fo.reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "n_facts_in": fi.reindex(ents).fillna(0)
+                .astype("int64").to_numpy(),
+            "top_pred": top["pred"].reindex(ents).fillna("").to_numpy(),
+            "top_pred_n": top["n"].reindex(ents).fillna(0)
+                .astype("int64").to_numpy()})
+
+    return tagged.groupby("part").map_groups(assemble,
+                                             batch_format="pandas")

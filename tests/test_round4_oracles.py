@@ -402,6 +402,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("web_link_recip", ["host"]),
     ("kg_pred_stats", ["pred"]),
     ("web_frontier", ["host", "frontier_rank"]),
+    ("kg_entity_cards", ["entity"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -483,3 +484,49 @@ def test_frontier_scores_staleness_and_cap(ray_session):
     assert list(z["url"]) == ["https://z.org/1", "https://z.org/2"]
     assert list(z["score"]) == [0, 0]
     assert len(out) == 4
+
+
+def test_entity_cards_fusion_semantics(ray_session):
+    """Hand-built corpus: mention linking (alias hit + skolem miss),
+    time bounds from mentioning pages only, fact in/out fusion on the
+    SAME card, top-pred tie broken lexicographically, and zero-fill
+    for entities missing a side."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import entity_cards
+
+    mentions = rd.from_arrow(pa.table({
+        "src_url": ["u1", "u1", "u2", "u2"],
+        "surface": ["Alpha", "Alpha", "alpha", "Mystery"],
+        "norm": ["alpha", "alpha", "alpha", "mystery"]}))
+    pages = rd.from_pandas(pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "warc_ts": pd.to_datetime([1_000_000, 2_000_000, 3_000_000],
+                                  unit="us")}))
+    facts = rd.from_arrow(pa.table({
+        "subj": ["ent:a", "ent:a", "ent:a", "ent:b"],
+        "pred": ["p:x", "p:y", "p:y", "p:x"],
+        "obj": ["ent:b", "ent:sk:mystery", "lit", "ent:a"],
+        "obj_is_literal": [False, False, True, False]}))
+    got = {r["entity"]: r for r in entity_cards(
+        facts, mentions, pages, {"alpha": "ent:a"}).take_all()}
+    a = got["ent:a"]
+    # 3 mentions over 2 pages; ts span [1s, 2s]; out: p:x 1, p:y 2 ->
+    # top p:y; in: one entity-valued (ent:b -> ent:a)
+    assert (a["n_mentions"], a["n_pages"]) == (3, 2)
+    assert (a["first_us"], a["last_us"]) == (1_000_000, 2_000_000)
+    assert (a["n_facts_out"], a["n_facts_in"]) == (3, 1)
+    assert (a["top_pred"], a["top_pred_n"]) == ("p:y", 2)
+    # skolemized mention merges with the skolem fact object
+    sk = got["ent:sk:mystery"]
+    assert (sk["n_mentions"], sk["n_facts_in"], sk["n_facts_out"],
+            sk["top_pred"]) == (1, 1, 0, "")
+    # fact-only entity: zero mention stats, zero time bounds;
+    # top-pred tie (p:x 1) vs none
+    b = got["ent:b"]
+    assert (b["n_mentions"], b["n_pages"], b["first_us"],
+            b["last_us"]) == (0, 0, 0, 0)
+    assert (b["n_facts_out"], b["n_facts_in"],
+            b["top_pred"], b["top_pred_n"]) == (1, 1, "p:x", 1)
+    # literal objects never become cards
+    assert "lit" not in got and len(got) == 3

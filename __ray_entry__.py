@@ -457,6 +457,17 @@ def _q_kg_label_prop(sf_dir: str):
     return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
 
 
+def _q_kg_modularity(sf_dir: str):
+    """Integer Newman-modularity profile of the 4-round label-prop
+    partition over the co-occurrence graph (q_num / 4m² contract)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        label_prop_communities, modularity_profile)
+
+    edges = _q_kg_cooccurrence(sf_dir).materialize()
+    labels = label_prop_communities(edges, rounds=4)
+    return modularity_profile(edges, labels)
+
+
 def _q_web_host_rank(sf_dir: str):
     """Host-level PageRank over the anchor link graph (5 integer
     fixed-point iterations; the oracle replays the anchor extraction,
@@ -2161,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_stats": _q_kg_pred_stats,
         "web_frontier": _q_web_frontier,
         "kg_entity_cards": _q_kg_entity_cards,
+        "kg_modularity": _q_kg_modularity,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4063,6 +4075,33 @@ lp AS (
   WHERE p.r < 4)
 SELECT node, label AS community FROM lp WHERE r = 4
 """)
+    # integer modularity profile of the label-prop partition: same
+    # recursive replay, then per-community e_in / degree mass and the
+    # exact numerator 4·m·e_in − deg_sum² (denominator 4·m²)
+    d["kg_modularity"] = (
+        d["kg_label_prop"].replace(
+            "SELECT node, label AS community FROM lp WHERE r = 4",
+            r"""
+, lab AS (SELECT node, label AS community FROM lp WHERE r = 4),
+mm2 AS (SELECT count(*)::BIGINT AS m FROM e),
+ee AS (SELECT la.community AS ca, lb.community AS cb
+       FROM e JOIN lab la ON la.node = e.norm_a
+              JOIN lab lb ON lb.node = e.norm_b),
+contrib AS (SELECT ca AS community, (ca = cb)::INT AS ein, 1 AS dg
+            FROM ee
+            UNION ALL SELECT cb, 0, 1 FROM ee),
+agg AS (SELECT community, sum(ein)::BIGINT AS e_in,
+               sum(dg)::BIGINT AS deg_sum
+        FROM contrib GROUP BY 1),
+nn AS (SELECT community, count(*)::BIGINT AS n_nodes FROM lab GROUP BY 1)
+SELECT nn.community, nn.n_nodes,
+       coalesce(agg.e_in, 0)::BIGINT AS e_in,
+       coalesce(agg.deg_sum, 0)::BIGINT AS deg_sum,
+       (4 * (SELECT m FROM mm2) * coalesce(agg.e_in, 0)
+        - coalesce(agg.deg_sum, 0) * coalesce(agg.deg_sum, 0))::BIGINT
+           AS q_num
+FROM nn LEFT JOIN agg USING (community)
+""", 1))
     # per-window zero-crossing counts recomputed from the synthetic PCM
     # generator formula (pairs never span windows: i % 256 <> 0)
     d["mm_audio_zcr"] = """

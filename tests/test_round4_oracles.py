@@ -403,6 +403,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("kg_pred_stats", ["pred"]),
     ("web_frontier", ["host", "frontier_rank"]),
     ("kg_entity_cards", ["entity"]),
+    ("kg_modularity", ["community"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -530,3 +531,30 @@ def test_entity_cards_fusion_semantics(ray_session):
             b["top_pred"], b["top_pred_n"]) == (1, 1, "p:x", 1)
     # literal objects never become cards
     assert "lit" not in got and len(got) == 3
+
+
+def test_modularity_two_cliques(ray_session):
+    """Two 3-cliques joined by one bridge edge, perfectly partitioned:
+    m=7; each community has e_in=3, deg_sum=7 (the bridge endpoint has
+    degree 3) -> q_num = 4*7*3 - 49 = 35, total Q = 70/196 ≈ 0.357."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import modularity_profile
+
+    edges = rd.from_arrow(pa.table({
+        "norm_a": ["a1", "a1", "a2", "b1", "b1", "b2", "a1"],
+        "norm_b": ["a2", "a3", "a3", "b2", "b3", "b3", "b1"]}))
+    labels = rd.from_arrow(pa.table({
+        "node": ["a1", "a2", "a3", "b1", "b2", "b3"],
+        "community": ["A", "A", "A", "B", "B", "B"]}))
+    got = {r["community"]: r for r in
+           modularity_profile(edges, labels).take_all()}
+    for c in ("A", "B"):
+        assert (got[c]["n_nodes"], got[c]["e_in"], got[c]["deg_sum"],
+                got[c]["q_num"]) == (3, 3, 7, 35)
+    # everyone in ONE community: e_in=m, deg_sum=2m -> q_num = 0
+    one = rd.from_arrow(pa.table({
+        "node": ["a1", "a2", "a3", "b1", "b2", "b3"],
+        "community": ["A"] * 6}))
+    row = modularity_profile(edges, one).take_all()[0]
+    assert (row["e_in"], row["deg_sum"], row["q_num"]) == (7, 14, 0)

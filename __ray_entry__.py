@@ -427,6 +427,18 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_prep_dataset_card(sf_dir: str):
+    """One-row corpus dataset card: doc/token volume, Gopher-gate keep
+    count, canonical url/host coverage and dominant language — all
+    streaming aggregates (scalars only on the driver)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import dataset_card
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(_messy_url_batch,
+                                                 batch_format="pyarrow")
+    return dataset_card(docs, urls)
+
+
 def _q_web_host_stats(sf_dir: str):
     """Per-host crawl aggregates (n_pages, n_paths, max_depth) over the
     canonicalized messy urls — integer/RE2-only, oracled on top of the
@@ -2173,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_frontier": _q_web_frontier,
         "kg_entity_cards": _q_kg_entity_cards,
         "kg_modularity": _q_kg_modularity,
+        "prep_dataset_card": _q_prep_dataset_card,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4402,6 +4415,24 @@ r AS (SELECT doc_id, host,
                                 ORDER BY oh, doc_id)::BIGINT AS smp_rank
       FROM h)
 SELECT doc_id, host, smp_rank FROM r WHERE smp_rank <= 5
+""")
+    # prep_dataset_card: one-row corpus summary composed from the
+    # token-count, gopher-gate and url-canon replays + the lang mode
+    d["prep_dataset_card"] = (
+        "WITH tok AS (" + d["ta_token_count"] + "),\ngp AS ("
+        + d["ta_gopher"] + "),\ncan AS (" + d["web_url_canon"] + """),
+lg AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+toplg AS (SELECT lang, n FROM lg ORDER BY n DESC, lang LIMIT 1)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT sum(n_tokens) FROM tok)::BIGINT AS n_tokens,
+       (SELECT sum(keep) FROM gp)::BIGINT AS n_gate_keep,
+       (SELECT count(DISTINCT url_canon) FROM can
+        WHERE parse_ok)::BIGINT AS n_canon_unique,
+       (SELECT count(DISTINCT regexp_extract(
+                url_canon, '^https?://([^/?#]+)', 1))
+        FROM can WHERE parse_ok)::BIGINT AS n_hosts,
+       (SELECT lang FROM toplg) AS top_lang,
+       (SELECT n FROM toplg)::BIGINT AS top_lang_n
 """)
     # kg_entity_lift: lift_micro = 10^6·n_ab·N // (n_a·n_b), all BIGINT
     d["kg_entity_lift"] = (

@@ -179,7 +179,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "ta_lm_buckets", "kg_walks", "prep_mix_report",
                  "web_corpus_prep", "kg_entity_lift", "kg_fact_current",
                  "web_template", "web_link_recip", "kg_pred_stats",
-                 "web_frontier", "kg_entity_cards", "kg_modularity"):
+                 "web_frontier", "kg_entity_cards", "kg_modularity",
+                 "prep_dataset_card"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

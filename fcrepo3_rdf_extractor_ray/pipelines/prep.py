@@ -329,3 +329,87 @@ def web_corpus_prep(docs_ds, k: int = 5, n_parts: int | None = None):
 
     return host_cap_sample(
         survivors.map_batches(with_host, batch_format="pyarrow"), k=k)
+
+
+def dataset_card(docs_ds, url_ds=None, n_parts: int | None = None):
+    """DATASET CARD: the one-row corpus summary every published
+    training set ships with — document/token volume, quality-gate keep
+    count, canonical-url/host coverage and the dominant language. The
+    end-of-pipeline report a data curator reads before a corpus is
+    released (and the number sheet a mixing recipe starts from).
+
+    Every figure is a STREAMING aggregate — the driver only ever holds
+    scalars and a vocabulary-sized language histogram: token totals
+    and gate keeps fold through Ray sum aggregates over per-batch
+    partials; distinct canonical urls / hosts go through ONE key-hash
+    exchange of per-batch-distinct partials (kind-tagged, so urls and
+    hosts share the exchange); the language histogram is a per-batch
+    combiner folded at lang granularity. ``url_ds`` is optional
+    (doc_id, url) — without it the url/host columns are 0.
+
+    Returns a one-row pandas DataFrame (n_docs, n_tokens, n_gate_keep,
+    n_canon_unique, n_hosts, top_lang, top_lang_n).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    from ..stages.text_analysis import gopher_filter, token_counts
+    n_parts = n_parts or default_parts(1.0)
+
+    n_docs = docs_ds.count()
+    n_tokens = int(token_counts(docs_ds).sum("n_tokens") or 0)
+    n_keep = int(gopher_filter(docs_ds).sum("keep") or 0)
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t["lang"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("lang").aggregate([("n", "sum")]))
+        return g.rename_columns(["lang", "n"])
+
+    hist = (docs_ds.map_batches(lang_partial, batch_format="pyarrow")
+            .to_pandas().groupby("lang", as_index=False)["n"].sum()
+            .sort_values(["n", "lang"], ascending=[False, True]))
+    top_lang = str(hist.iloc[0]["lang"]) if len(hist) else ""
+    top_lang_n = int(hist.iloc[0]["n"]) if len(hist) else 0
+
+    n_canon, n_hosts = 0, 0
+    if url_ds is not None:
+        from ..stages.web import canonicalize_urls
+        canon = canonicalize_urls(url_ds)
+
+        def dkeys(t: pa.Table) -> pa.Table:
+            t = t.filter(t["parse_ok"])
+            u = t["url_canon"]
+            host = pc.struct_field(
+                pc.extract_regex(u, r"^https?://(?P<h>[^/?#]+)"), "h")
+            both = pa.table({
+                "kind": pa.concat_arrays(
+                    [pa.array(np.zeros(t.num_rows, np.int64)),
+                     pa.array(np.ones(t.num_rows, np.int64))]),
+                "key": pa.concat_arrays([u.combine_chunks().cast(pa.string()),
+                                         host.combine_chunks()])})
+            g = both.group_by(["kind", "key"]).aggregate([])
+            return g.append_column(
+                "part", pa.array(fast_part_hash(g["key"], n_parts)))
+
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop_duplicates(["kind", "key"])
+            g = d.groupby("kind", as_index=False).agg(n=("key", "count"))
+            g["n"] = g["n"].astype("int64")
+            return g[["kind", "n"]]
+
+        parts = (canon.map_batches(dkeys, batch_format="pyarrow")
+                 .groupby("part").map_groups(cnt, batch_format="pandas")
+                 .to_pandas().groupby("kind")["n"].sum())
+        n_canon = int(parts.get(0, 0))
+        n_hosts = int(parts.get(1, 0))
+
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_tokens": pd.array([n_tokens], dtype="int64"),
+        "n_gate_keep": pd.array([n_keep], dtype="int64"),
+        "n_canon_unique": pd.array([n_canon], dtype="int64"),
+        "n_hosts": pd.array([n_hosts], dtype="int64"),
+        "top_lang": [top_lang],
+        "top_lang_n": pd.array([top_lang_n], dtype="int64")})

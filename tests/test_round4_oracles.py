@@ -404,6 +404,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("web_frontier", ["host", "frontier_rank"]),
     ("kg_entity_cards", ["entity"]),
     ("kg_modularity", ["community"]),
+    ("prep_dataset_card", ["n_docs"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -558,3 +559,34 @@ def test_modularity_two_cliques(ray_session):
         "community": ["A"] * 6}))
     row = modularity_profile(edges, one).take_all()[0]
     assert (row["e_in"], row["deg_sum"], row["q_num"]) == (7, 14, 0)
+
+
+def test_dataset_card_small_corpus(ray_session):
+    """Hand-built corpus: exact token totals, lang mode with
+    lexicographic tie-break, distinct canon urls/hosts (messy variants
+    collapse), and the no-url path zero-fills coverage columns."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import dataset_card
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one two three", "four five", "six", "seven eight"],
+        "lang": ["en", "de", "de", "en"]}))
+    urls = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["https://A.org/x#frag", "https://a.org/x",
+                "https://b.org:443/y/", "https://b.org/y"]}))
+    card = dataset_card(docs, urls)
+    row = card.iloc[0]
+    assert (row["n_docs"], row["n_tokens"]) == (4, 8)
+    # every doc is under min_tokens=20 -> gate keeps none
+    assert row["n_gate_keep"] == 0
+    # messy variants collapse: 2 canon urls over 2 hosts
+    assert (row["n_canon_unique"], row["n_hosts"]) == (2, 2)
+    # en/de tie at 2 -> lexicographically smaller lang wins
+    assert (row["top_lang"], row["top_lang_n"]) == ("de", 2)
+    # url-less card zero-fills the coverage columns
+    bare = dataset_card(docs).iloc[0]
+    assert (bare["n_canon_unique"], bare["n_hosts"]) == (0, 0)
+    assert bare["n_tokens"] == 8

@@ -802,6 +802,29 @@ def _q_mm_audio_zcr(sf_dir: str):
     return audio_zcr(items, window=256)
 
 
+def _q_mm_audio_pitch(sf_dir: str):
+    """REAL audio decode → per-window integer autocorrelation pitch
+    (best lag in [2,32], ties → smallest); the oracle recomputes the
+    int16 products from the synthetic PCM generator formula alone."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (audio_pitch,
+                                                             synthetic_wav)
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_wav(d, 1024 + (d % 5) * 256) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(to_wav,
+                                                  batch_format="pyarrow")
+    return audio_pitch(items, window=256)
+
+
 def _anchor_pages_batch(t):
     """Deterministic pages-with-anchors corpus: page d carries
     1 + d%3 outbound ``<a href>`` anchors; target id t = (7d+131j+11)
@@ -2186,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cards": _q_kg_entity_cards,
         "kg_modularity": _q_kg_modularity,
         "prep_dataset_card": _q_prep_dataset_card,
+        "mm_audio_pitch": _q_mm_audio_pitch,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -4132,6 +4156,34 @@ SELECT doc_id AS item_id, (i // 256)::INT AS window_no,
                      <> ((base + i) % 65536 - 32768 < 0))
            THEN 1 ELSE 0 END)::BIGINT AS n_zc
 FROM s GROUP BY doc_id, i // 256
+"""
+    # per-window integer autocorrelation pitch on the same PCM replay:
+    # R(lag) = Σ x[i]·x[i−lag] with pairs confined to the window;
+    # best lag in [2,32], ties → smallest lag
+    d["mm_audio_pitch"] = """
+WITH dims AS (
+  SELECT doc_id,
+         1024 + (doc_id % 5) * 256 AS n,
+         (doc_id * 2654435761) % 65536 AS base
+  FROM documents),
+s AS (SELECT doc_id, base, unnest(range(n)) AS i FROM dims),
+v AS (SELECT doc_id, i,
+             ((base + i) % 65536 - 32768)::BIGINT AS x
+      FROM s),
+p AS (SELECT a.doc_id, (a.i // 256)::INT AS window_no, l.lag,
+             sum(a.x * b.x)::BIGINT AS r
+      FROM v a
+      JOIN (SELECT unnest(range(2, 33)) AS lag) l ON true
+      JOIN v b ON b.doc_id = a.doc_id AND b.i = a.i - l.lag
+                  AND (b.i // 256) = (a.i // 256)
+      GROUP BY 1, 2, 3),
+rr AS (SELECT doc_id, window_no, lag, r,
+              row_number() OVER (PARTITION BY doc_id, window_no
+                                 ORDER BY r DESC, lag) AS rk
+       FROM p)
+SELECT doc_id AS item_id, window_no, lag::BIGINT AS best_lag,
+       r AS r_best
+FROM rr WHERE rk = 1
 """
     # host-level anchor link graph: the html is REBUILT in SQL
     # (string_agg over the per-target messy-url CASE), the engine's

@@ -180,7 +180,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_corpus_prep", "kg_entity_lift", "kg_fact_current",
                  "web_template", "web_link_recip", "kg_pred_stats",
                  "web_frontier", "kg_entity_cards", "kg_modularity",
-                 "prep_dataset_card"):
+                 "prep_dataset_card", "mm_audio_pitch"):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume fully (Datasets are lazy; pandas results already eager)

@@ -723,3 +723,59 @@ def audio_zcr(items_ds, window: int = 256, id_col="item_id",
 
     return items_ds.map_batches(fn, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+def audio_pitch(items_ds, window: int = 256, min_lag: int = 2,
+                max_lag: int = 32, id_col="item_id",
+                payload_col="payload", batch_size: int = 64):
+    """REAL audio decode → per-window integer AUTOCORRELATION pitch:
+    the lag in [min_lag, max_lag] maximizing ``R(lag) = Σ s[i]·s[i−lag]``
+    (pairs confined to the window, ties → smallest lag), plus the
+    winning correlation value — the classic pitch/periodicity detector,
+    kept all-integer (int16 products summed in int64) so the oracle
+    recomputes it from the synthetic generator formula alone while the
+    engine only sees RIFF bytes. Task form (stateless numpy codec);
+    per-item error containment like `audio_zcr`.
+
+    Vectorized across windows: samples reshape to (n_win, window) with
+    zero padding (padding contributes zero products, so tail windows
+    stay exact); each lag is one einsum over the window matrix.
+    Returns (item_id, window_no, best_lag, r_best)."""
+    lags = np.arange(min_lag, max_lag + 1, dtype=np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, wins, bests, rs = [], [], [], []
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                _, samples = decode_wav(payload)
+            except ValueError:
+                continue  # contained per item
+            if len(samples) == 0:
+                continue
+            n_win = -(-len(samples) // window)
+            w = np.zeros(n_win * window, dtype=np.int64)
+            w[:len(samples)] = samples.astype(np.int64)
+            w = w.reshape(n_win, window)
+            r = np.empty((n_win, len(lags)), dtype=np.int64)
+            for k, lag in enumerate(lags):
+                r[:, k] = np.einsum("ij,ij->i", w[:, lag:], w[:, :-lag])
+            k_best = r.argmax(axis=1)  # first max → smallest lag wins
+            ids.append(np.full(n_win, i, dtype=np.int64))
+            wins.append(np.arange(n_win, dtype=np.int32))
+            bests.append(lags[k_best])
+            rs.append(r[np.arange(n_win), k_best])
+
+        def cat(parts, dt):
+            return pa.array(
+                np.concatenate(parts) if parts else np.array([], dtype=dt))
+
+        return pa.table({
+            "item_id": cat(ids, np.int64),
+            "window_no": cat(wins, np.int32),
+            "best_lag": cat(bests, np.int64),
+            "r_best": cat(rs, np.int64),
+        })
+
+    return items_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)

@@ -405,6 +405,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("kg_entity_cards", ["entity"]),
     ("kg_modularity", ["community"]),
     ("prep_dataset_card", ["n_docs"]),
+    ("mm_audio_pitch", ["item_id", "window_no"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -590,3 +591,31 @@ def test_dataset_card_small_corpus(ray_session):
     bare = dataset_card(docs).iloc[0]
     assert (bare["n_canon_unique"], bare["n_hosts"]) == (0, 0)
     assert bare["n_tokens"] == 8
+
+
+def test_audio_pitch_square_wave_and_padding(ray_session):
+    """A period-8 square wave: R(8) = (256-8)·amp² beats every other
+    lag (lag multiples of 8 tie lower, ties broken by smallest lag);
+    the zero-padded tail window stays exact; malformed payloads are
+    contained per item."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (audio_pitch,
+                                                             encode_wav)
+
+    amp = 1000
+    period = np.array([amp] * 4 + [-amp] * 4, dtype=np.int16)
+    full = np.tile(period, 64)          # 512 samples = 2 full windows
+    short = np.tile(period, 38)[:300]   # window 1 has 44 samples + pad
+    items = rd.from_arrow(pa.table({
+        "item_id": [1, 2, 3],
+        "payload": [encode_wav(full), encode_wav(short), b"not a wav"]}))
+    out = audio_pitch(items, window=256).to_pandas()
+    assert set(out["item_id"]) == {1, 2}  # item 3 contained
+    one = out[out["item_id"] == 1].sort_values("window_no")
+    assert list(one["best_lag"]) == [8, 8]
+    assert list(one["r_best"]) == [(256 - 8) * amp * amp] * 2
+    two = out[out["item_id"] == 2].sort_values("window_no")
+    assert list(two["best_lag"]) == [8, 8]
+    # tail window: only the 44 real samples contribute products
+    assert two.iloc[1]["r_best"] == (44 - 8) * amp * amp

@@ -469,6 +469,15 @@ def _q_kg_label_prop(sf_dir: str):
     return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the co-occurrence
+    graph (integer ⌊10⁶·tri/C(deg,2)⌋ contract)."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        clustering_coefficients)
+
+    return clustering_coefficients(_q_kg_cooccurrence(sf_dir))
+
+
 def _q_kg_modularity(sf_dir: str):
     """Integer Newman-modularity profile of the 4-round label-prop
     partition over the co-occurrence graph (q_num / 4m² contract)."""
@@ -2210,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": _q_kg_modularity,
         "prep_dataset_card": _q_prep_dataset_card,
         "mm_audio_pitch": _q_mm_audio_pitch,
+        "kg_clustering": _q_kg_clustering,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3337,6 +3347,33 @@ e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
 SELECT count(*)::BIGINT AS n_triangles
 FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+        ),
+        # per-node local clustering coefficient on the same oriented
+        # edge set: triangle corners credited 3 ways, degree from the
+        # undirected expansion, cc = (2e6·tri) // (deg·(deg−1))
+        "kg_clustering": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
+      FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm),
+und AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM und GROUP BY 1),
+t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+c AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+      UNION ALL SELECT w FROM t),
+tc AS (SELECT node, count(*)::BIGINT AS n_tri FROM c GROUP BY 1)
+SELECT dg.node, dg.degree,
+       coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+       (CASE WHEN dg.degree >= 2
+             THEN (2000000 * coalesce(tc.n_tri, 0))
+                  // (dg.degree * (dg.degree - 1))
+             ELSE 0 END)::BIGINT AS cc_micro
+FROM deg dg LEFT JOIN tc USING (node)
 """
         ),
         "rel_cube": """

@@ -180,13 +180,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_corpus_prep", "kg_entity_lift", "kg_fact_current",
                  "web_template", "web_link_recip", "kg_pred_stats",
                  "web_frontier", "kg_entity_cards", "kg_modularity",
-                 "prep_dataset_card", "mm_audio_pitch"):
+                 "prep_dataset_card", "mm_audio_pitch", "kg_clustering"):
         t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        # consume fully (Datasets are lazy; pandas results already eager)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # one broken query must not null the whole round artifact:
+        # record -1 and keep timing the rest
+        try:
+            res = qs[name](sf_dir)
+            # consume fully (Datasets are lazy; pandas results eager)
+            if hasattr(res, "count"):
+                res.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"bench: {name} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            timings[name] = -1.0
 
     # model-slot contract at pool scale over the ×SCALE_REPEAT corpus
     timings["model_slot_x100"] = round(_model_slot(sf_dir, SCALE_REPEAT), 3)

@@ -406,6 +406,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("kg_modularity", ["community"]),
     ("prep_dataset_card", ["n_docs"]),
     ("mm_audio_pitch", ["item_id", "window_no"]),
+    ("kg_clustering", ["node"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -619,3 +620,24 @@ def test_audio_pitch_square_wave_and_padding(ray_session):
     assert list(two["best_lag"]) == [8, 8]
     # tail window: only the 44 real samples contribute products
     assert two.iloc[1]["r_best"] == (44 - 8) * amp * amp
+
+
+def test_clustering_coefficients_known_graph(ray_session):
+    """K4 minus one edge: the two degree-3 nodes sit on both triangles
+    (cc = 2/3), the two degree-2 nodes on one each (cc = 1); an
+    isolated-edge pair has degree 1 and cc 0."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        clustering_coefficients)
+
+    edges = rd.from_arrow(pa.table({
+        "norm_a": ["a", "a", "a", "b", "b", "x"],
+        "norm_b": ["b", "c", "d", "c", "d", "y"]}))
+    got = {r["node"]: (r["degree"], r["n_tri"], r["cc_micro"])
+           for r in clustering_coefficients(edges).take_all()}
+    assert got["a"] == (3, 2, 666666)
+    assert got["b"] == (3, 2, 666666)
+    assert got["c"] == (2, 1, 1000000)
+    assert got["d"] == (2, 1, 1000000)
+    assert got["x"] == (1, 0, 0) and got["y"] == (1, 0, 0)

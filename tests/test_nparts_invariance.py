@@ -110,3 +110,56 @@ def test_derived_defaults_flagship_unchanged(fn_name, sf_dir, ray_session):
     res = em.queries()[fn_name](sf_dir)
     df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     assert len(df) > 0
+
+
+def test_round4f_ops_nparts_invariant(ray_session):
+    """The round-4f exchanges are partition-count independent: link
+    reciprocity, pred stats, modularity, and clustering coefficients
+    return identical rows at n_parts ∈ {3, 16, 64} on a random graph /
+    fact stream."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pred_stats
+    from fcrepo3_rdf_extractor_ray.stages.graph import (
+        clustering_coefficients, modularity_profile)
+    from fcrepo3_rdf_extractor_ray.stages.web import link_reciprocity
+
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = sorted({tuple(sorted(rng.choice(nodes, 2, replace=False)))
+                    for _ in range(120)})
+    edges_t = pa.table({"norm_a": [p[0] for p in pairs],
+                        "norm_b": [p[1] for p in pairs]})
+    host_t = pa.table({
+        "src_host": [p[rng.randint(2)] for p in pairs],
+        "dst_host": [p[1 - rng.randint(2)] for p in pairs],
+        "n_links": [int(rng.randint(1, 9)) for _ in pairs]})
+    facts_t = pa.table({
+        "subj": [f"e{rng.randint(12)}" for _ in range(400)],
+        "pred": [f"p{rng.randint(4)}" for _ in range(400)],
+        "obj": [f"e{rng.randint(15)}" for _ in range(400)]})
+    labels_t = pa.table({"node": nodes,
+                         "community": [f"c{i % 4}" for i in
+                                       range(len(nodes))]})
+
+    def frame(res):
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        return (df[sorted(df.columns)]
+                .sort_values(sorted(df.columns)).reset_index(drop=True))
+
+    for build in (
+        lambda np_: link_reciprocity(
+            rd.from_arrow(host_t).repartition(5), n_parts=np_),
+        lambda np_: pred_stats(
+            rd.from_arrow(facts_t).repartition(5), n_parts=np_),
+        lambda np_: modularity_profile(
+            rd.from_arrow(edges_t).repartition(5),
+            rd.from_arrow(labels_t), n_parts=np_),
+        lambda np_: clustering_coefficients(
+            rd.from_arrow(edges_t).repartition(5), n_parts=np_),
+    ):
+        ref = frame(build(3))
+        assert len(ref) > 0
+        for np_ in (16, 64):
+            got = frame(build(np_))
+            pd.testing.assert_frame_equal(got, ref)

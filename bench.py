@@ -111,7 +111,11 @@ def _model_slot(sf_dir: str, repeat: int) -> float:
     ray.kill(counter)
     assert n > 0
     assert 1 <= loads <= bounds[1], (loads, bounds)   # once per ACTOR
-    assert batches > loads, (batches, loads)          # state reused
+    assert batches >= loads, (batches, loads)         # every load used
+    # strict reuse is only provable when the corpus yields more batches
+    # than the pool cap (a tiny smoke corpus can be 1 batch / 1 actor)
+    if batches > bounds[1]:
+        assert batches > loads, (batches, loads)      # state reused
     return sec
 
 

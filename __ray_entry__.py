@@ -1016,6 +1016,16 @@ def _q_web_dedup_canon(sf_dir: str):
     return dedup_by_canonical_url(ds)
 
 
+def _q_web_dup_profile(sf_dir: str):
+    """Dup-cluster size histogram over the canonical-url groups of the
+    dup-heavy messy-url corpus (cluster_size, n_clusters, n_docs)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import dup_cluster_profile
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_urls_batch,
+                                               batch_format="pyarrow")
+    return dup_cluster_profile(ds)
+
+
 def _q_web_corpus_prep(sf_dir: str):
     """End-to-end web training-corpus prep: canonical-url crawl dedup →
     Gopher quality gate on the winners → per-host sampling cap (k=5),
@@ -2220,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_dataset_card": _q_prep_dataset_card,
         "mm_audio_pitch": _q_mm_audio_pitch,
         "kg_clustering": _q_kg_clustering,
+        "web_dup_profile": _q_web_dup_profile,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3976,6 +3987,15 @@ c AS (
 SELECT url_canon, min(doc_id)::BIGINT AS doc_id
 FROM c GROUP BY url_canon
 """
+    # dup-cluster size histogram over the SAME canon replay
+    d["web_dup_profile"] = d["web_dedup_canon"].replace(
+        "SELECT url_canon, min(doc_id)::BIGINT AS doc_id\n"
+        "FROM c GROUP BY url_canon",
+        """SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs
+FROM (SELECT url_canon, count(*)::BIGINT AS cluster_size
+      FROM c GROUP BY url_canon)
+GROUP BY cluster_size""", 1)
     # k-core: the SAME bounded Jacobi peel the engine runs (20 rounds,
     # k=2), as a recursive CTE carrying a round counter — each round
     # recomputes all degrees via window counts over the symmetric edge

@@ -184,7 +184,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_corpus_prep", "kg_entity_lift", "kg_fact_current",
                  "web_template", "web_link_recip", "kg_pred_stats",
                  "web_frontier", "kg_entity_cards", "kg_modularity",
-                 "prep_dataset_card", "mm_audio_pitch", "kg_clustering"):
+                 "prep_dataset_card", "mm_audio_pitch", "kg_clustering",
+                 "web_dup_profile"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

@@ -877,3 +877,56 @@ def frontier_scores(pages_ds, ranks_ds, k: int = 3,
 
     return (pages_ds.map_batches(score, batch_format="pyarrow")
             .groupby("part").map_groups(head_k, batch_format="pandas"))
+
+
+def dup_cluster_profile(ds, url_col: str = "url", id_col: str = "doc_id",
+                        n_parts: int | None = None):
+    """DUP-CLUSTER SIZE HISTOGRAM over canonical-url groups — the
+    curation report behind every crawl-dedup decision (how much of the
+    corpus is singleton vs 2-dup vs mega-cluster; the long tail decides
+    whether address-level dedup is worth running before content-level).
+    Per cluster size k: how many canonical urls have exactly k crawled
+    variants and how many documents that covers. Returns
+    (cluster_size, n_clusters, n_docs).
+
+    Shape: canonicalize (stateless) → per-batch (canon, n) combiner →
+    ONE canon-hash exchange (global count per canonical url) → each
+    partition folds its counts into a SIZE-histogram partial (sizes are
+    few) → one tiny size-keyed fold. Unparseable urls count as their
+    own singleton clusters (parse_ok=false keeps the raw url as key,
+    matching `canonicalize_urls`)."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (pa.table({"url_canon": t["url_canon"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("url_canon").aggregate([("n", "sum")]))
+        g = g.rename_columns(["url_canon", "n"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["url_canon"], n_parts)))
+
+    def histo(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("url_canon")["n"].sum()
+        g = (sizes.value_counts().rename_axis("cluster_size")
+             .reset_index(name="n_clusters"))
+        g["cluster_size"] = g["cluster_size"].astype("int64")
+        g["n_clusters"] = g["n_clusters"].astype("int64")
+        g["n_docs"] = (g["cluster_size"] * g["n_clusters"]).astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_size", as_index=False)[
+            ["n_clusters", "n_docs"]].sum()
+        for c in ("cluster_size", "n_clusters", "n_docs"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (canon.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(histo, batch_format="pandas")
+            .repartition(4)
+            .groupby("cluster_size").map_groups(fold,
+                                                batch_format="pandas"))

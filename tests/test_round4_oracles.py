@@ -407,6 +407,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("prep_dataset_card", ["n_docs"]),
     ("mm_audio_pitch", ["item_id", "window_no"]),
     ("kg_clustering", ["node"]),
+    ("web_dup_profile", ["cluster_size"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):

@@ -168,3 +168,22 @@ def test_link_reciprocity_mixed_and_self_loops(ray_session):
         "c": (1, 0, 0),        # out: d, no edge back
         "d": (1, 0, 0),        # out: a, a does not link d
     }
+
+
+def test_dup_cluster_profile_mixed_sizes(ray_session):
+    from fcrepo3_rdf_extractor_ray.stages.web import dup_cluster_profile
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(1, 8)),
+        "url": [
+            "https://a.org/x",            # cluster of 3 (messy variants)
+            "https://A.org/x#frag",
+            "https://a.org:443/x/",
+            "https://b.org/y",            # pair
+            "https://b.org/y?utm_s=1",
+            "https://c.org/z",            # singleton
+            "not a url at all",           # unparseable -> raw singleton
+        ]}))
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in dup_cluster_profile(ds).take_all()}
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}

@@ -469,6 +469,15 @@ def _q_kg_label_prop(sf_dir: str):
     return label_prop_communities(_q_kg_cooccurrence(sf_dir), rounds=4)
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Exact-integer degree-mixing sufficient statistics (m, Σjk,
+    Σ(j+k), Σ(j²+k²)) over the co-occurrence graph — Newman's degree
+    assortativity is one driver-side division away."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import degree_mixing_stats
+
+    return degree_mixing_stats(_q_kg_cooccurrence(sf_dir))
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the co-occurrence
     graph (integer ⌊10⁶·tri/C(deg,2)⌋ contract)."""
@@ -2231,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_pitch": _q_mm_audio_pitch,
         "kg_clustering": _q_kg_clustering,
         "web_dup_profile": _q_web_dup_profile,
+        "kg_assortativity": _q_kg_assortativity,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -3358,6 +3368,25 @@ e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
 SELECT count(*)::BIGINT AS n_triangles
 FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+        ),
+        # degree-mixing sufficient statistics on the same oriented
+        # edge set (assortativity numerators; exact BIGINT sums)
+        "kg_assortativity": (
+            _U_CTE
+            + ", m AS (" + _MENTIONS_SQL + ")"
+            + """,
+d AS (SELECT DISTINCT src_url, norm FROM m),
+e AS (SELECT DISTINCT a.norm AS a, b.norm AS b
+      FROM d a JOIN d b ON a.src_url = b.src_url AND a.norm < b.norm),
+und AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS dg FROM und GROUP BY 1)
+SELECT count(*)::BIGINT AS m,
+       sum(ja.dg * jb.dg)::BIGINT AS sum_jk,
+       sum(ja.dg + jb.dg)::BIGINT AS sum_j_plus_k,
+       sum(ja.dg * ja.dg + jb.dg * jb.dg)::BIGINT AS sum_jj_plus_kk
+FROM e JOIN deg ja ON ja.node = e.a
+       JOIN deg jb ON jb.node = e.b
 """
         ),
         # per-node local clustering coefficient on the same oriented

@@ -2442,3 +2442,81 @@ def clustering_coefficients(edges_ds, a_col: str = "norm_a",
                              "cc_micro": cc.astype(np.int64)})
 
     return merged.groupby("p2").map_groups(fold, batch_format="pandas")
+
+
+def degree_mixing_stats(edges_ds, a_col: str = "norm_a",
+                        b_col: str = "norm_b",
+                        n_parts: int | None = None):
+    """DEGREE-MIXING sufficient statistics — the exact-integer inputs
+    to Newman's degree assortativity: over the distinct undirected
+    edges, the edge count ``m`` and the sums Σ j·k, Σ (j+k) and
+    Σ (j²+k²) of endpoint degrees. The float coefficient
+    ``r = (Σjk/m − (Σ(j+k)/2m)²) / (Σ(j²+k²)/2m − (Σ(j+k)/2m)²)``
+    is one driver-side division away — publishing the integer sums
+    keeps the distributed result bit-exact and SQL-replayable (the
+    same numerator-contract idea as `modularity_profile`).
+
+    Shape: distinct oriented edges → per-node degree partials → the
+    degree table attaches to both endpoints via two co-partitioned
+    tag-union merges (degrees move, never broadcast) → per-batch
+    partial sums → ONE scalar fold. Returns a one-row frame
+    (m, sum_jk, sum_j_plus_k, sum_jj_plus_kk)."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+
+    def to_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string())})
+
+    edges = _distinct(edges_ds.map_batches(to_ab, batch_format="pyarrow"),
+                      ["a", "b"], n_parts=n_parts).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["a"].combine_chunks(),
+                                 t["b"].combine_chunks()])
+        g = (pa.table({"node": node,
+                       "d": pa.array(np.ones(len(node), np.int64))})
+             .group_by("node").aggregate([("d", "sum")]))
+        g = g.rename_columns(["node", "d"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["node"], n_parts)))
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["d"].sum()
+        # _attach_val carries the value as a string column
+        return pd.DataFrame({"node": g["node"],
+                             "val": g["d"].astype("int64").astype(str)})
+
+    degs = (edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("part").map_groups(deg_fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+    labeled = _attach_val(
+        _attach_val(edges, degs, "a", "dj", n_parts),
+        degs, "b", "dk", n_parts)
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["dj"].astype("int64").to_numpy()
+        k = df["dk"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "m": pd.array([len(df)], dtype="int64"),
+            "sum_jk": pd.array([int((j * k).sum())], dtype="int64"),
+            "sum_j_plus_k": pd.array([int((j + k).sum())], dtype="int64"),
+            "sum_jj_plus_kk": pd.array([int((j * j + k * k).sum())],
+                                       dtype="int64")})
+
+    from ray.data.aggregate import Sum
+
+    parts = labeled.map_batches(sums, batch_format="pandas")
+    agg = parts.aggregate(Sum("m"), Sum("sum_jk"), Sum("sum_j_plus_k"),
+                          Sum("sum_jj_plus_kk"))
+    return pd.DataFrame({
+        "m": pd.array([agg["sum(m)"] or 0], dtype="int64"),
+        "sum_jk": pd.array([agg["sum(sum_jk)"] or 0], dtype="int64"),
+        "sum_j_plus_k": pd.array([agg["sum(sum_j_plus_k)"] or 0],
+                                 dtype="int64"),
+        "sum_jj_plus_kk": pd.array([agg["sum(sum_jj_plus_kk)"] or 0],
+                                   dtype="int64")})

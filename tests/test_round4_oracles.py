@@ -408,6 +408,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("mm_audio_pitch", ["item_id", "window_no"]),
     ("kg_clustering", ["node"]),
     ("web_dup_profile", ["cluster_size"]),
+    ("kg_assortativity", ["m"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -642,3 +643,38 @@ def test_clustering_coefficients_known_graph(ray_session):
     assert got["c"] == (2, 1, 1000000)
     assert got["d"] == (2, 1, 1000000)
     assert got["x"] == (1, 0, 0) and got["y"] == (1, 0, 0)
+
+
+def test_degree_mixing_matches_brute_force(ray_session):
+    """The integer sufficient statistics equal the brute-force sums on
+    a random graph, and the derived assortativity matches the direct
+    Pearson computation."""
+    import itertools
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import degree_mixing_stats
+
+    rng = np.random.RandomState(3)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = sorted({tuple(sorted(rng.choice(nodes, 2, replace=False)))
+                    for _ in range(40)})
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(edges)
+    sjk = sum(deg[a] * deg[b] for a, b in edges)
+    sjpk = sum(deg[a] + deg[b] for a, b in edges)
+    sjjkk = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    t = pa.table({"norm_a": [e[0] for e in edges],
+                  "norm_b": [e[1] for e in edges]})
+    row = degree_mixing_stats(rd.from_arrow(t).repartition(3)).iloc[0]
+    assert (row["m"], row["sum_jk"], row["sum_j_plus_k"],
+            row["sum_jj_plus_kk"]) == (m, sjk, sjpk, sjjkk)
+    # derived r equals the direct Pearson over the edge-endpoint pairs
+    mu = sjpk / (2 * m)
+    r = (sjk / m - mu * mu) / (sjjkk / (2 * m) - mu * mu)
+    js = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges])
+    ks = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges])
+    assert abs(r - np.corrcoef(js, ks)[0, 1]) < 1e-9

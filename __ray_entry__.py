@@ -635,6 +635,16 @@ def _q_kg_fact_support(sf_dir: str):
     return fact_support(_q_kg_fact_quads(sf_dir))
 
 
+def _q_kg_violations(sf_dir: str):
+    """Functional-property violations for kg:basedIn (HQ should be
+    one place): subjects asserting ≥2 distinct objects, with the
+    sorted conflicting object set."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import functional_violations
+
+    return functional_violations(_q_kg_fact_quads(sf_dir),
+                                 preds=["kg:basedIn"])
+
+
 def _q_kg_pred_stats(sf_dir: str):
     """Per-predicate ontology profile over the canonical fact quads:
     assertion volume, triple/subject/object cardinalities, and the
@@ -2241,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _q_kg_clustering,
         "web_dup_profile": _q_web_dup_profile,
         "kg_assortativity": _q_kg_assortativity,
+        "kg_violations": _q_kg_violations,
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2786,6 +2797,17 @@ LEFT JOIN (SELECT entity, sum(n)::BIGINT AS n_facts_out
            FROM fo GROUP BY 1) ft USING (entity)
 LEFT JOIN fi USING (entity)
 LEFT JOIN tp ON tp.entity = e.entity AND tp.rk = 1
+"""),
+        # kg_violations: functional-property QA — kg:basedIn slots
+        # with ≥2 distinct objects, objects sorted and '|'-joined
+        "kg_violations": (
+            _U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+t AS (SELECT DISTINCT subj, pred, obj FROM f
+      WHERE pred = 'kg:basedIn')
+SELECT subj, pred, count(*)::BIGINT AS n_obj,
+       string_agg(obj, '|' ORDER BY obj) AS objs
+FROM t GROUP BY subj, pred
+HAVING count(*) >= 2
 """),
         # kg_pred_stats: per-predicate ontology profile over the same
         # fact-quad replay (pipelines/kg.pred_stats)

@@ -811,3 +811,53 @@ def entity_cards(facts_ds, mentions_ds, pages_ds, mapping: dict[str, str],
 
     return tagged.groupby("part").map_groups(assemble,
                                              batch_format="pandas")
+
+
+def functional_violations(facts_ds, preds: list[str],
+                          n_parts: int | None = None):
+    """KG SCHEMA QA: for predicates DECLARED functional (one object per
+    subject — the `pred_stats` detector or an ontology supplies the
+    list), every violating (subject, predicate) slot with its distinct
+    object count and the full conflicting object set — the triage
+    table a KG curator works through before `current_facts` supersedes
+    by recency. Objects are emitted lexicographically sorted and
+    '|'-joined so the row is deterministic and SQL-replayable.
+
+    Shape: stateless predicate filter → per-batch distinct combiner →
+    ONE (pred, subj)-hash exchange (a slot's objects fully colocate) →
+    vectorized per-partition groupby keeping only n_obj ≥ 2 slots.
+    Returns (subj, pred, n_obj, objs).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    pred_set = pa.array(sorted(preds), pa.string())
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["pred"], value_set=pred_set))
+        g = (pa.table({"subj": t["subj"], "pred": t["pred"],
+                       "obj": t["obj"]})
+             .group_by(["subj", "pred", "obj"]).aggregate([]))
+        key = pc.binary_join_element_wise(g["pred"], g["subj"], "\x1f")
+        return g.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates(["subj", "pred", "obj"])
+             .sort_values(["subj", "pred", "obj"]))
+        # vectorized slot sizes first; the per-group string join only
+        # ever touches the (small) violating subset
+        sizes = d.groupby(["subj", "pred"])["obj"].transform("size")
+        v = d[sizes >= 2]
+        g = v.groupby(["subj", "pred"], as_index=False).agg(
+            n_obj=("obj", "count"),
+            objs=("obj", "|".join))
+        g["n_obj"] = g["n_obj"].astype("int64")
+        return g[["subj", "pred", "n_obj", "objs"]]
+
+    return (facts_ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))

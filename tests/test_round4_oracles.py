@@ -409,6 +409,7 @@ def test_web_corpus_prep_is_subset_of_stages(entry, sf_dir, ray_session):
     ("kg_clustering", ["node"]),
     ("web_dup_profile", ["cluster_size"]),
     ("kg_assortativity", ["m"]),
+    ("kg_violations", ["subj", "pred"]),
 ])
 def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
                                name, sort_cols):
@@ -678,3 +679,23 @@ def test_degree_mixing_matches_brute_force(ray_session):
     js = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges])
     ks = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges])
     assert abs(r - np.corrcoef(js, ks)[0, 1]) < 1e-9
+
+
+def test_functional_violations_semantics(ray_session):
+    """Duplicate assertions collapse; only ≥2-distinct-object slots
+    surface; objects come back sorted and joined; non-listed
+    predicates are ignored."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (
+        functional_violations)
+
+    facts = rd.from_arrow(pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c"],
+        "pred": ["p:f", "p:f", "p:f", "p:f", "p:other", "p:f"],
+        "obj": ["y", "x", "x", "z", "w", "q"]}))
+    rows = functional_violations(facts, preds=["p:f"]).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subj"], r["pred"], r["n_obj"], r["objs"]) == (
+        "a", "p:f", 2, "x|y")

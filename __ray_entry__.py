@@ -2769,9 +2769,9 @@ pt AS (SELECT 'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
        FROM documents),
 a AS (SELECT entity, count(*)::BIGINT AS n_mentions,
              count(DISTINCT l.src_url)::BIGINT AS n_pages,
-             min(pt.ts_us)::BIGINT AS first_us,
-             max(pt.ts_us)::BIGINT AS last_us
-      FROM lk l JOIN pt ON pt.url = l.src_url GROUP BY 1),
+             min(coalesce(pt.ts_us, 0))::BIGINT AS first_us,
+             max(coalesce(pt.ts_us, 0))::BIGINT AS last_us
+      FROM lk l LEFT JOIN pt ON pt.url = l.src_url GROUP BY 1),
 fo AS (SELECT subj AS entity, pred, count(*)::BIGINT AS n
        FROM f GROUP BY 1, 2),
 tp AS (SELECT entity, pred, n,

@@ -503,9 +503,9 @@ def test_entity_cards_fusion_semantics(ray_session):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import entity_cards
 
     mentions = rd.from_arrow(pa.table({
-        "src_url": ["u1", "u1", "u2", "u2"],
-        "surface": ["Alpha", "Alpha", "alpha", "Mystery"],
-        "norm": ["alpha", "alpha", "alpha", "mystery"]}))
+        "src_url": ["u1", "u1", "u2", "u2", "u9"],
+        "surface": ["Alpha", "Alpha", "alpha", "Mystery", "Ghost"],
+        "norm": ["alpha", "alpha", "alpha", "mystery", "ghost"]}))
     pages = rd.from_pandas(pd.DataFrame({
         "url": ["u1", "u2", "u3"],
         "warc_ts": pd.to_datetime([1_000_000, 2_000_000, 3_000_000],
@@ -535,8 +535,12 @@ def test_entity_cards_fusion_semantics(ray_session):
             b["last_us"]) == (0, 0, 0, 0)
     assert (b["n_facts_out"], b["n_facts_in"],
             b["top_pred"], b["top_pred_n"]) == (1, 1, "p:x", 1)
+    # a mention on a url with no page row keeps zero time bounds
+    gh = got["ent:sk:ghost"]
+    assert (gh["n_mentions"], gh["n_pages"], gh["first_us"],
+            gh["last_us"]) == (1, 1, 0, 0)
     # literal objects never become cards
-    assert "lit" not in got and len(got) == 3
+    assert "lit" not in got and len(got) == 4
 
 
 def test_modularity_two_cliques(ray_session):

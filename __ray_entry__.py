@@ -391,9 +391,12 @@ def _q_kg_mentions(sf_dir: str):
 
 
 def _messy_url_batch(t):
-    """Deterministically-messied urls (upper case, default ports,
-    fragments, trailing slashes, unsorted + tracking query params by
-    doc_id%5); every rule replays in SQL. Shared by the web_* queries."""
+    """Deterministically-messied urls, ONE url per doc (upper case,
+    default ports, fragments, trailing slashes, unsorted + tracking
+    query params by doc_id % 5); every rule replays inline via the
+    `CASE doc_id % 5` CTE of the web_url_canon / web_host_* /
+    prep_dataset_card / web_frontier oracles. NOT the paired-dup
+    corpus — that is _paired_dup_urls_batch (`CASE doc_id % 4`)."""
     import numpy as np
     import pyarrow as pa
 
@@ -1002,11 +1005,15 @@ def _q_kg_kcore(sf_dir: str):
     return kcore_nodes(_q_kg_cooccurrence(sf_dir), k=2, max_rounds=20)
 
 
-def _messy_urls_batch(t):
-    """Deterministic messy-url corpus: PAIRS of docs (doc_id // 2)
-    share one base address through different surface forms (fragment /
-    port / trailing slash / tracking params), so canonicalization is
-    what actually merges them. Keeps any extra input columns."""
+def _paired_dup_urls_batch(t):
+    """Deterministic DUP-HEAVY url corpus: PAIRS of docs (doc_id // 2)
+    share one base address through different surface forms (doc_id % 4
+    variants: fragment / tracking params / upper+port), so
+    canonicalization is what actually merges them. Keeps any extra
+    input columns. Replayed inline by the `CASE doc_id % 4` CTE of
+    the web_dedup_canon / web_dup_profile / web_corpus_prep /
+    prep_mix_report oracles. NOT the per-doc %5-variant corpus — that
+    is _messy_url_batch (singular), `CASE doc_id % 5` oracles."""
     import numpy as np
     import pyarrow as pa
 
@@ -1030,7 +1037,7 @@ def _q_web_dedup_canon(sf_dir: str):
     the min doc_id per canonical url."""
     from fcrepo3_rdf_extractor_ray.stages.web import dedup_by_canonical_url
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_urls_batch,
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_paired_dup_urls_batch,
                                                batch_format="pyarrow")
     return dedup_by_canonical_url(ds)
 
@@ -1040,7 +1047,7 @@ def _q_web_dup_profile(sf_dir: str):
     dup-heavy messy-url corpus (cluster_size, n_clusters, n_docs)."""
     from fcrepo3_rdf_extractor_ray.stages.web import dup_cluster_profile
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_urls_batch,
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_paired_dup_urls_batch,
                                                batch_format="pyarrow")
     return dup_cluster_profile(ds)
 
@@ -1052,7 +1059,7 @@ def _q_web_corpus_prep(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.prep import web_corpus_prep
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _messy_urls_batch, batch_format="pyarrow")
+        _paired_dup_urls_batch, batch_format="pyarrow")
     return web_corpus_prep(ds, k=5)
 
 
@@ -2176,11 +2183,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so entries WITHOUT a green driver CORRECTNESS row come
     # first: the driver's gate samples the first 50 entries per round,
     # so rotation converts one-off verification into durable signal
-    # (VERDICT r02 ask #1). Round-4 front: the 24 oracle entries never
-    # yet driver-checked (22 never sampled + ta_fingerprint_rolling and
-    # dedup_simhash, whose exact oracles landed after their last check),
-    # then this round's NEW queries, then rounds 1-3 green entries.
+    # (VERDICT r02 ask #1). Round-5 front: the 15 late-round-4 oracle
+    # entries that no driver window has ever sampled (VERDICT r04 ask
+    # #1; all 15 verified green in the independent 161/161 sf0.01
+    # sweep), then the round-4 green entries, then rounds 1-3 greens.
     return {
+        "web_corpus_prep": _q_web_corpus_prep,
+        "kg_entity_lift": _q_kg_entity_lift,
+        "kg_fact_current": _q_kg_fact_current,
+        "web_template": _q_web_template,
+        "web_link_recip": _q_web_link_recip,
+        "kg_pred_stats": _q_kg_pred_stats,
+        "web_frontier": _q_web_frontier,
+        "kg_entity_cards": _q_kg_entity_cards,
+        "kg_modularity": _q_kg_modularity,
+        "prep_dataset_card": _q_prep_dataset_card,
+        "mm_audio_pitch": _q_mm_audio_pitch,
+        "kg_clustering": _q_kg_clustering,
+        "web_dup_profile": _q_web_dup_profile,
+        "kg_assortativity": _q_kg_assortativity,
+        "kg_violations": _q_kg_violations,
+        # the 3 legit no_oracle entries, also never driver-sampled —
+        # fronted for at least a rows-only driver row this round:
+        "dedup_embedding": _q_dedup_embedding,
+        "sim_knn_ivf": _q_sim_knn_ivf,
+        "mm_image_features": _q_mm_image_features,
+        # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
         "rel_retention": _q_rel_retention,
@@ -2235,23 +2263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "prep_mix_report": _q_prep_mix_report,
         # positions 51+ — outside this round's 50-entry driver window
-        # (pytest + independent sf0.01 sweep cover them); round-5
-        # rotation: move these to the FRONT of this dict
-        "web_corpus_prep": _q_web_corpus_prep,
-        "kg_entity_lift": _q_kg_entity_lift,
-        "kg_fact_current": _q_kg_fact_current,
-        "web_template": _q_web_template,
-        "web_link_recip": _q_web_link_recip,
-        "kg_pred_stats": _q_kg_pred_stats,
-        "web_frontier": _q_web_frontier,
-        "kg_entity_cards": _q_kg_entity_cards,
-        "kg_modularity": _q_kg_modularity,
-        "prep_dataset_card": _q_prep_dataset_card,
-        "mm_audio_pitch": _q_mm_audio_pitch,
-        "kg_clustering": _q_kg_clustering,
-        "web_dup_profile": _q_web_dup_profile,
-        "kg_assortativity": _q_kg_assortativity,
-        "kg_violations": _q_kg_violations,
+        # (pytest + independent sf0.01 sweep cover them; every entry
+        # below has at least one green driver row from rounds 1-4):
         "kg_quads_parse_once": _q_kg_quads_parse_once,
         "kg_mentions_parse_once": _q_kg_mentions_parse_once,
         "ta_token_bpe": _q_ta_token_bpe,
@@ -2315,10 +2328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_fingerprint": _q_ta_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
         "sim_knn_brute": _q_sim_knn_brute,
         "sim_knn_filtered": _q_sim_knn_filtered,
-        "sim_knn_ivf": _q_sim_knn_ivf,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
@@ -2350,7 +2361,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_sample": _q_ta_sample,
         "ta_quantiles": _q_ta_quantiles,
         "kg_adjacency_stats": _q_kg_adjacency_stats,
-        "mm_image_features": _q_mm_image_features,
     }
 
 

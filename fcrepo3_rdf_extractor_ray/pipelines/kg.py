@@ -538,8 +538,12 @@ def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
         # contributes its LATEST fetch to every fact it asserts)
         ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
               .groupby("url")["ts_us"].max())
+        # CONTRACT: a fact whose src_url has no pages row carries no
+        # fetch time and cannot participate in recency supersession —
+        # it is DROPPED, matching the oracle's inner join on uts
+        # (pageless facts are unknowable-as-of, not infinitely old).
         rows = df[df["subj"].notna()].merge(
-            ts, left_on="url", right_index=True, how="left",
+            ts, left_on="url", right_index=True, how="inner",
             suffixes=("", "_p"))
         out = rows[["subj", "pred", "obj", "url"]].copy()
         out["ts_us"] = rows["ts_us_p"].astype("int64")

@@ -421,11 +421,51 @@ def test_round4d_oracles_exact(entry, sf_dir, duck, ray_session,
 
 def test_fact_current_is_latest(entry, sf_dir, ray_session):
     """Every current fact carries the max fetch time among the slot's
-    assertions (cross-check against the full fact stream)."""
+    assertions (cross-check against the full fact stream joined to the
+    page fetch times — not just slot count/uniqueness)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+
     cur = entry.queries()["kg_fact_current"](sf_dir).to_pandas()
     facts = entry.queries()["kg_fact_quads"](sf_dir).to_pandas()
     assert len(cur) == len(facts.groupby(["subj", "pred"]))
     assert cur.groupby(["subj", "pred"]).size().max() == 1
+    # recency: join each slot to the max page fetch time among its
+    # assertions' source urls and demand last_ts equals it
+    pages = pages_for_sf(sf_dir).to_pandas()
+    url_ts = pages.groupby("url")["warc_ts"].max()
+    facts = facts.assign(page_ts=facts["src_url"].map(url_ts))
+    assert facts["page_ts"].notna().all()  # sf corpus: no pageless facts
+    slot_max = (facts.groupby(["subj", "pred"])["page_ts"].max()
+                .rename("want_ts"))
+    chk = cur.merge(slot_max, left_on=["subj", "pred"], right_index=True)
+    assert len(chk) == len(cur)
+    assert (chk["last_ts"] == chk["want_ts"]).all()
+
+
+def test_fact_current_drops_pageless_facts(ray_session):
+    """CONTRACT (ADVICE r04): a fact whose src_url has no pages row is
+    dropped — it cannot win a slot, and a slot asserted ONLY by
+    pageless facts is absent from the snapshot (matches the oracle's
+    inner join; previously this raised IntCastingNaNError)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import current_facts
+
+    facts = rd.from_arrow(pa.table({
+        "subj": ["a", "a", "b"],
+        "pred": ["p", "p", "p"],
+        "obj": ["old", "new", "orphan"],
+        "src_url": ["u1", "u9", "u9"]}))  # u9 has no page row
+    pages = rd.from_pandas(pd.DataFrame({
+        "url": ["u1"],
+        "warc_ts": pd.to_datetime([1_000_000], unit="us")}))
+    out = current_facts(facts, pages, n_parts=2).to_pandas()
+    # slot (a, p): only the paged assertion u1/"old" survives; slot
+    # (b, p) is asserted solely from the pageless u9 and is absent
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["subj"], r["pred"], r["obj"], r["src_url"]) == (
+        "a", "p", "old", "u1")
 
 
 def test_entity_lift_bounds(entry, sf_dir, ray_session):

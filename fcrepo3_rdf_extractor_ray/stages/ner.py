@@ -269,9 +269,9 @@ def mention_lift(mentions_ds, n_parts: int | None = None):
     same co-located group, no second scan of the mention stream) →
     one (kind, pair)-keyed aggregate. The pair stream stays
     distributed; only the entity-frequency side (entity-vocabulary
-    sized, ~1e6-1e8 rows at web scale — object-store broadcast, not a
-    shuffle join) is collected and ``ray.put`` once for the final
-    stateless lift map.
+    sized — object-store broadcast, not a shuffle join) is collected
+    as Arrow block refs into one Arrow table (never through driver
+    pandas) and ``ray.put`` once for the final stateless lift map.
     """
     from ..runtime import default_parts
     n_parts = n_parts or default_parts(1.0)
@@ -314,15 +314,28 @@ def mention_lift(mentions_ds, n_parts: int | None = None):
            .groupby(["kind", "norm_a", "norm_b"]).aggregate(Sum("n"))
            .materialize())
 
-    small = agg.map_batches(
-        lambda t: t.filter(pc.not_equal(t["kind"], 0)),
-        batch_format="pyarrow").to_pandas()
-    n_total = int(small.loc[small["kind"] == 2, "sum(n)"].sum())
-    nf = small[small["kind"] == 1]
+    # entity-frequency side: collected as Arrow block refs straight
+    # into ONE Arrow table (no driver pandas round-trip) and ray.put
+    # once. Driver-memory bound = the entity vocabulary's Arrow bytes,
+    # held exactly once (~tens of bytes/entity; ~GBs at 1e8 entities —
+    # the documented ceiling of broadcast mode; beyond it, attach
+    # frequencies on the pair exchange instead).
+    from .graph import _collect_table
+
+    small = _collect_table(
+        agg.map_batches(
+            lambda t: t.filter(pc.not_equal(t["kind"], 0)).select(
+                ["kind", "norm_a", "sum(n)"]),
+            batch_format="pyarrow"),
+        pa.schema([("kind", pa.int8()), ("norm_a", pa.string()),
+                   ("sum(n)", pa.int64())]))
+    n_total = int(pc.sum(
+        small.filter(pc.equal(small["kind"], 2))["sum(n)"]).as_py() or 0)
+    nf = small.filter(pc.equal(small["kind"], 1))
     nf_tbl = pa.table({
-        "norm": pa.array(nf["norm_a"].to_numpy(dtype=object), pa.string()),
-        "n": pa.array(nf["sum(n)"].to_numpy().astype(np.int64))})
-    nf_ref = ray.put(nf_tbl.combine_chunks())
+        "norm": pc.cast(nf["norm_a"], pa.string()),
+        "n": pc.cast(nf["sum(n)"], pa.int64())}).combine_chunks()
+    nf_ref = ray.put(nf_tbl)
 
     def lift(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], 0))

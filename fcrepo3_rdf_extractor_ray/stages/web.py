@@ -644,9 +644,14 @@ def template_shingles(ds, text_col: str = "text", id_col: str = "doc_id",
     trafilatura-style boilerplate stripping (the north-star extraction
     contract), run corpus-side so the cleaner's threshold is data-driven.
 
-    Shape: per-host doc counts are a tiny combiner aggregate broadcast
-    ONCE via ``ray.put`` (host table is ~1e6-1e8 rows at web scale —
-    object-store broadcast, never a shuffle join); the shingle stream
+    Shape: per-host doc counts are a combiner aggregate broadcast ONCE
+    via ``ray.put`` — collected as Arrow block refs straight into one
+    Arrow table (no driver pandas round-trip; driver holds the host
+    table's Arrow bytes exactly once, ~tens of bytes/host, and the
+    object store serves every reader zero-copy). The bound is the
+    host-table SIZE, not the corpus: at 1e8 hosts ≈ 3-4 GB, the
+    documented ceiling of this broadcast design (beyond it, attach
+    counts on a salted host-key exchange instead); the shingle stream
     is exploded vectorized (Arrow regex split → flat token array →
     three numpy slice-concats, no per-shingle Python), deduped per doc
     IN-BATCH (a document is one input row, so its shingles never span
@@ -669,12 +674,18 @@ def template_shingles(ds, text_col: str = "text", id_col: str = "doc_id",
         return (g.group_by(host_col).aggregate([("n", "sum")])
                 .rename_columns([host_col, "n"]))
 
-    hc = (ds.map_batches(host_count, batch_format="pyarrow")
-          .groupby(host_col).aggregate(Sum("n")).to_pandas())
-    hc_tbl = pa.table({
-        "host": pa.array(hc[host_col].to_numpy(dtype=object), pa.string()),
-        "n_docs": pa.array(hc["sum(n)"].to_numpy().astype(np.int64))})
-    hc_ref = ray.put(hc_tbl.combine_chunks())
+    from .graph import _collect_table
+
+    hc_ds = (ds.map_batches(host_count, batch_format="pyarrow")
+             .groupby(host_col).aggregate(Sum("n"))
+             .map_batches(
+                 lambda t: pa.table({
+                     "host": pc.cast(t[host_col], pa.string()),
+                     "n_docs": pc.cast(t["sum(n)"], pa.int64())}),
+                 batch_format="pyarrow"))
+    hc_tbl = _collect_table(hc_ds, pa.schema([("host", pa.string()),
+                                              ("n_docs", pa.int64())]))
+    hc_ref = ray.put(hc_tbl)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -714,10 +725,11 @@ def template_shingles(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         hcv = ray.get(hc_ref)  # zero-copy object-store read
-        nd = pd.Series(hcv["n_docs"].to_numpy(),
-                       index=hcv["host"].to_pylist())
         df_counts = df.groupby([host_col, "sh"])[id_col].transform("size")
-        host_docs = df[host_col].map(nd).to_numpy()
+        # every host here exists in hcv (same source ds) -> no nulls
+        idx = pc.index_in(pa.array(df[host_col]), value_set=hcv["host"])
+        host_docs = pc.take(hcv["n_docs"], idx).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         tmpl = ((df_counts.to_numpy() * 100 >= pct * host_docs)
                 & (df_counts.to_numpy() >= 2))
         out = pd.DataFrame({id_col: df[id_col].to_numpy(),
@@ -824,15 +836,17 @@ def frontier_scores(pages_ds, ranks_ds, k: int = 3,
     per host per cycle). Staleness is whole hours behind the corpus's
     newest fetch, so the score is all-integer and SQL-replayable.
 
-    Shape: the host-rank table is HOST-level (small side) — taken once
-    and ``ray.put`` once, read zero-copy per task, never re-shipped
-    per batch; the corpus max fetch time is ONE tiny aggregate; then a
-    stateless vectorized score map → ONE host-hash exchange →
-    per-partition head-k (colocation makes the per-host cut global).
-    Returns (url, host, age_hours, score, frontier_rank).
+    Shape: DRIVER-FREE — the host-rank table is never collected; rank
+    rows ride the SAME host-hash exchange as the page rows (tag-union,
+    the engine's broadcast-free merge), so driver-side state is O(1)
+    regardless of host cardinality (~1e8 hosts at web scale per
+    `host_rank`'s own docstring). The corpus max fetch time is ONE tiny
+    scalar aggregate; then a stateless vectorized age map → ONE
+    host-hash exchange where each partition resolves its hosts' ranks
+    (``pc.index_in`` + take), scores, and head-k cuts — Arrow-native
+    end-to-end (no pandas finisher). Returns
+    (url, host, age_hours, score, frontier_rank).
     """
-    import ray
-
     from ..functions.hashing import fast_part_hash
     from ..runtime import default_parts
     n_parts = n_parts or default_parts(1.0)
@@ -846,37 +860,64 @@ def frontier_scores(pages_ds, ranks_ds, k: int = 3,
 
     mx = pages_ds.map_batches(ts_max, batch_format="pyarrow").max("m")
 
-    ranks = {r["host"]: r["rank_micro"] for r in ranks_ds.take_all()}
-    rank_ref = ray.put(ranks)
-
-    def score(t: pa.Table) -> pa.Table:
-        rmap = ray.get(rank_ref)
+    def tag_page(t: pa.Table) -> pa.Table:
         host = pc.struct_field(
             pc.extract_regex(pc.cast(t[url_col], pa.string()), host_re),
             "h")
         ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
-                        pa.int64()).to_numpy(zero_copy_only=False)
-        age = (mx - ts_us) // 3_600_000_000
-        hs = host.to_pandas()
-        rank = hs.map(rmap).fillna(0).to_numpy(np.int64)
+                        pa.int64())
+        age = pc.divide(pc.subtract(pa.scalar(mx, pa.int64()), ts_us),
+                        pa.scalar(3_600_000_000, pa.int64()))
         out = pa.table({
             "url": pc.cast(t[url_col], pa.string()), "host": host,
-            "age_hours": pa.array(age.astype(np.int64)),
-            "score": pa.array(rank * age.astype(np.int64))})
+            "age_hours": pc.cast(age, pa.int64()),
+            "rank_micro": pa.nulls(t.num_rows, pa.int64())})
         return out.append_column(
             "part", pa.array(fast_part_hash(out["host"], n_parts)))
 
-    def head_k(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["host", "score", "url"],
-                            ascending=[True, False, True])
-        rk = df.groupby("host").cumcount() + 1
-        out = df[rk <= k].assign(
-            frontier_rank=rk[rk <= k].astype("int64"))
-        return out[["url", "host", "age_hours", "score",
-                    "frontier_rank"]]
+    def tag_rank(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "url": pa.nulls(t.num_rows, pa.string()),
+            "host": pc.cast(t["host"], pa.string()),
+            "age_hours": pa.nulls(t.num_rows, pa.int64()),
+            "rank_micro": pc.cast(t["rank_micro"], pa.int64())})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(out["host"], n_parts)))
 
-    return (pages_ds.map_batches(score, batch_format="pyarrow")
-            .groupby("part").map_groups(head_k, batch_format="pandas"))
+    tagged = (pages_ds.map_batches(tag_page, batch_format="pyarrow")
+              .union(ranks_ds.map_batches(tag_rank,
+                                          batch_format="pyarrow")))
+
+    def head_k(t: pa.Table) -> pa.Table:
+        is_rank = pc.is_valid(t["rank_micro"])
+        rt = t.filter(is_rank)
+        rows = t.filter(pc.invert(is_rank))
+        # resolve this partition's host ranks (unranked hosts -> 0)
+        idx = pc.index_in(rows["host"], value_set=rt["host"])
+        rank = pc.fill_null(pc.take(rt["rank_micro"], idx), 0)
+        scored = pa.table({
+            "url": rows["url"], "host": rows["host"],
+            "age_hours": rows["age_hours"],
+            "score": pc.multiply(rank, rows["age_hours"])})
+        order = pc.sort_indices(scored, sort_keys=[
+            ("host", "ascending"), ("score", "descending"),
+            ("url", "ascending")])
+        scored = scored.take(order)
+        # cumcount within host over the sorted table: i - first_i(host)
+        starts = np.flatnonzero(np.r_[
+            True, scored["host"].to_numpy(zero_copy_only=False)[1:]
+            != scored["host"].to_numpy(zero_copy_only=False)[:-1]])
+        n = scored.num_rows
+        grp_of = np.cumsum(np.bincount(starts, minlength=n))[:n] - 1 \
+            if n else np.array([], np.int64)
+        rk = np.arange(n, dtype=np.int64) - starts[grp_of] + 1 \
+            if n else np.array([], np.int64)
+        keep = rk <= k
+        return (scored.filter(pa.array(keep))
+                .append_column("frontier_rank", pa.array(rk[keep])))
+
+    return tagged.groupby("part").map_groups(head_k,
+                                             batch_format="pyarrow")
 
 
 def dup_cluster_profile(ds, url_col: str = "url", id_col: str = "doc_id",

@@ -20,10 +20,12 @@ con = duckdb.connect()
 for n in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{SF}/{n}.parquet')")
 qs, osql = em.queries(), em.oracle_sql()
+only = set(filter(None, os.environ.get("GRAFT_SWEEP_ONLY", "")
+                  .split(",")))
 bad = []
 t00 = time.time()
 for i, name in enumerate(qs):
-    if name not in osql:
+    if name not in osql or (only and name not in only):
         continue
     try:
         res = qs[name](SF)

@@ -258,31 +258,51 @@ def degree_distribution(edges_ds, node_col: str = "subj"):
 
 
 def bfs_reachability(facts_ds, seed_pred: str = "kg:acquired",
-                     max_hops: int = 3):
+                     max_hops: int = 3, mode: str = "auto",
+                     n_parts: int | None = None,
+                     max_driver_frontier: int = 200_000):
     """Bounded multi-hop BFS over the entity graph: every node reachable
     within ``max_hops`` edges from the seed set (subjects of
     ``seed_pred`` facts), labeled with its MINIMUM hop distance — the
     "expand a seed list through the graph" primitive behind KG
     enrichment and taint/influence propagation.
 
-    Scale shape: the edge list stays distributed and is re-scanned once
-    per hop with the CURRENT FRONTIER broadcast (``ray.put`` once per
-    hop, ``pc.is_in`` per batch — a broadcast semi-join); candidate
-    next-frontier nodes come back as per-batch DISTINCT partials, so
-    driver traffic per hop is bounded by the distinct-node count, which
-    for an entity graph is orders of magnitude below the corpus (same
-    documented bound as PageRank's broadcast mode; the fallback beyond
-    that is the Dataset-join frontier, same as pagerank(mode='join')).
-    Output: ``(node, hops)`` with hops 0 for the seeds themselves."""
+    Auto-routed like ``minhash_clusters``: ``mode="driver"`` keeps the
+    frontier on the driver (one ``ray.put`` broadcast + ``pc.is_in``
+    semi-join per hop — lowest latency, right for seeded-entity
+    queries whose frontier is entity-scale); ``mode="ds"`` keeps
+    frontier AND visited set as Datasets end-to-end — per hop one
+    co-partitioned tag-union semi-join (frontier rows ride the edge
+    exchange, the ``_attach_val`` idiom) expands, and one node-hash
+    anti-join exchange subtracts the visited set, so driver traffic is
+    a per-hop COUNT scalar no matter how wide the frontier gets (a
+    hop-2 web-graph frontier is not driver-sized). ``mode="auto"``
+    routes by edge count vs ``max_driver_frontier`` (the frontier is
+    bounded by the distinct-node count, itself edge-bounded).
+    Output: ``(node, hops)`` with hops 0 for the seeds themselves;
+    driver mode returns pandas, ds mode a Dataset."""
     import pandas as pd
 
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(0.5)
+
     edges = facts_ds.map_batches(
-        lambda t: t.select(["subj", "obj"]),
+        lambda t: pa.table({"a": t["subj"], "b": t["obj"]}),
         batch_format="pyarrow").materialize()
 
     def seed_partial(t: pa.Table) -> pa.Table:
         m = t.filter(pc.equal(t["pred"], seed_pred))
         return pa.table({"node": pc.unique(m["subj"])})
+
+    if mode == "auto":
+        mode = "driver" if edges.count() <= max_driver_frontier else "ds"
+
+    if mode == "ds":
+        return _bfs_ds(edges,
+                       facts_ds.map_batches(seed_partial,
+                                            batch_format="pyarrow"),
+                       max_hops, n_parts)
 
     seed_df = (facts_ds.map_batches(seed_partial, batch_format="pyarrow")
                .to_pandas())
@@ -297,8 +317,8 @@ def bfs_reachability(facts_ds, seed_pred: str = "kg:acquired",
 
         def nxt(t: pa.Table) -> pa.Table:
             fr = ray.get(fr_ref)
-            m = t.filter(pc.is_in(t["subj"], value_set=fr))
-            return pa.table({"node": pc.unique(m["obj"])})
+            m = t.filter(pc.is_in(t["a"], value_set=fr))
+            return pa.table({"node": pc.unique(m["b"])})
 
         cand = edges.map_batches(nxt, batch_format="pyarrow").to_pandas()
         found = (cand["node"].unique() if "node" in cand.columns else [])
@@ -309,6 +329,90 @@ def bfs_reachability(facts_ds, seed_pred: str = "kg:acquired",
     return pd.DataFrame({"node": list(visited),
                          "hops": pd.array(list(visited.values()),
                                           dtype="int64")})
+
+
+def _bfs_ds(edges, seeds_ds, max_hops: int, n_parts: int):
+    """Dataset-native bounded BFS: frontier and visited set never touch
+    the driver. Per hop: (1) frontier rows tag-union onto the
+    subj-hash edge exchange; each partition expands its local frontier
+    members' out-edges to candidate nodes (distinct per partition);
+    (2) candidates anti-join the visited set on a node-hash exchange
+    (max-flag fold: a node seen with a visited row is dropped). Both
+    visited and frontier are repartitioned before each per-hop
+    materialize (bounded block counts in iterative loops)."""
+    from ..functions.hashing import fast_part_hash
+
+    seeds = _distinct(seeds_ds, ["node"], n_parts=n_parts)
+    visited = seeds.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "hops": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow").repartition(n_parts).materialize()
+    frontier = visited
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["a"], "pay": t["b"],
+            "part": pa.array(fast_part_hash(t["a"], n_parts))})
+
+    edges_tagged = edges.map_batches(tag_edge,
+                                     batch_format="pyarrow").materialize()
+
+    for hop in range(1, max_hops + 1):
+        def tag_fr(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t["node"], "pay": pa.nulls(t.num_rows, pa.string()),
+                "part": pa.array(fast_part_hash(t["node"], n_parts))})
+
+        def expand(t: pa.Table) -> pa.Table:
+            is_fr = pc.is_null(t["pay"])
+            fr = pc.unique(t.filter(is_fr)["k"])
+            e = t.filter(pc.invert(is_fr))
+            got = pc.unique(e.filter(pc.is_in(e["k"],
+                                              value_set=fr))["pay"])
+            return pa.table({"node": got,
+                             "vis": pa.array(np.zeros(len(got),
+                                                      np.int8))})
+
+        cand = (edges_tagged
+                .union(frontier.map_batches(tag_fr,
+                                            batch_format="pyarrow"))
+                .groupby("part").map_groups(expand,
+                                            batch_format="pyarrow"))
+
+        def tag_vis(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "vis": pa.array(np.ones(t.num_rows, np.int8))})
+
+        def unseen(t: pa.Table) -> pa.Table:
+            g = (t.select(["node", "vis"]).group_by("node")
+                 .aggregate([("vis", "max")]))
+            return pa.table(
+                {"node": g.filter(pc.equal(g["vis_max"], 0))["node"]})
+
+        def tag_node(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "part", pa.array(fast_part_hash(t["node"], n_parts)))
+
+        new = ((cand.union(visited.map_batches(tag_vis,
+                                               batch_format="pyarrow")))
+               .map_batches(tag_node, batch_format="pyarrow")
+               .groupby("part").map_groups(unseen,
+                                           batch_format="pyarrow")
+               .repartition(n_parts)).materialize()
+        if new.count() == 0:
+            break
+        new_lab = new.map_batches(
+            lambda t, h=hop: pa.table({
+                "node": t["node"],
+                "hops": pa.array(np.full(t.num_rows, h, np.int64))}),
+            batch_format="pyarrow")
+        visited = (visited.union(new_lab)
+                   .repartition(n_parts)).materialize()
+        frontier = new_lab
+
+    return visited
 
 
 def connected_components(edges_ds, a_col: str = "norm_a",

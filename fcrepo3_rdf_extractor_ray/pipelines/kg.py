@@ -106,8 +106,14 @@ def run_kg(sf_dir: str, use_join_resolve: bool = False,
         mapping_ds = build_entity_map_ds(raw, alias, n_salts=n_salts)
         resolved = resolve_quads_join_ds(raw, mapping_ds)
     else:
-        mapping = build_entity_map(raw, alias, n_salts=n_salts)
-        resolved = resolve_quads(raw, mapping)
+        # auto-routed: driver dict + broadcast resolve at entity scale,
+        # mapping Dataset + join resolve above the norm threshold —
+        # no take_all on the at-scale path
+        from ..stages.canonicalize import (build_entity_map_auto,
+                                           resolve_quads_auto)
+
+        mapping = build_entity_map_auto(raw, alias, n_salts=n_salts)
+        resolved = resolve_quads_auto(raw, mapping)
     return dedup_quads(resolved, n_salts=n_salts)
 
 

@@ -286,32 +286,77 @@ def build_entity_map(quads_ds, alias_table: pa.Table, n_salts: int = 4,
                      driver_link_threshold: int = 100_000) -> dict[str, str]:
     """norm → canonical IRI for every unresolved surface in ``quads_ds``.
 
-    The distinct-norms set is #unique-entities scale. Below
-    ``driver_link_threshold`` norms, alias linking runs on the driver
-    (no actor pool spin-up for a dictionary lookup); above it, the same
-    ``AliasLinkStage`` runs as a distributed actor-pool stage."""
-    norms_ds = unique_norms(quads_ds, n_salts=n_salts)
+    The distinct-norms set is #unique-entities scale. At or below
+    ``driver_link_threshold`` norms, alias linking AND union-find run on
+    the driver (no actor pool spin-up for a dictionary lookup); above
+    it, linking runs as a distributed actor-pool stage and the min-ID
+    resolution as the distributed contraction union-find
+    (``union_find_labels_ds``) — the driver only receives the FINAL
+    (norm → label) map, which a dict return inherently requires. Callers
+    that can consume a mapping Dataset should use
+    ``build_entity_map_auto`` instead: above the threshold it never
+    collects anything."""
+    norms_ds = unique_norms(quads_ds, n_salts=n_salts).materialize()
     alias_ref = ray.put(alias_table)
-    norm_rows = norms_ds.take_all()
-    if len(norm_rows) <= driver_link_threshold:
+    if norms_ds.count() <= driver_link_threshold:
+        norm_rows = norms_ds.take_all()
         stage = AliasLinkStage(alias_ref)
         tbl = pa.table({"norm": pa.array([r["norm"] for r in norm_rows],
                                          pa.string())})
         linked_tbl = stage(tbl)
         pairs = list(zip(linked_tbl["norm"].to_pylist(),
                          linked_tbl["candidate_id"].to_pylist()))
-    else:  # pragma: no cover - exercised only at scale
-        linked = norms_ds.map_batches(
-            AliasLinkStage,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
-            batch_format="pyarrow",
-            concurrency=_pool(0.5),
-        )
-        rows = linked.take_all()
-        pairs = [(r["norm"], r["candidate_id"]) for r in rows]
-    # The edge list is small; driver-side union-find is the documented
-    # design (SURVEY.md §7.4).
-    return union_find_min_id(pairs)
+        # The edge list is small; driver-side union-find is the
+        # documented design (SURVEY.md §7.4).
+        return union_find_min_id(pairs)
+    linked = norms_ds.map_batches(
+        AliasLinkStage,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+    return {r["norm"]: r["label"]
+            for r in union_find_labels_ds(linked).take_all()}
+
+
+def build_entity_map_auto(quads_ds, alias_table: pa.Table,
+                          n_salts: int = 4,
+                          driver_link_threshold: int = 100_000):
+    """AUTO-ROUTED entity map (the ``minhash_clusters`` switch pattern):
+    count the distinct norms once; at or below
+    ``driver_link_threshold`` return the driver dict (pair it with the
+    ``resolve_quads`` broadcast — lowest latency at entity scale),
+    above it return the (norm, label) mapping DATASET built fully
+    distributed (actor-pool linking → contraction union-find) with NO
+    ``take_all`` anywhere — pair it with ``resolve_quads_join_ds``.
+    ``resolve_quads_auto`` dispatches on the return type."""
+    norms_ds = unique_norms(quads_ds, n_salts=n_salts).materialize()
+    alias_ref = ray.put(alias_table)
+    if norms_ds.count() <= driver_link_threshold:
+        norm_rows = norms_ds.take_all()
+        stage = AliasLinkStage(alias_ref)
+        tbl = pa.table({"norm": pa.array([r["norm"] for r in norm_rows],
+                                         pa.string())})
+        linked_tbl = stage(tbl)
+        pairs = list(zip(linked_tbl["norm"].to_pylist(),
+                         linked_tbl["candidate_id"].to_pylist()))
+        return union_find_min_id(pairs)
+    linked = norms_ds.map_batches(
+        AliasLinkStage,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        concurrency=_pool(0.5),
+    )
+    return union_find_labels_ds(linked)
+
+
+def resolve_quads_auto(quads_ds, mapping):
+    """Dispatch on ``build_entity_map_auto``'s return type: driver dict
+    → broadcast ``resolve_quads``; mapping Dataset →
+    ``resolve_quads_join_ds`` (co-partitioned tag-union merges)."""
+    if isinstance(mapping, dict):
+        return resolve_quads(quads_ds, mapping)
+    return resolve_quads_join_ds(quads_ds, mapping)
 
 
 def build_entity_map_ds(quads_ds, alias_table: pa.Table, n_salts: int = 4):

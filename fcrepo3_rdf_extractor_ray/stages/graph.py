@@ -1425,6 +1425,20 @@ def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
     exchanges per fixpoint are bounded by the cross-partition hop
     count (see ``_directed_fixpoint``'s local acceleration).
 
+    Above the Tarjan cutoff a PER-PARTITION TARJAN CONDENSATION runs
+    first (the directed mirror of ``connected_components``' local-UF
+    contraction): any cycle living inside one a-hash edge partition is
+    already part of a global SCC, and same-SCC is an equivalence
+    relation, so the per-partition (node → local scc root) star maps
+    glue across partitions with one UNDIRECTED components closure
+    (``connected_components`` over the star pairs — boundary-scale,
+    not edge-scale). Local SCCs collapse to min-id supernodes and
+    self-loops drop BEFORE any FB-Trim round, so the live fixpoints
+    run on the condensation skeleton — diameter-independent local
+    discovery, exactly the trick that made CC contraction fast
+    (round-4 kg_scc stress: 281 s for 1M edges of 4-cycles; the
+    condensation removes every such local cycle up front).
+
     scc_id = min node id of the component (Tarjan short-circuit at or
     below ``small_graph_edges`` edges and the SQL closure oracle use
     the same convention). Returns (node, scc_id) covering every node
@@ -1455,12 +1469,76 @@ def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
                                          batch_format="pyarrow"),
                        ["node"], n_parts=n_parts).materialize()
 
+    import os
+    dbg = os.environ.get("GRAFT_SCC_DEBUG")
+
+    member_map = None  # (node, rep) for condensed-away members
+    if edges.count() > small_graph_edges:
+        # per-partition Tarjan condensation (see docstring). RANGE
+        # partitioning, not hash: a hash of `a` scatters every cycle's
+        # edges across partitions (a k-cycle lands whole with
+        # probability P^-(k-1) — local Tarjan would find nothing), but
+        # sorted source order co-locates them whenever ids share
+        # locality — same-prefix synthetic ids, same-host urls, and
+        # real web-graph links are overwhelmingly intra-host. Cycles
+        # straddling a range boundary are simply not condensed and
+        # fall through to the FB rounds (boundary scale, not
+        # edge scale).
+        def local_scc(df: pd.DataFrame) -> pa.Table:
+            comp = _tarjan_scc(df)
+            nz = comp[comp["node"] != comp["scc_id"]]
+            return pa.table({
+                "node": pa.array(nz["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "root": pa.array(nz["scc_id"].to_numpy(dtype=object),
+                                 pa.string())})
+
+        pairs = (edges.sort("a")
+                 .map_batches(local_scc, batch_format="pandas",
+                              batch_size=None)
+                 .materialize())
+        if pairs.count() > 0:
+            # same-SCC is transitive: glue the per-partition star maps
+            # with an undirected components closure (min-id labels)
+            reps = connected_components(
+                pairs, a_col="node", b_col="root",
+                n_parts=n_parts).materialize()
+            member_map = reps.map_batches(
+                lambda t: pa.table({
+                    "node": t.filter(pc.not_equal(
+                        t["node"], t["component"]))["node"],
+                    "rep": t.filter(pc.not_equal(
+                        t["node"], t["component"]))["component"]}),
+                batch_format="pyarrow").materialize()
+            rep_vals = reps.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "val": t["component"]}),
+                batch_format="pyarrow")
+            e2 = _attach_val(edges, rep_vals, "a", "ra", n_parts)
+            e2 = _attach_val(e2, rep_vals, "b", "rb", n_parts)
+
+            def contract(t: pa.Table) -> pa.Table:
+                # rep map is SPARSE: a partition where no edge endpoint
+                # sits in a local SCC yields an all-null (null-typed)
+                # attach column — cast before coalesce (no
+                # (null, string) kernel)
+                a = pc.coalesce(pc.cast(t["ra"], pa.string()), t["a"])
+                b = pc.coalesce(pc.cast(t["rb"], pa.string()), t["b"])
+                out_t = pa.table({"a": a, "b": b})
+                return out_t.filter(pc.not_equal(out_t["a"],
+                                                 out_t["b"]))
+
+            edges = _distinct(
+                e2.map_batches(contract, batch_format="pyarrow"),
+                ["a", "b"], n_parts=n_parts).materialize()
+            if dbg:
+                import sys
+                print(f"[scc] condensed to {edges.count()} edges",
+                      file=sys.stderr, flush=True)
+
     empty = pa.table({"node": pa.array([], pa.string()),
                       "scc_id": pa.array([], pa.string())})
     out = rd.from_arrow(empty)
-
-    import os
-    dbg = os.environ.get("GRAFT_SCC_DEBUG")
 
     for rnd in range(max_rounds):
         n_edges = edges.count()
@@ -1620,6 +1698,45 @@ def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
                        .select(["a", "b"]),
             batch_format="pyarrow").repartition(n_parts).materialize()
 
+    # expand condensation: each condensed-away member takes its
+    # supernode rep's label; a rep the loop never labeled (its whole
+    # component was one local SCC with no external edges) defaults to
+    # the rep itself — `singles` below then labels the rep identically
+    if member_map is not None and member_map.count() > 0:
+        # Arrow-native tag-union attach (not the pandas _attach_val:
+        # its empty-partition merges emit schema-less pandas blocks
+        # that poison the downstream groupby — the modularity_profile
+        # lesson). Key = rep; fallback label = the rep itself.
+        def tag_mm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t["rep"], "node": t["node"],
+                "lab": pa.nulls(t.num_rows, pa.string()),
+                "part": pa.array(fast_part_hash(t["rep"], n_parts))})
+
+        def tag_lab(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t["node"], "node": pa.nulls(t.num_rows, pa.string()),
+                "lab": t["scc_id"],
+                "part": pa.array(fast_part_hash(t["node"], n_parts))})
+
+        def expand(t: pa.Table) -> pa.Table:
+            lab_mask = pc.is_valid(t["lab"])
+            lut = t.filter(lab_mask)
+            rows = t.filter(pc.invert(lab_mask))
+            idx = pc.index_in(rows["k"], value_set=lut["k"]
+                              .combine_chunks())
+            got = pc.take(lut["lab"].combine_chunks(), idx)
+            return pa.table({"node": rows["node"],
+                             "scc_id": pc.coalesce(got, rows["k"])})
+
+        member_out = (member_map.map_batches(tag_mm,
+                                             batch_format="pyarrow")
+                      .union(out.map_batches(tag_lab,
+                                             batch_format="pyarrow"))
+                      .groupby("part").map_groups(
+                          expand, batch_format="pyarrow"))
+        out = out.union(member_out)
+
     # singletons: original nodes never emitted (their edges were
     # cross-color or their component was a single node)
     out = out.materialize()
@@ -1643,7 +1760,20 @@ def scc_labels(edges_ds, a_col: str = "subj", b_col: str = "obj",
                   .map_batches(tag_out, batch_format="pyarrow")
                   .groupby("part").map_groups(singles,
                                               batch_format="pandas"))
-    return out.union(singles_ds)
+
+    def to_out(t: pa.Table) -> pa.Table:
+        # normalize EVERY block to typed Arrow: the union mixes arrow
+        # blocks with pandas map_groups blocks (including schema-less
+        # empties), and a downstream sort/groupby asserts on mixed
+        # block types (Ray 2.49 delegating_block_builder)
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "scc_id": pa.array([], pa.string())})
+        return pa.table({"node": pc.cast(t["node"], pa.string()),
+                         "scc_id": pc.cast(t["scc_id"], pa.string())})
+
+    return out.union(singles_ds).map_batches(to_out,
+                                             batch_format="pyarrow")
 
 
 def bowtie_regions(edges_ds, a_col: str = "subj", b_col: str = "obj",

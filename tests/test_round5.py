@@ -60,3 +60,67 @@ def test_bfs_ds_min_hop_on_shortcut(ray_session):
     out = (bfs_reachability(facts, max_hops=3, mode="ds")
            .to_pandas().set_index("node")["hops"])
     assert out.to_dict() == {"s": 0, "x": 1, "y": 1}
+
+
+def _planted_quads():
+    from fcrepo3_rdf_extractor_ray.schema import quads_table
+    rows = [
+        ("g", "surf:entity7", "kg:worksWith", "surf:theentity7",
+         False, "", "u1"),
+        ("g", "surf:widget3", "kg:acquired", "surf:entity7",
+         False, "", "u2"),
+        ("g", "surf:acme", "kg:partnerOf", "surf:acmecorp",
+         False, "", "u3"),
+        ("g", "iri:s", "kg:basedIn", "lit", True, "", "u4"),
+    ] * 5
+    return quads_table(*zip(*rows))
+
+
+def test_entity_map_auto_routes_above_threshold(ray_session):
+    """Above the norm threshold, build_entity_map_auto returns a
+    mapping DATASET (no take_all anywhere) and resolve_quads_auto
+    produces the same quad set as the driver-dict path (VERDICT r04
+    ask #8)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.sources.pages import build_alias_table
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+        build_entity_map, build_entity_map_auto, resolve_quads,
+        resolve_quads_auto)
+
+    ds = rd.from_arrow(_planted_quads()).repartition(3)
+    alias = build_alias_table()
+
+    mapping = build_entity_map(ds, alias, n_salts=2)
+    want = resolve_quads(ds, mapping).take_all()
+
+    # 5 distinct norms > threshold 2 -> the Dataset route
+    auto = build_entity_map_auto(ds, alias, n_salts=2,
+                                 driver_link_threshold=2)
+    assert not isinstance(auto, dict)
+    got = resolve_quads_auto(ds, auto).take_all()
+
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # at/below threshold the dict route engages and matches too
+    auto_small = build_entity_map_auto(ds, alias, n_salts=2,
+                                       driver_link_threshold=10_000)
+    assert auto_small == mapping
+
+
+def test_entity_map_dict_above_threshold_uses_distributed_uf(ray_session):
+    """build_entity_map's own above-threshold branch (dict return)
+    now routes linking + union-find through the distributed path and
+    still matches the driver union-find."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.sources.pages import build_alias_table
+    from fcrepo3_rdf_extractor_ray.stages.canonicalize import (
+        build_entity_map)
+
+    ds = rd.from_arrow(_planted_quads()).repartition(3)
+    alias = build_alias_table()
+    want = build_entity_map(ds, alias, n_salts=2)
+    got = build_entity_map(ds, alias, n_salts=2, driver_link_threshold=2)
+    assert got == want

@@ -108,6 +108,37 @@ def dedup_by_canonical_url(ds, url_col: str = "url", id_col: str = "doc_id",
             .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
+def _html_as_utf8(t: pa.Table, html_col: str) -> pa.Table:
+    """Containment shim for the input_hint's ``html:binary`` column:
+    cast to string for the vectorized regex paths, DROPPING rows whose
+    bytes are not valid UTF-8 (per-row data-error containment, the
+    ObjectProcessor.java:172-176 analog — a fuzzed/mojibake page
+    contributes no anchors rather than failing the task). The happy
+    path is one zero-copy-validating Arrow cast; the per-row decode
+    fallback runs only when the batch actually contains bad bytes."""
+    col = t[html_col]
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return t
+    try:
+        cast = pc.cast(col, pa.string())
+    except pa.ArrowInvalid:
+        vals = col.to_pylist()
+        keep = np.zeros(len(vals), bool)
+        dec = [None] * len(vals)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            try:
+                dec[i] = v.decode("utf-8")
+                keep[i] = True
+            except UnicodeDecodeError:
+                pass
+        t = t.filter(pa.array(keep))
+        cast = pa.array([d for d in dec if d is not None], pa.string())
+    idx = t.schema.get_field_index(html_col)
+    return t.set_column(idx, html_col, cast)
+
+
 def extract_links(ds, html_col: str = "html", id_col: str = "doc_id",
                   batch_size: int = 4096):
     """ANCHOR EXTRACTION: (id, html) → one row per ``<a href>`` target,
@@ -123,7 +154,8 @@ def extract_links(ds, html_col: str = "html", id_col: str = "doc_id",
     pat = r'<a\s[^>]*href="([^"]*)"'
 
     def fn(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select([id_col, html_col]))
+        df = pl.from_arrow(_html_as_utf8(t.select([id_col, html_col]),
+                                         html_col))
         out = (df.with_columns(
                    pl.col(html_col).str.extract_all(pat).alias("m"))
                .drop(html_col)
@@ -165,8 +197,9 @@ def anchor_host_graph(ds, html_col: str = "html", url_col: str = "url",
         h = pc.utf8_lower(pc.coalesce(pc.struct_field(
             pc.extract_regex(pc.cast(t[url_col], pa.string()), host_re),
             "h"), ""))
-        df = pl.from_arrow(pa.table({id_col: t[id_col], "src_host": h,
-                                     html_col: t[html_col]}))
+        df = pl.from_arrow(_html_as_utf8(
+            pa.table({id_col: t[id_col], "src_host": h,
+                      html_col: t[html_col]}), html_col))
         out = (df.with_columns(
                    pl.col(html_col).str.extract_all(pat).alias("m"))
                .drop(html_col)
@@ -549,7 +582,7 @@ def anchor_text_agg(ds, html_col: str = "html", id_col: str = "doc_id",
     pat = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
 
     def explode(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select([html_col]))
+        df = pl.from_arrow(_html_as_utf8(t.select([html_col]), html_col))
         out = (df.with_columns(
                    pl.col(html_col).str.extract_all(pat).alias("m"))
                .drop(html_col)

@@ -124,3 +124,80 @@ def test_entity_map_dict_above_threshold_uses_distributed_uf(ray_session):
     want = build_entity_map(ds, alias, n_salts=2)
     got = build_entity_map(ds, alias, n_salts=2, driver_link_threshold=2)
     assert got == want
+
+
+def test_parse_boundary_fuzz(ray_session, sf_dir):
+    """P4 hardening (VERDICT r04 ask #7): random byte mutations of real
+    page html never escape the per-row containment boundary — the
+    extraction stage never raises, its error counter accounts exactly
+    for the rows whose parse failed, constant quads still appear for
+    EVERY page (malformed included, the ObjectProcessor.java:172-176
+    analog), and anchor extraction survives the same corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.functions.textextract import (
+        PageParseError, parse_page)
+    from fcrepo3_rdf_extractor_ray.sources.pages import synthesize_pages
+    from fcrepo3_rdf_extractor_ray.stages.extract import ExtractQuadsStage
+    from fcrepo3_rdf_extractor_ray.stages.web import extract_links
+
+    import glob
+    import os
+    pages_dir = synthesize_pages(sf_dir)
+    f = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[0]
+    tbl = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+    tbl = tbl.slice(0, 64)
+    rng = np.random.RandomState(99)
+    htmls = tbl["html"].to_pylist()
+    mutated = []
+    for i, h in enumerate(htmls):
+        b = bytearray(h)
+        kind = i % 4
+        if kind == 1 and len(b) > 10:      # random byte flips
+            for _ in range(5):
+                b[rng.randint(len(b))] = rng.randint(256)
+        elif kind == 2:                     # truncation
+            b = b[:rng.randint(max(1, len(b)))]
+        elif kind == 3 and len(b) > 20:     # splice a chunk elsewhere
+            j, k = sorted(rng.randint(len(b), size=2))
+            b = b[:j] + b[k:] + b[j:k]
+        mutated.append(bytes(b))
+
+    # (a) parse_page itself: only ParsedPage or a contained error type
+    n_bad = 0
+    for m in mutated:
+        try:
+            parse_page(m)
+        except Exception as e:
+            assert isinstance(e, PageParseError), type(e)
+            n_bad += 1
+    assert n_bad > 0  # the mutations really do break pages
+
+    fuzz = pa.table({
+        "url": tbl["url"], "warc_ts": tbl["warc_ts"],
+        "html": pa.array(mutated, pa.binary()), "lang": tbl["lang"]})
+
+    # (b) the extraction stage: never raises, counts exactly, constant
+    # quads present for every page including the broken ones
+    stage = ExtractQuadsStage(skip_empty_literals=False)
+    out = stage(fuzz)
+    assert stage.errors == n_bad
+    by_src = out.to_pandas().groupby("src_url").size()
+    assert set(by_src.index) == set(tbl["url"].to_pylist())
+    assert (by_src >= 4).all()  # 4 constant quads per page minimum
+
+    # (c) anchor extraction over the same fuzzed corpus (binary html,
+    # invalid-UTF-8 rows included) + one planted anchored page: never
+    # raises, bad rows contained, the good anchor still comes through
+    planted = (b'<html><p>hi</p><a href="https://x.org/1">x</a>'
+               b"</html>")
+    links = extract_links(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(mutated) + 1,
+                                         dtype=np.int64)),
+            "html": pa.array(mutated + [planted], pa.binary())}))
+        .repartition(3))
+    got = links.to_pandas()
+    assert set(got.columns) >= {"doc_id", "href", "link_no"}
+    assert "https://x.org/1" in set(got["href"])

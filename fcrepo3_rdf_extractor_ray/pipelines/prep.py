@@ -208,39 +208,50 @@ def mix_report(sf_dir: str, k: int = 4, n_parts: int | None = None):
     keeps = gopher_filter(docs).map_batches(
         tag("keep", "keep", 1), batch_format="pyarrow")
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.pivot_table(index="doc_id", columns="kind", values="val",
-                           aggfunc="first")
-        # token-less docs have no LM tile — inner-join semantics
-        p = p.dropna()
-        out = pd.DataFrame({
-            "doc_id": p.index.to_numpy(),
-            "tile": p[0].astype("int64").to_numpy(),
-            "keep": p[1].astype("int64").to_numpy()})
-        ids = out["doc_id"].to_numpy()
-        out["host"] = np.char.add(
-            np.char.add("ex", (ids % 20).astype("U")), ".org")
-        g = (out.groupby(["host", "tile"], as_index=False)
-             .agg(n_docs=("keep", "size"), n_keep=("keep", "sum")))
-        g["part"] = fast_part_hash(g["host"], n_parts)
-        for c in ("n_docs", "n_keep"):
-            g[c] = g[c].astype("int64")
-        return g
+    def merge(t: pa.Table) -> pa.Table:
+        # Arrow-native exchange finisher (no per-partition pandas
+        # conversion / pivot_table): split the tagged union by kind,
+        # inner-resolve tiles onto the keep rows with index_in (both
+        # sides are one row per doc), then one hash aggregate
+        import pyarrow.compute as pc
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["host", "tile"], as_index=False)
-             [["n_docs", "n_keep"]].sum())
-        for c in ("n_docs", "n_keep"):
-            g[c] = g[c].astype("int64")
-        return g
+        is_tile = pc.equal(t["kind"], 0)
+        tl = t.filter(is_tile)
+        kp = t.filter(pc.invert(is_tile))
+        idx = pc.index_in(kp["doc_id"], value_set=tl["doc_id"]
+                          .combine_chunks())
+        tile = pc.take(tl["val"].combine_chunks(), idx)
+        ok = pc.is_valid(tile)  # token-less docs have no LM tile
+        ids = kp["doc_id"].filter(ok)
+        mod = pc.subtract(ids, pc.multiply(
+            pc.divide(ids, pa.scalar(20, pa.int64())),
+            pa.scalar(20, pa.int64())))
+        host = pc.binary_join_element_wise(
+            pa.array(["ex"] * len(ids), pa.string()),
+            pc.cast(mod, pa.string()),
+            pa.array([".org"] * len(ids), pa.string()), "")
+        g = (pa.table({"host": host, "tile": tile.filter(ok),
+                       "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                       "n_keep": kp["val"].filter(ok)})
+             .group_by(["host", "tile"])
+             .aggregate([("n_docs", "sum"), ("n_keep", "sum")]))
+        g = g.rename_columns(["host", "tile", "n_docs", "n_keep"])
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["host"], n_parts)))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (t.select(["host", "tile", "n_docs", "n_keep"])
+             .group_by(["host", "tile"])
+             .aggregate([("n_docs", "sum"), ("n_keep", "sum")]))
+        return g.rename_columns(["host", "tile", "n_docs", "n_keep"])
 
     # repartition BEFORE each exchange: union doubles the block count
     # and the sort-shuffle inherits it (128 tiny map+reduce tasks);
     # coalescing to n_parts first quarters the task fan-out.
     return (tiles.union(keeps).repartition(n_parts)
-            .groupby("part").map_groups(merge, batch_format="pandas")
+            .groupby("part").map_groups(merge, batch_format="pyarrow")
             .repartition(min(n_parts, 8))
-            .groupby("part").map_groups(final, batch_format="pandas"))
+            .groupby("part").map_groups(final, batch_format="pyarrow"))
 
 
 def web_corpus_prep(docs_ds, k: int = 5, n_parts: int | None = None):

@@ -383,6 +383,39 @@ def _q_kg_quads_join_resolve(sf_dir: str):
     return run_kg(sf_dir, use_join_resolve=True)
 
 
+def _q_kg_quads_warc(sf_dir: str):
+    """Flagship over a WARC ROUND-TRIP of the corpus: pages → WARC/1.0
+    shards (multi-member gzip, the Common-Crawl wire format) → read_warc
+    → full KG pipeline. Oracle-identical to kg_quads_all — proving the
+    WARC source preserves (url, warc_ts, html, lang) bit-exactly (the
+    synthetic fetch times are whole seconds, so WARC-Date's second
+    granularity is lossless). Shard set cached under /tmp per sf dir."""
+    import glob
+    import os
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf, run_kg
+    from fcrepo3_rdf_extractor_ray.sources.warc import (read_warc,
+                                                        write_warc_shards)
+
+    warc_dir = os.path.join("/tmp/kg_warc", os.path.basename(
+        os.path.normpath(sf_dir)))
+    if not os.path.isdir(warc_dir):
+        # atomic dir publish: a crashed partial write never becomes
+        # the cache (same temp+rename rule as the checkpoint sinks)
+        tmp = f"{warc_dir}.tmp-{os.getpid()}"
+        write_warc_shards(pages_for_sf(sf_dir), tmp,
+                          gzipped=True).materialize()
+        try:
+            os.rename(tmp, warc_dir)
+        except OSError:  # lost a concurrent-writer race: theirs wins
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    pages = read_warc(sorted(glob.glob(os.path.join(warc_dir,
+                                                    "*.warc.gz"))))
+    return run_kg(sf_dir, pages_ds=pages)
+
+
 def _q_kg_mentions(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
     from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
@@ -2208,6 +2241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_ivf": _q_sim_knn_ivf,
         "mm_image_features": _q_mm_image_features,
+        # round-5 NEW oracle entry (WARC round-trip flagship):
+        "kg_quads_warc": _q_kg_quads_warc,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3798,6 +3833,7 @@ FROM s
     # the parse-once backbone must be byte-identical to the classic
     # paths — same oracles, checked independently by the driver
     d["kg_quads_parse_once"] = d["kg_quads_all"]
+    d["kg_quads_warc"] = d["kg_quads_all"]
     d["kg_mentions_parse_once"] = d["kg_mentions"]
     # aHash is all-integer over deterministic synthetic pixels, so the
     # full perceptual-hash pipeline replays in SQL: pixel formula →

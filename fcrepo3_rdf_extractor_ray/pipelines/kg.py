@@ -75,15 +75,20 @@ def extract_raw_quads(pages_ds, concurrency: int | tuple | None = None,
 def run_kg(sf_dir: str, use_join_resolve: bool = False,
            concurrency: int | tuple | None = None,
            checkpoint_dir: str | None = None, n_salts: int = 1,
-           repeat: int = 1, skip_empty_literals: bool = True):
+           repeat: int = 1, skip_empty_literals: bool = True,
+           pages_ds=None):
     """pages(sf_dir) → deduplicated canonical quads Dataset.
 
     ``n_salts``: >1 adds the salt-split exchange for head-key skew
     (exact — min/sum/distinct are associative; invariance is tested).
     The per-batch combiner already bounds any key to ≤ #blocks rows, so
     salting pays off when the block count is far larger than the
-    reducer count (the 10^12-document regime), not at test scale."""
-    pages = pages_for_sf(sf_dir, repeat=repeat)
+    reducer count (the 10^12-document regime), not at test scale.
+
+    ``pages_ds``: run over an explicit pages Dataset instead of the
+    sf-dir parquet (e.g. a WARC-ingested corpus, sources/warc.py)."""
+    pages = (pages_ds if pages_ds is not None
+             else pages_for_sf(sf_dir, repeat=repeat))
     raw = extract_raw_quads(pages, concurrency=concurrency,
                             skip_empty_literals=skip_empty_literals)
     if checkpoint_dir is not None:

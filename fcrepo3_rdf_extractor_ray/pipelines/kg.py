@@ -142,8 +142,11 @@ def run_kg_parse_once(sf_dir: str, with_mentions: bool = False,
     raw = extract_quads_from_parsed(
         parsed, skip_empty_literals=skip_empty_literals).materialize()
     alias = build_alias_table()
-    mapping = build_entity_map(raw, alias, n_salts=n_salts)
-    resolved = resolve_quads(raw, mapping)
+    from ..stages.canonicalize import (build_entity_map_auto,
+                                       resolve_quads_auto)
+
+    mapping = build_entity_map_auto(raw, alias, n_salts=n_salts)
+    resolved = resolve_quads_auto(raw, mapping)
     quads = dedup_quads(resolved, n_salts=n_salts)
     if with_mentions:
         from ..stages.ner import mentions_from_parsed

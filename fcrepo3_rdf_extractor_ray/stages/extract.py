@@ -236,15 +236,23 @@ class ExtractQuadsStage:
         return out
 
 
-def extract_text_batch(batch: pa.Table) -> pa.Table:
+def extract_text_batch(batch: pa.Table, lenient: bool = False) -> pa.Table:
     """Task form of ``ExtractTextStage`` — the parse has no per-worker
     state beyond module-level compiled regexes, so warm-worker tasks
     beat paying an actor-pool ramp. Same output, errors contained per
-    row (rows dropped)."""
+    row (rows dropped).
+
+    ``lenient=True`` swaps in ``parse_page_lenient`` (best-effort
+    real-crawl HTML: arbitrary attribute order, unclosed/uppercase
+    tags, broken bytes — never raises, every row yields text). The
+    strict default remains the byte-identical oracle contract."""
+    from ..functions.textextract import parse_page_lenient
+
+    parse = parse_page_lenient if lenient else parse_page
     urls, texts = [], []
     for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
         try:
-            page = parse_page(html)
+            page = parse(html)
         except PageParseError:
             continue
         urls.append(url)

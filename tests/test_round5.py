@@ -247,3 +247,58 @@ def test_warc_round_trip(ray_session, sf_dir, tmp_path):
     broken = read_warc([bad]).to_pandas()  # must not raise
     n_full = int(res.loc[res["path"] == f, "n_records"].iloc[0])
     assert len(broken) < n_full  # prefix of records, nothing invented
+
+
+def test_lenient_parser_real_world_html():
+    """The lenient mode (trafilatura-class robustness gap): arbitrary
+    attribute order/quoting, uppercase and unclosed tags, comments,
+    missing </html>, broken bytes — never raises, still extracts."""
+    from fcrepo3_rdf_extractor_ray.functions.textextract import (
+        parse_page, parse_page_lenient)
+
+    messy = (b"<HTML><head><!-- c --><META content='d1' NAME=keywords>"
+             b'<meta property="og:title" content="OG">'
+             b"<title>A <b>B</b></title></head>"
+             b"<BODY class=x><NAV>skip me</NAV>"
+             b"<DIV>Hello&amp;<br>world</DIV><p>tail")
+    p = parse_page_lenient(messy)
+    assert p.title == "A B"
+    assert ("keywords", "d1") in p.metas and ("og:title", "OG") in p.metas
+    assert p.text == "Hello&\nworld\ntail"
+    # the strict parser rejects the same bytes (no </html>)
+    import pytest as _pytest
+
+    from fcrepo3_rdf_extractor_ray.functions.textextract import (
+        PageParseError)
+    with _pytest.raises(PageParseError):
+        parse_page(messy)
+    # totality: random bytes, empty, non-UTF8 — never raises
+    for blob in (b"", bytes(range(256)), b"\xff\xfe<p>x</p>", b"<<<>>>"):
+        parse_page_lenient(blob)
+
+
+def test_lenient_stage_covers_every_row(ray_session, sf_dir):
+    """extract_text_batch(lenient=True) yields one text row for EVERY
+    page, including those the strict parser drops (the planted
+    doc_id % 97 malformed pages)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fcrepo3_rdf_extractor_ray.sources.pages import synthesize_pages
+    from fcrepo3_rdf_extractor_ray.stages.extract import extract_text_batch
+
+    pages_dir = synthesize_pages(sf_dir)
+    f = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[0]
+    tbl = pq.read_table(f, columns=["url", "html"]).slice(0, 128)
+    strict = extract_text_batch(tbl)
+    lenient = extract_text_batch(tbl, lenient=True)
+    assert lenient.num_rows == tbl.num_rows > strict.num_rows
+    # on well-formed pages the strict <p>-block main text is a PREFIX
+    # of the lenient text (lenient keeps ALL block text, e.g. the
+    # fact-classed paragraphs the strict contract excludes)
+    s = dict(zip(strict["url"].to_pylist(), strict["text"].to_pylist()))
+    l = dict(zip(lenient["url"].to_pylist(), lenient["text"].to_pylist()))
+    agree = sum(1 for u in s if l[u].startswith(s[u]))
+    assert agree >= 0.9 * len(s)

@@ -107,9 +107,21 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
 def _collect_table(ds, schema: pa.Schema) -> pa.Table:
     """Concatenate a small Dataset's blocks into one Arrow table,
     skipping the schema-less zero-row blocks Ray emits for empty
-    partitions (they break ``pa.concat_tables``)."""
-    tabs = [t for t in ray.get(ds.to_arrow_refs())
-            if t.num_rows and t.num_columns]
+    partitions (they break ``pa.concat_tables``). Ray 2.49's
+    ``to_arrow_refs`` passes PANDAS blocks through unconverted (incl.
+    the no-column empties pandas map stages emit) — convert those here.
+    Every block is cast to ``schema`` so mixed-lineage blocks concat."""
+    import pandas as pd
+
+    tabs = []
+    for b in ray.get(ds.to_arrow_refs()):
+        if isinstance(b, pd.DataFrame):
+            if not len(b) or not len(b.columns):
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if not b.num_rows or not b.num_columns:
+            continue
+        tabs.append(b.select(schema.names).cast(schema))
     if not tabs:
         return schema.empty_table()
     return pa.concat_tables(tabs).combine_chunks()

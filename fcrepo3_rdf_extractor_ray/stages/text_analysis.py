@@ -389,8 +389,13 @@ def tf_df_stats(docs_ds, text_col="text", id_col="doc_id",
                .groupby("part").map_groups(df_sum, batch_format="pyarrow")
                .map_batches(lambda t: t.drop_columns(["part"]),
                             batch_format="pyarrow"))
-    vocab_df = pa.Table.from_pandas(df_ds.to_pandas(),
-                                    preserve_index=False)
+    # vocabulary-bounded broadcast, collected as Arrow block refs
+    # (no driver pandas round-trip — the mention_lift/_collect_table
+    # idiom); driver holds the df table's Arrow bytes exactly once
+    from .graph import _collect_table
+
+    vocab_df = _collect_table(df_ds, pa.schema([
+        ("token", pa.string()), ("df", pa.int64())]))
     df_ref = ray.put(vocab_df)
 
     def join_df(t: pa.Table) -> pa.Table:
@@ -1087,8 +1092,10 @@ def unigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
                 .repartition(n_parts)  # coalesce before the exchange
                 .groupby("part").map_groups(part_sum,
                                             batch_format="pyarrow"))
-    vocab = pa.Table.from_pandas(vocab_ds.to_pandas(),
-                                 preserve_index=False).combine_chunks()
+    from .graph import _collect_table
+
+    vocab = _collect_table(vocab_ds, pa.schema([
+        ("token", pa.string()), ("n", pa.int64())]))
     vocab_ref = ray.put(vocab)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

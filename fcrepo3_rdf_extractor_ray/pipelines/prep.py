@@ -192,12 +192,12 @@ def mix_report(sf_dir: str, k: int = 4, n_parts: int | None = None):
     def tag(col_from, col_as, kind):
         def fn(t: pa.Table) -> pa.Table:
             import pyarrow as pa
+            import pyarrow.compute as pc
 
             ids = t["doc_id"]
             return pa.table({
                 "doc_id": ids,
-                "val": pa.Array.from_pandas(
-                    t[col_from].to_pandas().astype("int64"))
+                "val": pc.cast(t[col_from], pa.int64())
                 if col_from else pa.nulls(t.num_rows, pa.int64()),
                 "kind": pa.array(np.full(t.num_rows, kind, np.int8)),
                 "part": pa.array(fast_part_hash(ids, n_parts))})

@@ -249,6 +249,38 @@ def test_warc_round_trip(ray_session, sf_dir, tmp_path):
     assert len(broken) < n_full  # prefix of records, nothing invented
 
 
+def test_warc_read_parallelism_survives_batched_consumer(
+        ray_session, sf_dir, tmp_path):
+    """REGRESSION: read_warc must be a true READ operator (one
+    ReadTask per shard). Its first form — a ``map_batches`` over a
+    path-list Dataset — legally FUSED with a downstream
+    ``map_batches(batch_size=4096)`` (MapBatches reports
+    ``can_modify_num_rows() == False``), so Ray bundled the *path*
+    rows up to 4096 per task and the whole 176-shard x50 corpus parsed
+    in ONE serial task (22 s instead of 1.7 s). Assert the read keeps
+    one task per shard under exactly that consumer shape."""
+    import glob
+    import os
+    import re
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.warc import (read_warc,
+                                                        write_warc_shards)
+
+    out = str(tmp_path / "warc_par")
+    write_warc_shards(pages_for_sf(sf_dir), out).to_pandas()
+    paths = sorted(glob.glob(os.path.join(out, "*.warc.gz")))
+    assert len(paths) > 1  # one shard per input block
+
+    ds = (read_warc(paths)
+          .map_batches(lambda t: t, batch_format="pyarrow",
+                       batch_size=4096)
+          .materialize())
+    m = re.search(r"ReadWARC[^:]*: (\d+) tasks executed", ds.stats())
+    assert m, ds.stats()[:500]
+    assert int(m.group(1)) == len(paths)
+
+
 def test_lenient_parser_real_world_html():
     """The lenient mode (trafilatura-class robustness gap): arbitrary
     attribute order/quoting, uppercase and unclosed tags, comments,

@@ -2291,6 +2291,10 @@ def bucketed_join_orders_customer(sf_dir: str, n_buckets: int = 16,
 
     buckets = rd.from_items([{"bucket": b} for b in range(n_buckets)],
                             override_num_blocks=n_buckets)
+    # row-exploding map over a tiny driving table: do NOT compose the
+    # result with a map_batches(batch_size=B) — fusion would bundle up
+    # to B *bucket* rows per task and serialize the join (the read_warc
+    # lesson, sources/warc.py:_WARCDatasource); direct consumers only
     joined = buckets.map_batches(join_buckets, batch_format="pyarrow",
                                  batch_size=1)
     if not owns_root:

@@ -249,6 +249,47 @@ def test_warc_round_trip(ray_session, sf_dir, tmp_path):
     assert len(broken) < n_full  # prefix of records, nothing invented
 
 
+def test_warc_parse_byte_fuzz_contained():
+    """P4 at the WARC boundary: seeded byte flips / truncations /
+    splices over a valid multi-member-gzip shard never raise in
+    ``_parse_warc_bytes`` and never invent records — yields are
+    well-typed and no more numerous than the originals (a corrupted
+    member degrades to a skip or a prefix, the same contract the
+    page-parse fuzz pins for HTML)."""
+    import gzip
+    import random
+
+    from fcrepo3_rdf_extractor_ray.sources.warc import (_parse_warc_bytes,
+                                                        _warc_record)
+
+    recs = [_warc_record(f"https://ex{i}.org/p/{i}", 1_700_000_000_000_000
+                         + i * 1_000_000, f"<html>{i:04d}</html>".encode(),
+                         "en") for i in range(8)]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    n_orig = len(list(_parse_warc_bytes(blob)))
+    assert n_orig == 8
+
+    rng = random.Random(0x57A2C)
+    for trial in range(200):
+        data = bytearray(blob)
+        kind = trial % 3
+        if kind == 0:  # flip 1-8 bytes anywhere
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        elif kind == 1:  # truncate anywhere
+            data = data[:rng.randrange(1, len(data))]
+        else:  # splice random garbage into the middle
+            at = rng.randrange(len(data))
+            data = (data[:at]
+                    + bytes(rng.randrange(256) for _ in range(16))
+                    + data[at:])
+        out = list(_parse_warc_bytes(bytes(data)))  # must not raise
+        assert len(out) <= n_orig + 1  # never invents a record stream
+        for url, ts_us, html, lang in out:
+            assert isinstance(url, str) and isinstance(ts_us, int)
+            assert isinstance(html, (bytes, bytearray))
+
+
 def test_warc_read_parallelism_survives_batched_consumer(
         ray_session, sf_dir, tmp_path):
     """REGRESSION: read_warc must be a true READ operator (one

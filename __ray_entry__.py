@@ -1954,6 +1954,15 @@ def _q_dedup_spans(sf_dir: str):
     return duplicated_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dedup_substrings(sf_dir: str):
+    """Char-level exact duplicated-substring coverage (ExactSubstr
+    analog): merged removal ranges per doc for L=20-char windows with
+    corpus multiplicity >= 2."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import duplicated_substrings
+
+    return duplicated_substrings(_docs(sf_dir, ["doc_id", "text"]), L=20)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the mention co-occurrence graph; label =
     min entity id per component (distributed union-find, no driver
@@ -2243,6 +2252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _q_mm_image_features,
         # round-5 NEW oracle entry (WARC round-trip flagship):
         "kg_quads_warc": _q_kg_quads_warc,
+        # round-5 NEW oracle entry (ExactSubstr-style char dedup):
+        "dedup_substrings": _q_dedup_substrings,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3324,6 +3335,27 @@ FROM w GROUP BY user_id
         # span-level duplicate detection: distinct 4-token shingles per
         # doc that appear in >= 2 distinct documents (same str_split /
         # inclusive-slice shingling as ta_decontam)
+        # char-level ExactSubstr coverage: L=20-char windows with corpus
+        # multiplicity >= 2; coverage of the union of equal-length
+        # intervals is L for the first + least(gap, L) per successor,
+        # and a new maximal span starts exactly when gap > L
+        "dedup_substrings": """
+WITH pos AS (
+  SELECT doc_id, i, substring(text, i, 20) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 19)) AS i) g
+  WHERE len(text) >= 20),
+d AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2),
+lagged AS (SELECT doc_id, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+           FROM pos JOIN d USING (s))
+SELECT doc_id,
+       sum(CASE WHEN pi IS NULL THEN 20
+                ELSE least(i - pi, 20) END)::BIGINT AS dup_chars,
+       sum(CASE WHEN pi IS NULL OR i - pi > 20
+                THEN 1 ELSE 0 END)::BIGINT AS n_spans
+FROM lagged GROUP BY doc_id
+""",
         "dedup_spans": """
 WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS s

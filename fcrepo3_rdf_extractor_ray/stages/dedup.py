@@ -1177,3 +1177,179 @@ def dedup_incremental(committed_ds, incoming_ds, text_col: str = "text",
             [id_col, text_col])
 
     return incoming_ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def _char_window_hashes(texts: pd.Series, L: int):
+    """Vectorized L-CHAR sliding-window hashing over a batch of texts.
+
+    Returns ``(doc_pos, start, window_hash)`` for every length-L
+    character window that stays inside one document: the document's
+    position within the batch, the 0-based character offset of the
+    window, and a 64-bit polynomial hash of the window's code points.
+    Character (not byte) semantics — parity with SQL ``substring``.
+    No per-row Python: code points come from one utf-32 reinterpret of
+    the concatenated batch, the polynomial is L vectorized passes."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+             np.array([], dtype=np.uint64))
+    if not len(texts):
+        return empty
+    lens = texts.str.len().to_numpy(np.int64)
+    flat = "".join(texts.tolist())
+    m = len(flat)
+    if m < L:
+        return empty
+    codes = np.frombuffer(flat.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    starts = np.arange(m - L + 1)
+    valid = doc_idx[starts] == doc_idx[starts + L - 1]
+    P = np.uint64(1099511628211)  # FNV prime; uint64 wraparound intended
+    sh = np.zeros(m - L + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            sh = sh * P + codes[starts + j]
+    doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    s = starts[valid]
+    d = doc_idx[s]
+    return d, s - doc_off[d], sh[valid]
+
+
+def _merge_windows(ids: np.ndarray, st: np.ndarray, L: int) -> pd.DataFrame:
+    """Merge equal-length duplicated windows into per-doc coverage.
+    ``ids``/``st`` must be ordered by (doc, start) — the natural order
+    both producers emit. Coverage of a union of length-L intervals with
+    sorted starts is L for the first plus min(gap, L) per successor; a
+    new maximal span begins exactly when gap > L. Output one row per
+    doc: ``(doc_id, dup_chars, n_spans)``, both int64."""
+    if not len(ids):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_chars": pd.Series([], dtype="int64"),
+                             "n_spans": pd.Series([], dtype="int64")})
+    same = ids[1:] == ids[:-1]
+    gap = st[1:] - st[:-1]
+    contrib = np.full(len(ids), L, dtype=np.int64)
+    contrib[1:][same] = np.minimum(gap[same], L)
+    new_span = np.ones(len(ids), dtype=np.int64)
+    new_span[1:][same] = (gap[same] > L).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "c": contrib, "s": new_span})
+    g = df.groupby("doc_id", as_index=False).agg(
+        dup_chars=("c", "sum"), n_spans=("s", "sum"))
+    g["dup_chars"] = g["dup_chars"].astype("int64")
+    g["n_spans"] = g["n_spans"].astype("int64")
+    return g
+
+
+def duplicated_substrings(docs_ds, L: int = 20, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n_parts: int | None = None,
+                          max_broadcast_grams: int = 5_000_000,
+                          force_path: str | None = None):
+    """EXACT character-level duplicated-substring detection — the
+    ExactSubstr signal from the public "Deduplicating Training Data
+    Makes Language Models Better" line of work (there via a corpus
+    suffix array): a character position is duplicated when it is
+    covered by a length-L window whose exact L-char substring occurs
+    ≥ 2 times ANYWHERE in the corpus (another doc or another offset of
+    the same doc). Distinct from ``duplicated_spans`` (word-shingle,
+    per-doc counts): this is char-exact and reports merged removal
+    coverage — ``(doc_id, dup_chars, n_spans)``; clean docs emit
+    nothing. Window identity is the 64-bit polynomial hash —
+    string-level parity with the SQL oracle modulo ~2^-64 collisions,
+    the same contract as ``duplicated_spans`` / ``decontaminate``.
+
+    Scale shape (a corpus-wide suffix array is the one structure that
+    does NOT distribute): pass 1 emits per-batch PARTIAL gram counts
+    clipped at 2 (≤ distinct-grams-per-batch rows, never positions),
+    one bounded hash exchange filters to grams with global multiplicity
+    ≥ 2. Probe auto-routes: below ``max_broadcast_grams`` the dup-gram
+    hash set broadcasts once (``ray.put``, sorted-array membership) and
+    coverage merges IN BATCH — zero further exchange, driver state
+    O(dup grams). Above it, positions ship ONCE co-partitioned by gram
+    hash (tag-union with the dup set, the ``dedup_incremental`` shape),
+    then regroup by doc to merge — two position-cardinality exchanges,
+    no broadcast ceiling. ``force_path`` ∈ {"broadcast", "join"} pins a
+    path for parity tests."""
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(2.0)
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, h = _char_window_hashes(df[text_col], L)
+        u, c = np.unique(h, return_counts=True)
+        out = pd.DataFrame({"h": u.view(np.int64),
+                            "cnt": np.minimum(c, 2).astype(np.int64)})
+        out["part"] = (u % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    def dup_only(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False)["cnt"].sum()
+        g = g.loc[g["cnt"] >= 2, ["h"]]
+        g["part"] = (g["h"].to_numpy().view(np.uint64)
+                     % np.uint64(n_parts)).astype(np.int32)
+        return g
+
+    dup_ds = (docs_ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby("part").map_groups(dup_only, batch_format="pandas")
+              .materialize())
+    n_dup = dup_ds.count()
+    path = force_path or ("broadcast" if n_dup <= max_broadcast_grams
+                          else "join")
+
+    import ray
+
+    from .graph import _collect_table
+
+    if path == "broadcast":
+        dup_tbl = _collect_table(dup_ds, pa.schema([("h", pa.int64()),
+                                                    ("part", pa.int32())]))
+        dup_sorted = np.sort(dup_tbl["h"].to_numpy(zero_copy_only=False)
+                             .view(np.uint64))
+        dup_ref = ray.put(dup_sorted)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            dup = ray.get(dup_ref)
+            d, s, h = _char_window_hashes(df[text_col], L)
+            idx = np.searchsorted(dup, h)
+            idx[idx == len(dup)] = 0
+            hit = len(dup) > 0 and dup[idx] == h
+            hit = np.zeros(len(h), bool) if isinstance(hit, bool) else hit
+            ids = df[id_col].to_numpy(np.int64)[d[hit]]
+            return _merge_windows(ids, s[hit], L)
+
+        return docs_ds.map_batches(probe, batch_format="pandas")
+
+    # join path: positions co-partitioned with the dup-gram set
+    def position_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d, s, h = _char_window_hashes(df[text_col], L)
+        out = pd.DataFrame({"h": h.view(np.int64),
+                            "doc_id": df[id_col].to_numpy(np.int64)[d],
+                            "st": s})
+        out["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return out
+
+    def dup_tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["h", "part"]].copy()
+        out["doc_id"] = np.int64(-1)
+        out["st"] = np.int64(-1)
+        return out[["h", "doc_id", "st", "part"]]
+
+    tagged = (dup_ds.map_batches(dup_tag, batch_format="pandas")
+              .union(docs_ds.map_batches(position_rows,
+                                         batch_format="pandas")))
+
+    def keep_dup(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df.loc[df["doc_id"] < 0, "h"]
+        hit = df.loc[(df["doc_id"] >= 0) & df["h"].isin(set(dup)),
+                     ["doc_id", "st"]]
+        hit = hit.astype({"doc_id": "int64", "st": "int64"})
+        hit["p2"] = (hit["doc_id"].to_numpy()
+                     % np.int64(n_parts)).astype(np.int32)
+        return hit
+
+    def merge_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "st"])
+        return _merge_windows(df["doc_id"].to_numpy(np.int64),
+                              df["st"].to_numpy(np.int64), L)
+
+    return (tagged.groupby("part").map_groups(keep_dup,
+                                              batch_format="pandas")
+            .groupby("p2").map_groups(merge_doc, batch_format="pandas"))

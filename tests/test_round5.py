@@ -375,3 +375,77 @@ def test_lenient_stage_covers_every_row(ray_session, sf_dir):
     l = dict(zip(lenient["url"].to_pylist(), lenient["text"].to_pylist()))
     agree = sum(1 for u in s if l[u].startswith(s[u]))
     assert agree >= 0.9 * len(s)
+
+
+# ---------------------------------------------------------------- #
+# duplicated_substrings — char-level ExactSubstr coverage           #
+# ---------------------------------------------------------------- #
+
+def _subs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+
+def test_duplicated_substrings_planted(ray_session):
+    """A 45-char passage shared by two docs at different offsets is
+    reported in BOTH, as ONE merged span covering exactly the shared
+    chars; a unique doc emits nothing; an internal repeat within a
+    single doc fires too."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        duplicated_substrings)
+
+    shared = "the quick brown fox jumps over the lazy dogge"  # 45 chars
+    internal = "a" * 30  # 30-char run repeats internally -> self-dup
+    # boundary chars around the shared passage DIFFER between the two
+    # docs (":" / "_" / end-of-doc) so no duplicated window can extend
+    # coverage past the passage itself
+    texts = [
+        "PREFIXONE:" + shared + ":SUFFIXONE",
+        "longer other prefix_" + shared,
+        "completely unique text with no repeats at all here",
+        internal + " zzz unique middle part qqq " + internal,
+    ]
+    for path in ("broadcast", "join"):
+        got = (duplicated_substrings(_subs_ds(texts), L=20,
+                                     force_path=path)
+               .to_pandas().set_index("doc_id").sort_index())
+        # docs 0 and 1 each report one span of exactly len(shared)
+        assert got.loc[0, "dup_chars"] == len(shared)
+        assert got.loc[0, "n_spans"] == 1
+        assert got.loc[1, "dup_chars"] == len(shared)
+        assert got.loc[1, "n_spans"] == 1
+        # unique doc absent
+        assert 2 not in got.index
+        # internal repeat: both 30-char runs covered, two spans
+        assert got.loc[3, "n_spans"] == 2
+        assert got.loc[3, "dup_chars"] == 60
+
+
+def test_duplicated_substrings_paths_agree_and_short_docs(ray_session):
+    """Forced broadcast and join paths are byte-equal on a corpus with
+    short (< L) docs, empty docs, and adjacent-window merges."""
+    import pandas as pd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        duplicated_substrings)
+
+    base = "x" * 19  # just below the window length -> never fires
+    texts = [
+        "", base, base,
+        ("abcdefghijklmnopqrst" * 3) + " tail one",   # 60-char block
+        "head two " + ("abcdefghijklmnopqrst" * 3),   # same block
+    ]
+    outs = {}
+    for path in ("broadcast", "join"):
+        outs[path] = (duplicated_substrings(_subs_ds(texts), L=20,
+                                            force_path=path)
+                      .to_pandas()
+                      .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+    got = outs["broadcast"].set_index("doc_id")
+    assert list(got.index) == [3, 4]  # short/empty docs never fire
+    # the 60-char repeated block merges to one span in each doc
+    assert (got["n_spans"] == 1).all()
+    assert (got["dup_chars"] == 60).all()

@@ -383,25 +383,19 @@ def _q_kg_quads_join_resolve(sf_dir: str):
     return run_kg(sf_dir, use_join_resolve=True)
 
 
-def _q_kg_quads_warc(sf_dir: str):
-    """Flagship over a WARC ROUND-TRIP of the corpus: pages → WARC/1.0
-    shards (multi-member gzip, the Common-Crawl wire format) → read_warc
-    → full KG pipeline. Oracle-identical to kg_quads_all — proving the
-    WARC source preserves (url, warc_ts, html, lang) bit-exactly (the
-    synthetic fetch times are whole seconds, so WARC-Date's second
-    granularity is lossless). Shard set cached under /tmp per sf dir."""
+def _warc_shards_for_sf(sf_dir: str) -> list[str]:
+    """Cached WARC export of the sf corpus (one-time, atomic dir
+    publish — a crashed partial write never becomes the cache, same
+    temp+rename rule as the checkpoint sinks). Returns shard paths."""
     import glob
     import os
 
-    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf, run_kg
-    from fcrepo3_rdf_extractor_ray.sources.warc import (read_warc,
-                                                        write_warc_shards)
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.warc import write_warc_shards
 
     warc_dir = os.path.join("/tmp/kg_warc", os.path.basename(
         os.path.normpath(sf_dir)))
     if not os.path.isdir(warc_dir):
-        # atomic dir publish: a crashed partial write never becomes
-        # the cache (same temp+rename rule as the checkpoint sinks)
         tmp = f"{warc_dir}.tmp-{os.getpid()}"
         write_warc_shards(pages_for_sf(sf_dir), tmp,
                           gzipped=True).materialize()
@@ -411,9 +405,33 @@ def _q_kg_quads_warc(sf_dir: str):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    pages = read_warc(sorted(glob.glob(os.path.join(warc_dir,
-                                                    "*.warc.gz"))))
-    return run_kg(sf_dir, pages_ds=pages)
+    return sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+
+
+def _q_kg_quads_warc(sf_dir: str):
+    """Flagship over a WARC ROUND-TRIP of the corpus: pages → WARC/1.0
+    shards (multi-member gzip, the Common-Crawl wire format) → read_warc
+    → full KG pipeline. Oracle-identical to kg_quads_all — proving the
+    WARC source preserves (url, warc_ts, html, lang) bit-exactly (the
+    synthetic fetch times are whole seconds, so WARC-Date's second
+    granularity is lossless). Shard set cached under /tmp per sf dir."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
+    from fcrepo3_rdf_extractor_ray.sources.warc import read_warc
+
+    return run_kg(sf_dir, pages_ds=read_warc(_warc_shards_for_sf(sf_dir)))
+
+
+def _q_web_cdx(sf_dir: str):
+    """CDX index over the WARC export: one row per response record.
+    Oracle-checked projection = the SQL-replayable identity columns
+    (urlkey, ts, url, mime, status, digest, payload_len); the
+    range-read coordinates (offset, length, filename) are file-layout
+    facts verified by the pytest round-trip (seek+gunzip+digest)."""
+    from fcrepo3_rdf_extractor_ray.sources.warc import cdx_index
+
+    return cdx_index(_warc_shards_for_sf(sf_dir)).select_columns(
+        ["urlkey", "ts", "url", "mime", "status", "digest",
+         "payload_len"])
 
 
 def _q_kg_mentions(sf_dir: str):
@@ -2252,8 +2270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _q_mm_image_features,
         # round-5 NEW oracle entry (WARC round-trip flagship):
         "kg_quads_warc": _q_kg_quads_warc,
-        # round-5 NEW oracle entry (ExactSubstr-style char dedup):
+        # round-5 NEW oracle entries (ExactSubstr-style char dedup;
+        # CDX index over the WARC export):
         "dedup_substrings": _q_dedup_substrings,
+        "web_cdx": _q_web_cdx,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3866,6 +3886,62 @@ FROM s
     # paths — same oracles, checked independently by the driver
     d["kg_quads_parse_once"] = d["kg_quads_all"]
     d["kg_quads_warc"] = d["kg_quads_all"]
+    # CDX index over the WARC round-trip: rebuild the page html
+    # expression-for-expression from the synthesis spec
+    # (sources/pages.py _page_html — THE single source of truth),
+    # truncate the doc_id % 97 malformed pages to 40 chars (ASCII
+    # corpus: chars == bytes), then md5/len replay the digest columns.
+    d["web_cdx"] = """
+WITH h AS (
+  SELECT doc_id,
+         'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+             || doc_id::VARCHAR AS url,
+         strftime(make_timestamp(1700000000000000 + doc_id * 86400000000),
+                  '%Y%m%d%H%M%S') AS ts,
+         '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
+         || chr(10) || '<meta name="description" content="'
+         || CASE WHEN doc_id % 11 = 0 THEN ''
+                 ELSE 'About ' || split_part(text, ' ', 1) END
+         || '">' || chr(10)
+         || '<meta name="keywords" content="kw' || (doc_id % 5)::VARCHAR
+         || CASE WHEN doc_id % 13 = 0 THEN ',' || chr(10) ELSE ',' END
+         || 'alpha">' || chr(10)
+         || '<meta name="x-internal" content="crawler-7">'
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || '<meta name="robots" content="noindex">'
+                 ELSE '' END
+         || chr(10) || '</head><body>' || chr(10)
+         || '<nav>Home | About | Contact</nav>' || chr(10)
+         || '<p>' || text || '</p>' || chr(10)
+         || '<p class="fact">'
+         || CASE doc_id % 3
+            WHEN 0 THEN 'Entity' || (doc_id % 41)::VARCHAR
+            WHEN 1 THEN 'Entity ' || (doc_id % 41)::VARCHAR
+            ELSE 'ENTITY-' || (doc_id % 41)::VARCHAR END
+         || ' ' || CASE doc_id % 3 WHEN 0 THEN 'works with'
+                                   WHEN 1 THEN 'acquired'
+                                   ELSE 'is based in' END
+         || ' ' || CASE WHEN doc_id % 17 = 0
+                   THEN 'Widget-' || (doc_id % 29)::VARCHAR
+                   ELSE CASE (doc_id // 3) % 3
+                        WHEN 0 THEN 'Entity' || ((7*doc_id+3) % 41)::VARCHAR
+                        WHEN 1 THEN 'Entity ' || ((7*doc_id+3) % 41)::VARCHAR
+                        ELSE 'ENTITY-' || ((7*doc_id+3) % 41)::VARCHAR END
+                   END
+         || '.</p>' || chr(10)
+         || '<footer>(c) example.org</footer>' || chr(10)
+         || '</body></html>' AS html
+  FROM documents),
+t AS (SELECT doc_id, url, ts,
+             CASE WHEN doc_id % 97 = 0 THEN left(html, 40)
+                  ELSE html END AS html
+      FROM h)
+SELECT 'org,ex' || (doc_id % 20)::VARCHAR || ')/p/'
+           || doc_id::VARCHAR AS urlkey,
+       ts, url, 'text/html' AS mime, 200::BIGINT AS status,
+       md5(html) AS digest, len(html)::BIGINT AS payload_len
+FROM t
+"""
     d["kg_mentions_parse_once"] = d["kg_mentions"]
     # aHash is all-integer over deterministic synthetic pixels, so the
     # full perceptual-hash pipeline replays in SQL: pixel formula →

@@ -90,35 +90,36 @@ def write_warc_shards(pages_ds, out_dir: str, gzipped: bool = True):
                                 batch_size=None)
 
 
-def _parse_warc_bytes(data: bytes):
-    """Yield (url, ts_us, html, lang) per well-formed ``response``
-    record; malformed records are skipped (counted by the caller).
-    Handles plain and multi-member-gzip inputs."""
-    if data[:2] == b"\x1f\x8b":
-        # multi-member gzip: zlib member-by-member (unused_data marks
-        # each member boundary)
-        import zlib
+def _gunzip_members(data: bytes):
+    """Walk a multi-member gzip buffer, yielding
+    ``(offset, consumed, member_bytes)`` per member — the compressed
+    coordinates a CDX index records so readers can range-fetch one
+    member. A truncated trailing member yields nothing (contained)."""
+    import zlib
 
-        out = io.BytesIO()
-        pos = 0
-        while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
-            try:
-                out.write(d.decompress(data[pos:]))
-                out.write(d.flush())
-            except zlib.error:
-                break
-            consumed = len(data) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            pos += consumed
-        data = out.getvalue()
     pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(data[pos:]) + d.flush()
+        except zlib.error:
+            return
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        yield pos, consumed, member
+        pos += consumed
+
+
+def _next_record(data: bytes, pos: int):
+    """Parse the next WARC record at/after ``pos``. Returns
+    ``(start, next_pos, fields, body)`` or None when no further record
+    can parse (resync without a Content-Length is impossible)."""
     n = len(data)
     while pos < n:
         hdr_end = data.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
-            return
+            return None
         head = data[pos:hdr_end]
         if not head.startswith(b"WARC/"):
             pos = hdr_end + 4
@@ -130,28 +131,64 @@ def _parse_warc_bytes(data: bytes):
         try:
             clen = int(fields[b"content-length"])
         except (KeyError, ValueError):
-            return  # cannot resync without a length
+            return None  # cannot resync without a length
         body = data[hdr_end + 4:hdr_end + 4 + clen]
-        pos = hdr_end + 4 + clen + 4  # skip record + blank-line pair
-        if fields.get(b"warc-type") != b"response":
-            continue
-        url = fields.get(b"warc-target-uri", b"").decode(
-            "utf-8", "replace")
-        try:
-            ts_us = int(datetime.strptime(
-                fields[b"warc-date"].decode(), "%Y-%m-%dT%H:%M:%SZ")
-                .replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
-        except (KeyError, ValueError):
-            continue  # contained: record dropped
-        http_end = body.find(_CRLF + _CRLF)
-        if http_end < 0 or not body.startswith(b"HTTP/"):
-            continue
-        lang = None
-        for line in body[:http_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            if k.strip().lower() == b"content-language":
-                lang = v.strip().decode("utf-8", "replace")
-        yield url, ts_us, body[http_end + 4:], lang
+        # next record starts after the body + blank-line pair
+        return pos, hdr_end + 4 + clen + 4, fields, body
+    return None
+
+
+def _response_tuple(fields: dict, body: bytes):
+    """(url, ts_us, html, lang, status, mime) of one ``response``
+    record, or None when the record is malformed / not a response —
+    per-record containment (P4)."""
+    if fields.get(b"warc-type") != b"response":
+        return None
+    url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    try:
+        ts_us = int(datetime.strptime(
+            fields[b"warc-date"].decode(), "%Y-%m-%dT%H:%M:%SZ")
+            .replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    except (KeyError, ValueError):
+        return None
+    http_end = body.find(_CRLF + _CRLF)
+    if http_end < 0 or not body.startswith(b"HTTP/"):
+        return None
+    head_lines = body[:http_end].split(_CRLF)
+    try:
+        status = int(head_lines[0].split(b" ", 2)[1])
+    except (IndexError, ValueError):
+        return None
+    lang, mime = None, ""
+    for line in head_lines[1:]:
+        k, _, v = line.partition(b":")
+        k = k.strip().lower()
+        if k == b"content-language":
+            lang = v.strip().decode("utf-8", "replace")
+        elif k == b"content-type":
+            mime = (v.strip().split(b";", 1)[0].strip()
+                    .decode("utf-8", "replace"))
+    return url, ts_us, body[http_end + 4:], lang, status, mime
+
+
+def _parse_warc_bytes(data: bytes):
+    """Yield (url, ts_us, html, lang) per well-formed ``response``
+    record; malformed records are skipped (counted by the caller).
+    Handles plain and multi-member-gzip inputs."""
+    if data[:2] == b"\x1f\x8b":
+        out = io.BytesIO()
+        for _, _, member in _gunzip_members(data):
+            out.write(member)
+        data = out.getvalue()
+    pos = 0
+    while True:
+        rec = _next_record(data, pos)
+        if rec is None:
+            return
+        _, pos, fields, body = rec
+        resp = _response_tuple(fields, body)
+        if resp is not None:
+            yield resp[:4]
 
 
 def _parse_warc_file(path: str) -> pa.Table:
@@ -177,6 +214,78 @@ def _parse_warc_file(path: str) -> pa.Table:
         "lang": pa.array(langs, pa.string())})
 
 
+def _cdx_surt(url: str) -> str:
+    """Sort-friendly URL key (SURT, the key column of the CDX index
+    format web archives ship alongside WARC sets): lowercase, scheme
+    dropped, host labels reversed and comma-joined, ``)/`` before the
+    path — e.g. ``https://ex3.org/p/42`` → ``org,ex3)/p/42``."""
+    u = url.lower()
+    rest = u.split("://", 1)[1] if "://" in u else u
+    host, _, path = rest.partition("/")
+    host = host.split(":", 1)[0]
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+_CDX_SCHEMA_FIELDS = [
+    ("urlkey", pa.string()), ("ts", pa.string()), ("url", pa.string()),
+    ("mime", pa.string()), ("status", pa.int64()),
+    ("digest", pa.string()), ("payload_len", pa.int64()),
+    ("offset", pa.int64()), ("length", pa.int64()),
+    ("filename", pa.string())]
+
+
+def _cdx_file(path: str) -> pa.Table:
+    """One shard file → one CDX block: per ``response`` record
+    ``(urlkey, ts, url, mime, status, digest, payload_len, offset,
+    length, filename)``. ``offset``/``length`` are the coordinates a
+    range reader needs: compressed gzip-member bounds for ``.warc.gz``
+    (each record is its own member — the Common-Crawl layout), raw
+    record byte bounds for plain ``.warc``. ``digest`` is the md5 hex
+    of the payload bytes (the house SQL-replayable hash family; real
+    CDX uses base32 sha1). ``ts`` is the CDX-conventional 14-digit
+    UTC timestamp. Shard- and record-level containment as in
+    ``_parse_warc_file``."""
+    import hashlib
+    import os
+
+    fname = os.path.basename(path)
+    cols: list[list] = [[] for _ in _CDX_SCHEMA_FIELDS]
+
+    def emit(fields, body, offset, length):
+        resp = _response_tuple(fields, body)
+        if resp is None:
+            return
+        url, ts_us, payload, _, status, mime = resp
+        ts = datetime.fromtimestamp(
+            ts_us / 1e6, tz=timezone.utc).strftime("%Y%m%d%H%M%S")
+        row = (_cdx_surt(url), ts, url, mime, status,
+               hashlib.md5(payload).hexdigest(), len(payload),
+               offset, length, fname)
+        for c, v in zip(cols, row):
+            c.append(v)
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:2] == b"\x1f\x8b":
+            for offset, consumed, member in _gunzip_members(data):
+                rec = _next_record(member, 0)
+                if rec is not None:
+                    emit(rec[2], rec[3], offset, consumed)
+        else:
+            pos = 0
+            while True:
+                rec = _next_record(data, pos)
+                if rec is None:
+                    break
+                start, pos, fields, body = rec
+                emit(fields, body, start, min(pos, len(data)) - start)
+    except Exception:
+        pass
+    return pa.table({name: pa.array(c, typ) for (name, typ), c
+                     in zip(_CDX_SCHEMA_FIELDS, cols)})
+
+
 class _WARCDatasource:
     """Custom ``ray.data.Datasource``: one ReadTask per shard file.
 
@@ -191,14 +300,16 @@ class _WARCDatasource:
     the flagship's extract stage. Read tasks are never bundled that
     way (the exact reason ``ReadParquet`` keeps its parallelism)."""
 
-    def __init__(self, paths):
+    def __init__(self, paths, parse_file=None, name: str = "WARC"):
         self._paths = list(paths)
+        self._parse_file = parse_file or _parse_warc_file
+        self._name = name
 
     # ray.data.Datasource surface (duck-typed; the base class adds no
     # behavior we need, and inheriting it here would make this module
     # import ray at module load)
     def get_name(self) -> str:
-        return "WARC"
+        return self._name
 
     def estimate_inmemory_data_size(self):
         return None  # driver must not stat 1e6 shard files up front
@@ -220,8 +331,8 @@ class _WARCDatasource:
             meta = BlockMetadata(num_rows=None, size_bytes=None,
                                  exec_stats=None, input_files=group)
 
-            def read_fn(group=group):
-                return (_parse_warc_file(p) for p in group)
+            def read_fn(group=group, parse=self._parse_file):
+                return (parse(p) for p in group)
 
             tasks.append(ReadTask(read_fn, meta))
         return tasks
@@ -243,6 +354,22 @@ def read_warc(paths, parallelism: int = -1):
         paths = [paths]
     return rd.read_datasource(_warc_datasource_cls()([str(p) for p in paths]),
                               parallelism=parallelism)
+
+
+def cdx_index(paths, parallelism: int = -1):
+    """WARC shards → CDX index Dataset (see ``_cdx_file`` for the
+    column contract). The standard web-archive companion op: one index
+    row per response record with the range-read coordinates, built as
+    the same one-ReadTask-per-shard Datasource shape as ``read_warc``
+    (driver holds only paths; never re-reads payloads downstream)."""
+    import ray.data as rd
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return rd.read_datasource(
+        _warc_datasource_cls()([str(p) for p in paths],
+                               parse_file=_cdx_file, name="CDX"),
+        parallelism=parallelism)
 
 
 _WARC_DS_CLS = None

@@ -449,3 +449,86 @@ def test_duplicated_substrings_paths_agree_and_short_docs(ray_session):
     # the 60-char repeated block merges to one span in each doc
     assert (got["n_spans"] == 1).all()
     assert (got["dup_chars"] == 60).all()
+
+
+# ---------------------------------------------------------------- #
+# cdx_index — CDX companion index over WARC shards                  #
+# ---------------------------------------------------------------- #
+
+def test_cdx_range_read_round_trip(ray_session, sf_dir, tmp_path):
+    """Every CDX (offset, length, filename) coordinate supports a true
+    range read: slice exactly those bytes out of the shard, gunzip the
+    member (or parse the raw record), and the payload's md5 equals the
+    indexed digest — for BOTH the gzip and plain layouts. Plus the
+    identity columns match the source pages."""
+    import gzip
+    import hashlib
+    import os
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.warc import (
+        _next_record, _response_tuple, cdx_index, write_warc_shards)
+
+    pages = pages_for_sf(sf_dir)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+
+    for gzipped, sub in ((True, "gz"), (False, "plain")):
+        out = str(tmp_path / f"cdx_{sub}")
+        write_warc_shards(pages, out, gzipped=gzipped).materialize()
+        paths = sorted(os.path.join(out, p) for p in os.listdir(out))
+        cdx = (cdx_index(paths).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        assert len(cdx) == len(want)
+        assert (cdx["url"] == want["url"]).all()
+        assert (cdx["status"] == 200).all()
+        assert (cdx["mime"] == "text/html").all()
+        assert (cdx["payload_len"]
+                == want["html"].map(len).to_numpy()).all()
+        # urlkey is the SURT of the url
+        assert (cdx["urlkey"]
+                == "org,ex" + cdx["url"].str.extract(
+                    r"ex(\d+)\.org/p/(\d+)")[0]
+                + ")/p/" + cdx["url"].str.extract(
+                    r"ex(\d+)\.org/p/(\d+)")[1]).all()
+        # range-read every record on a sample of rows
+        blobs = {p: open(p, "rb").read() for p in set(
+            os.path.join(out, f) for f in cdx["filename"])}
+        for _, r in cdx.iloc[:: max(1, len(cdx) // 64)].iterrows():
+            raw = blobs[os.path.join(out, r["filename"])][
+                r["offset"]:r["offset"] + r["length"]]
+            rec_bytes = gzip.decompress(raw) if gzipped else raw
+            rec = _next_record(rec_bytes, 0)
+            assert rec is not None
+            resp = _response_tuple(rec[2], rec[3])
+            assert resp is not None and resp[0] == r["url"]
+            assert hashlib.md5(resp[2]).hexdigest() == r["digest"]
+
+
+def test_cdx_containment(ray_session, tmp_path):
+    """A truncated shard degrades to an index prefix; a non-response
+    record contributes no CDX row; a corrupt file yields an empty
+    (schema-stable) block."""
+    from fcrepo3_rdf_extractor_ray.sources.warc import (_cdx_file,
+                                                        _warc_record)
+
+    rec1 = _warc_record("https://a.org/x", 1_700_000_000_000_000,
+                        b"<html>one</html>", "en")
+    rec2 = _warc_record("https://b.org/y", 1_700_000_001_000_000,
+                        b"<html>two</html>", "en")
+    meta = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    f = str(tmp_path / "mix.warc")
+    open(f, "wb").write(rec1 + meta + rec2)
+    t = _cdx_file(f)
+    assert t.num_rows == 2
+    assert t["urlkey"].to_pylist() == ["org,a)/x", "org,b)/y"]
+    # offsets really locate the records in the plain layout
+    blob = open(f, "rb").read()
+    o, ln = t["offset"].to_pylist(), t["length"].to_pylist()
+    assert blob[o[0]:o[0] + ln[0]] == rec1
+    assert blob[o[1]:o[1] + ln[1]] == rec2
+
+    bad = str(tmp_path / "bad.warc")
+    open(bad, "wb").write(rec1[: len(rec1) // 3])
+    t2 = _cdx_file(bad)
+    assert t2.num_rows == 0 and t2.schema.names == t.schema.names

@@ -189,7 +189,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_template", "web_link_recip", "kg_pred_stats",
                  "web_frontier", "kg_entity_cards", "kg_modularity",
                  "prep_dataset_card", "mm_audio_pitch", "kg_clustering",
-                 "web_dup_profile", "kg_assortativity", "kg_violations"):
+                 "web_dup_profile", "kg_assortativity", "kg_violations",
+                 "dedup_substrings", "web_cdx"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

@@ -421,6 +421,37 @@ def _q_kg_quads_warc(sf_dir: str):
     return run_kg(sf_dir, pages_ds=read_warc(_warc_shards_for_sf(sf_dir)))
 
 
+def _q_web_wet(sf_dir: str):
+    """WET round-trip: pages → strict main-text extraction wrapped in
+    WARC ``conversion`` records (the Common-Crawl .warc.wet companion
+    format) → read_wet → (url, text). Oracle-identical to
+    kg_extracted_text — the WET wire format preserves the extracted
+    text byte-exactly (UTF-8 payload, Content-Length framing). Shard
+    set cached under /tmp per sf dir (same atomic-publish rule as the
+    WARC cache)."""
+    import glob
+    import os
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.warc import (read_wet,
+                                                        write_wet_shards)
+
+    wet_dir = os.path.join("/tmp/kg_wet", os.path.basename(
+        os.path.normpath(sf_dir)))
+    if not os.path.isdir(wet_dir):
+        tmp = f"{wet_dir}.tmp-{os.getpid()}"
+        write_wet_shards(pages_for_sf(sf_dir), tmp,
+                         gzipped=True).materialize()
+        try:
+            os.rename(tmp, wet_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return read_wet(sorted(glob.glob(os.path.join(
+        wet_dir, "*.warc.wet.gz")))).select_columns(["url", "text"])
+
+
 def _q_web_cdx(sf_dir: str):
     """CDX index over the WARC export: one row per response record.
     Oracle-checked projection = the SQL-replayable identity columns
@@ -2271,9 +2302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 NEW oracle entry (WARC round-trip flagship):
         "kg_quads_warc": _q_kg_quads_warc,
         # round-5 NEW oracle entries (ExactSubstr-style char dedup;
-        # CDX index over the WARC export):
+        # CDX index over the WARC export; WET round-trip):
         "dedup_substrings": _q_dedup_substrings,
         "web_cdx": _q_web_cdx,
+        "web_wet": _q_web_wet,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3942,6 +3974,9 @@ SELECT 'org,ex' || (doc_id % 20)::VARCHAR || ')/p/'
        md5(html) AS digest, len(html)::BIGINT AS payload_len
 FROM t
 """
+    # WET round-trip preserves the extracted text byte-exactly, so it
+    # shares the extracted-text oracle verbatim
+    d["web_wet"] = d["kg_extracted_text"]
     d["kg_mentions_parse_once"] = d["kg_mentions"]
     # aHash is all-integer over deterministic synthetic pixels, so the
     # full perceptual-hash pipeline replays in SQL: pixel formula →

@@ -90,6 +90,69 @@ def write_warc_shards(pages_ds, out_dir: str, gzipped: bool = True):
                                 batch_size=None)
 
 
+def _wet_record(url: str, ts_us: int, text: bytes) -> bytes:
+    """One WARC/1.0 ``conversion`` record — the WET layout (Common
+    Crawl's extracted-text companion files): plain UTF-8 payload, no
+    HTTP envelope."""
+    iso = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ")
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: conversion\r\n"
+           + f"WARC-Target-URI: {url}\r\n".encode()
+           + f"WARC-Date: {iso}\r\n".encode()
+           + b"Content-Type: text/plain\r\n"
+           + f"Content-Length: {len(text)}\r\n".encode())
+    return hdr + _CRLF + text + _CRLF + _CRLF
+
+
+def write_wet_shards(pages_ds, out_dir: str, gzipped: bool = True,
+                     lenient: bool = False):
+    """pages Dataset → ``<out_dir>/shard-NNNNN.warc.wet[.gz]`` WET
+    shards: per page, strict main-text extraction (malformed pages
+    dropped — the same per-row containment contract as
+    ``extract_text_batch``) wrapped in a ``conversion`` record. One
+    file per block, atomic publish, multi-member gzip — identical
+    sharding/layout rules to ``write_warc_shards``. ``lenient=True``
+    swaps in the never-raises real-crawl parser."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid
+
+        from ..functions.textextract import (PageParseError, parse_page,
+                                             parse_page_lenient)
+
+        parse = parse_page_lenient if lenient else parse_page
+        buf = io.BytesIO()
+        ts_us = pa.compute.cast(
+            pa.compute.cast(t["warc_ts"], pa.timestamp("us")), pa.int64()
+        ).to_pylist()
+        n = 0
+        for url, us, html in zip(t["url"].to_pylist(), ts_us,
+                                 t["html"].to_pylist()):
+            try:
+                page = parse(html)
+            except PageParseError:
+                continue
+            rec = _wet_record(url, us, page.text.encode("utf-8"))
+            buf.write(gzip.compress(rec) if gzipped else rec)
+            n += 1
+        name = f"shard-{uuid.uuid4().hex[:12]}.warc.wet" + (
+            ".gz" if gzipped else "")
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        final = os.path.join(out_dir, name)
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.rename(tmp, final)  # atomic publish (resumable-output rule)
+        return pa.table({"path": pa.array([final], pa.string()),
+                         "n_records": pa.array([n], pa.int64())})
+
+    return pages_ds.map_batches(write_block, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def _gunzip_members(data: bytes):
     """Walk a multi-member gzip buffer, yielding
     ``(offset, consumed, member_bytes)`` per member — the compressed
@@ -138,12 +201,9 @@ def _next_record(data: bytes, pos: int):
     return None
 
 
-def _response_tuple(fields: dict, body: bytes):
-    """(url, ts_us, html, lang, status, mime) of one ``response``
-    record, or None when the record is malformed / not a response —
-    per-record containment (P4)."""
-    if fields.get(b"warc-type") != b"response":
-        return None
+def _uri_and_date(fields: dict):
+    """(url, ts_us) of a record's WARC-Target-URI / WARC-Date headers,
+    or None when the date is missing/malformed."""
     url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
     try:
         ts_us = int(datetime.strptime(
@@ -151,6 +211,19 @@ def _response_tuple(fields: dict, body: bytes):
             .replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
     except (KeyError, ValueError):
         return None
+    return url, ts_us
+
+
+def _response_tuple(fields: dict, body: bytes):
+    """(url, ts_us, html, lang, status, mime) of one ``response``
+    record, or None when the record is malformed / not a response —
+    per-record containment (P4)."""
+    if fields.get(b"warc-type") != b"response":
+        return None
+    ud = _uri_and_date(fields)
+    if ud is None:
+        return None
+    url, ts_us = ud
     http_end = body.find(_CRLF + _CRLF)
     if http_end < 0 or not body.startswith(b"HTTP/"):
         return None
@@ -169,6 +242,50 @@ def _response_tuple(fields: dict, body: bytes):
             mime = (v.strip().split(b";", 1)[0].strip()
                     .decode("utf-8", "replace"))
     return url, ts_us, body[http_end + 4:], lang, status, mime
+
+
+def _wet_tuple(fields: dict, body: bytes):
+    """(url, ts_us, text_bytes) of one ``conversion`` record (WET), or
+    None — non-conversion records (e.g. responses mixed into the same
+    file) are skipped, the mirror of ``_response_tuple``'s filter."""
+    if fields.get(b"warc-type") != b"conversion":
+        return None
+    ud = _uri_and_date(fields)
+    if ud is None:
+        return None
+    return ud[0], ud[1], body
+
+
+def _parse_wet_file(path: str) -> pa.Table:
+    """One WET shard → one ``(url, warc_ts, text)`` block. Same shard-
+    and record-level containment as ``_parse_warc_file``."""
+    urls, tss, texts = [], [], []
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:2] == b"\x1f\x8b":
+            out = io.BytesIO()
+            for _, _, member in _gunzip_members(data):
+                out.write(member)
+            data = out.getvalue()
+        pos = 0
+        while True:
+            rec = _next_record(data, pos)
+            if rec is None:
+                break
+            _, pos, fields, body = rec
+            wet = _wet_tuple(fields, body)
+            if wet is not None:
+                urls.append(wet[0])
+                tss.append(wet[1])
+                texts.append(wet[2].decode("utf-8", "replace"))
+    except Exception:
+        pass
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.compute.cast(
+            pa.array(tss, pa.int64()), pa.timestamp("us")),
+        "text": pa.array(texts, pa.string())})
 
 
 def _parse_warc_bytes(data: bytes):
@@ -354,6 +471,19 @@ def read_warc(paths, parallelism: int = -1):
         paths = [paths]
     return rd.read_datasource(_warc_datasource_cls()([str(p) for p in paths]),
                               parallelism=parallelism)
+
+
+def read_wet(paths, parallelism: int = -1):
+    """WET shards → extracted-text Dataset ``(url, warc_ts, text)``.
+    Same one-ReadTask-per-shard Datasource shape as ``read_warc``."""
+    import ray.data as rd
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return rd.read_datasource(
+        _warc_datasource_cls()([str(p) for p in paths],
+                               parse_file=_parse_wet_file, name="WET"),
+        parallelism=parallelism)
 
 
 def cdx_index(paths, parallelism: int = -1):

@@ -532,3 +532,71 @@ def test_cdx_containment(ray_session, tmp_path):
     open(bad, "wb").write(rec1[: len(rec1) // 3])
     t2 = _cdx_file(bad)
     assert t2.num_rows == 0 and t2.schema.names == t.schema.names
+
+
+# ---------------------------------------------------------------- #
+# WET — extracted-text conversion records (.warc.wet)               #
+# ---------------------------------------------------------------- #
+
+def test_wet_round_trip_matches_extract(ray_session, sf_dir, tmp_path):
+    """pages → write_wet_shards → read_wet reproduces exactly the
+    (url, text) stream of extract_text_batch (malformed pages dropped
+    by the writer, text byte-exact through the UTF-8 payload), and
+    warc_ts survives at second granularity — for both layouts."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
+    from fcrepo3_rdf_extractor_ray.sources.warc import (read_wet,
+                                                        write_wet_shards)
+    from fcrepo3_rdf_extractor_ray.stages.extract import extract_text_batch
+
+    pages = pages_for_sf(sf_dir)
+    want = (pages.map_batches(extract_text_batch, batch_format="pyarrow")
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    ts_want = (pages.select_columns(["url", "warc_ts"]).to_pandas()
+               .set_index("url")["warc_ts"])
+
+    import os
+    for gzipped, sub in ((True, "gz"), (False, "plain")):
+        out = str(tmp_path / f"wet_{sub}")
+        write_wet_shards(pages, out, gzipped=gzipped).materialize()
+        paths = sorted(os.path.join(out, p) for p in os.listdir(out))
+        assert all(p.endswith(".warc.wet.gz" if gzipped else ".warc.wet")
+                   for p in paths)
+        got = (read_wet(paths).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        assert (got["url"] == want["url"]).all()
+        assert (got["text"] == want["text"]).all()
+        # synthetic fetch times are whole seconds → lossless round trip
+        assert (got.set_index("url")["warc_ts"]
+                == ts_want.loc[got["url"]].values).all()
+
+
+def test_wet_containment_and_cross_format(ray_session, tmp_path):
+    """A WET reader skips response records mixed into the same file
+    (and vice versa: read_warc skips conversion records); a truncated
+    shard degrades to a prefix; a corrupt file yields an empty
+    schema-stable block."""
+    from fcrepo3_rdf_extractor_ray.sources.warc import (
+        _parse_warc_file, _parse_wet_file, _warc_record, _wet_record)
+
+    wet1 = _wet_record("https://a.org/x", 1_700_000_000_000_000, b"one")
+    resp = _warc_record("https://b.org/y", 1_700_000_001_000_000,
+                        b"<html>two</html>", "en")
+    wet2 = _wet_record("https://c.org/z", 1_700_000_002_000_000, b"three")
+    f = str(tmp_path / "mix.warc.wet")
+    open(f, "wb").write(wet1 + resp + wet2)
+
+    t = _parse_wet_file(f)
+    assert t["url"].to_pylist() == ["https://a.org/x", "https://c.org/z"]
+    assert t["text"].to_pylist() == ["one", "three"]
+    w = _parse_warc_file(f)  # the mirror filter
+    assert w["url"].to_pylist() == ["https://b.org/y"]
+
+    trunc = str(tmp_path / "trunc.warc.wet")
+    open(trunc, "wb").write(wet1 + wet2[: len(wet2) // 2])
+    t2 = _parse_wet_file(trunc)
+    assert t2["url"].to_pylist() == ["https://a.org/x"]
+
+    bad = str(tmp_path / "bad.warc.wet")
+    open(bad, "wb").write(b"\x00garbage\xff" * 10)
+    t3 = _parse_wet_file(bad)
+    assert t3.num_rows == 0 and t3.schema.names == t.schema.names

@@ -299,18 +299,95 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def _dedup_pipeline(sf_dir: str, repeat: int) -> tuple[float, int]:
+    """Second scaling pipeline (shuffle-shaped, non-flagship): exact
+    document dedup over the ×repeat pages corpus. Each amplification
+    copy repeats the base text verbatim, so the hash exchange carries
+    the full input row count while the reduce side stays base-sized —
+    the worst-case dup-heavy mix for a dedup shuffle. Throughput unit
+    = input pages/sec."""
+    from fcrepo3_rdf_extractor_ray.sources.pages import (read_pages,
+                                                         synthesize_pages)
+    from fcrepo3_rdf_extractor_ray.stages.dedup import dedup_exact_docs
+
+    pages_dir = synthesize_pages(sf_dir, repeat=repeat)  # warm, untimed
+    pages = read_pages(pages_dir, columns=["url", "text"])
+    n_in = pages.count()  # parquet metadata, no scan
+    t0 = time.perf_counter()
+    dedup_exact_docs(pages, text_col="text", id_col="url").count()
+    return time.perf_counter() - t0, n_in
+
+
+def run_child_second(sf_dir: str, num_cpus: int):
+    _init_ray(num_cpus)
+    _dedup_pipeline(sf_dir, repeat=SCALE_REPEAT)  # warm (spawn+imports)
+    sec, n = _dedup_pipeline(sf_dir, repeat=SCALE_REPEAT)
+    print(json.dumps({"sec": sec, "pages": n, "num_cpus": num_cpus}))
+
+
+def run_scaling_second(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """--scaling-second: the N-vs-4N protocol applied to the exact-dedup
+    pipeline — evidence that scaling efficiency is not a flagship-only
+    property. Same interleaved min-of-3 / fresh-process design as
+    run_scaling."""
+    _init_ray(8)
+    from fcrepo3_rdf_extractor_ray.sources.pages import synthesize_pages
+
+    synthesize_pages(sf_dir, repeat=SCALE_REPEAT)
+    import ray
+
+    ray.shutdown()
+    results: dict[int, dict] = {}
+    for _round in range(3):
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child-second", "--cpus", str(cpus)],
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
+    thr = {c: results[c]["pages"] / results[c]["sec"] for c in results}
+    efficiency = thr[hi] / (thr[lo] * (hi / lo))
+    return {
+        "metric": "scaling_efficiency_dedup",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            f"dedup_exact@{lo}cpus": round(results[lo]["sec"], 3),
+            f"dedup_exact@{hi}cpus": round(results[hi]["sec"], 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "scale_repeat": SCALE_REPEAT,
+        "throughput_pages_per_sec": {str(c): round(thr[c], 1) for c in thr},
+        "speedup": round(results[lo]["sec"] / results[hi]["sec"], 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-second", action="store_true")
     ap.add_argument("--child", action="store_true")
+    ap.add_argument("--child-second", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
     if args.child:
         run_child(args.sf_dir, args.cpus)
+    elif args.child_second:
+        run_child_second(args.sf_dir, args.cpus)
     elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir), separators=(",", ":")))
+    elif args.scaling_second:
+        print(json.dumps(run_scaling_second(args.sf_dir),
+                         separators=(",", ":")))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cpus),
                          separators=(",", ":")))

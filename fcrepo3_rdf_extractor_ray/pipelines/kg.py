@@ -174,8 +174,8 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     import os
 
     from ..state.lineage import (checkpoint_exists, checkpoint_quads,
-                                 merge_lineage, new_collector,
-                                 read_all_groups)
+                                 committed_groups, merge_lineage,
+                                 new_collector, read_all_groups)
     from ..sources.pages import synthesize_pages
 
     # driver-owned lineage collector; its handle is passed into the stage
@@ -185,14 +185,27 @@ def run_kg_resumable(sf_dir: str, checkpoint_dir: str,
     shard_files = sorted(os.path.join(pages_dir, f)
                          for f in os.listdir(pages_dir)
                          if f.endswith(".parquet"))
-    waves = [shard_files[i:i + wave_size]
-             for i in range(0, len(shard_files), wave_size)]
-    done = 0
-    for k, files in enumerate(waves):
-        group = f"{k:04d}"
-        if checkpoint_exists(checkpoint_dir, "extract", group):
-            done += 1
-            continue
+    # Resume keys off the committed manifests' ``input_files``, NOT wave
+    # index alignment: a resume invoked with a different ``wave_size``
+    # would otherwise see group 0000 committed and skip shards the
+    # crashed run never extracted (silent data loss). Remaining files =
+    # everything no committed group covers; new groups number upward
+    # from the highest committed id.
+    committed = committed_groups(checkpoint_dir, "extract")
+    committed_files = {f for _, m in committed
+                       for f in m.get("input_files", [])}
+    stale = committed_files - set(shard_files)
+    if stale:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was built from different input "
+            f"shards (different corpus/repeat?): {sorted(stale)[:3]}")
+    remaining = [f for f in shard_files if f not in committed_files]
+    next_k = 1 + max((int(g) for g, _ in committed), default=-1)
+    waves = [remaining[i:i + wave_size]
+             for i in range(0, len(remaining), wave_size)]
+    done = len(committed)
+    for j, files in enumerate(waves):
+        group = f"{next_k + j:04d}"
         if max_waves is not None and done >= max_waves:
             return None  # simulated crash: remaining waves not run
         import ray.data as rd

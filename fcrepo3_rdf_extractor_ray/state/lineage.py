@@ -138,6 +138,20 @@ def read_checkpoint(root: str, stage: str, group: str | None = None):
     return rd.read_parquet(files)
 
 
+def committed_groups(root: str, stage: str) -> list[tuple[str, dict]]:
+    """(group_id, manifest) for every committed group of a stage."""
+    base = _ckpt_dir(root, stage)
+    out = []
+    if not os.path.isdir(base):
+        return out
+    for g in sorted(os.listdir(base)):
+        mp = os.path.join(base, g, "_MANIFEST.json")
+        if g.startswith("group=") and os.path.exists(mp):
+            with open(mp) as f:
+                out.append((g[len("group="):], json.load(f)))
+    return out
+
+
 def read_all_groups(root: str, stage: str):
     """Read every committed group checkpoint of a stage as one Dataset."""
     import ray.data as rd

@@ -110,3 +110,48 @@ def test_entitymap_checkpoint_reused(sf_dir, ckpt_dir):
     mtime = os.path.getmtime(manifest)
     run_kg_resumable(sf_dir, ckpt_dir, wave_size=8).count()
     assert os.path.getmtime(manifest) == mtime  # untouched on resume
+
+
+def test_resume_with_different_wave_size(sf_dir, ckpt_dir):
+    """Resume must be exact even when ``wave_size`` differs between the
+    crashed and the resuming invocation: group numbering is per-wave, so
+    an index-aligned skip would silently drop shards the crashed run
+    never extracted (caught live: 8-shard corpus, crash at wave_size=3,
+    resume at the default 4 lost one shard). The fix keys resume off the
+    committed manifests' input_files."""
+    out = run_kg_resumable(sf_dir, ckpt_dir, wave_size=3, max_waves=1)
+    assert out is None  # crashed after one wave of 3 shards
+    ds = run_kg_resumable(sf_dir, ckpt_dir)  # default wave_size=4
+    rows = ds.take_all()
+    want = run_kg(sf_dir).take_all()
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, rows)) == sorted(map(key, want))
+    # every input shard is covered by exactly one committed group
+    import json as _json
+
+    ex_root = os.path.join(ckpt_dir, "stage=extract")
+    covered = []
+    for g in sorted(os.listdir(ex_root)):
+        if g.startswith("group="):
+            man = _json.load(open(os.path.join(ex_root, g,
+                                               "_MANIFEST.json")))
+            covered.extend(man["input_files"])
+    assert len(covered) == len(set(covered)) == 8
+
+
+def test_resume_rejects_foreign_checkpoint(sf_dir, ckpt_dir, tmp_path):
+    """A checkpoint built from different input shards (e.g. another
+    corpus/repeat) must be refused, not silently unioned into the run."""
+    run_kg_resumable(sf_dir, ckpt_dir, wave_size=8).count()
+    # forge a committed group pointing at a file outside the corpus
+    import json as _json
+
+    ex_root = os.path.join(ckpt_dir, "stage=extract")
+    g = sorted(g for g in os.listdir(ex_root) if g.startswith("group="))[0]
+    mp = os.path.join(ex_root, g, "_MANIFEST.json")
+    man = _json.load(open(mp))
+    man["input_files"] = [str(tmp_path / "not-a-shard.parquet")]
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    with pytest.raises(ValueError, match="different input shards"):
+        run_kg_resumable(sf_dir, ckpt_dir, wave_size=8)

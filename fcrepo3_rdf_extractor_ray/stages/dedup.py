@@ -587,11 +587,57 @@ class SimHashStage:
         )
 
 
+def _sim_candidate_pairs(idx, sigs, unmatched_bits, max_bucket, max_hamming):
+    """Lossless candidate enumeration for one SimHash bucket.
+
+    Returns a list of (ia, ja) position-pair arrays (positions into ``sigs``,
+    ia < ja) whose union is a SUPERSET of every pair with hamming ≤
+    ``max_hamming`` over the full signature. Buckets at or under
+    ``max_bucket`` brute-force all pairs. Larger buckets recurse by
+    pigeonhole on the still-unmatched bits: split them into
+    ``max_hamming + 1`` spans — a qualifying pair has ≤ max_hamming
+    differing bits total, so at least one span is bit-identical — and
+    group by each span's value. Recursion strictly shrinks the unmatched
+    bit set, so identical-signature mega-groups terminate at the
+    no-unmatched-bits brute force (those pairs are genuine hamming-0
+    output, not a cap casualty). Callers must np.unique the union —
+    a pair can surface under several spans."""
+    n = len(idx)
+    if n < 2:
+        return []
+    if n <= max_bucket or not unmatched_bits:
+        pos = np.sort(idx)
+        ia, ja = np.triu_indices(n, k=1)
+        return [(pos[ia], pos[ja])]
+    out = []
+    spans = [s for s in np.array_split(np.asarray(unmatched_bits,
+                                                  dtype=np.uint64),
+                                       max_hamming + 1) if len(s)]
+    sub = sigs[idx]
+    for span in spans:
+        key = np.zeros(n, dtype=np.uint64)
+        for j, b in enumerate(span):
+            key |= ((sub >> b) & np.uint64(1)) << np.uint64(j)
+        remaining = [b for b in unmatched_bits if b not in set(span.tolist())]
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                out.extend(_sim_candidate_pairs(idx[order[s:e]], sigs,
+                                                remaining, max_bucket,
+                                                max_hamming))
+    return out
+
+
 def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
                   max_bucket=256):
     """SimHash near-dup pairs: bucket by 16-bit signature chunks (pigeonhole:
     hamming ≤ 3 over 64 bits ⇒ at least one of 4 chunks identical), verify
-    hamming distance exactly within buckets, global pair dedup."""
+    hamming distance exactly within buckets, global pair dedup. Buckets
+    larger than ``max_bucket`` are NOT truncated — they recurse via
+    :func:`_sim_candidate_pairs` on the unmatched bits, so recall stays
+    exact while per-bucket pair work stays near O(n · max_bucket)."""
     def sim_sigs(t: pa.Table) -> pa.Table:
         from ..functions.hashing import md5_token_hashes, simhash64_batch
 
@@ -634,10 +680,19 @@ def simhash_pairs(docs_ds, max_hamming=3, text_col="text", id_col="doc_id",
         sizes = df.groupby(["chunk", "chunk_key"])["doc_id"].transform("size")
         df = df[sizes >= 2].sort_values(["chunk", "chunk_key", "doc_id"])
         for (c, _), sub in df.groupby(["chunk", "chunk_key"]):
-            sub = sub.head(max_bucket)
             ids = sub["doc_id"].to_numpy()
             sigs = sub["sig"].to_numpy().astype(np.int64).view(np.uint64)
-            ia, ja = np.triu_indices(len(ids), k=1)
+            unmatched = [b for b in range(64)
+                         if not (16 * int(c) <= b < 16 * int(c) + 16)]
+            cand = _sim_candidate_pairs(np.arange(len(ids)), sigs, unmatched,
+                                        max_bucket, max_hamming)
+            if not cand:
+                continue
+            ia = np.concatenate([p[0] for p in cand])
+            ja = np.concatenate([p[1] for p in cand])
+            if len(cand) > 1:
+                uniq = np.unique(np.stack([ia, ja], axis=1), axis=0)
+                ia, ja = uniq[:, 0], uniq[:, 1]
             x = sigs[ia] ^ sigs[ja]
             # vectorized 64-bit popcount: 8 bytes per value → unpackbits
             d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),

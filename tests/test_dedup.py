@@ -99,6 +99,71 @@ def test_simhash_pairs():
     assert not any({3, 4} & {a, b} for a, b in pairset)
 
 
+def test_sim_candidate_pairs_lossless():
+    """_sim_candidate_pairs must be a SUPERSET of every hamming<=3 pair even
+    when every bucket overflows max_bucket (the former head(max_bucket)
+    truncation dropped such pairs — the sf0.1 dedup_simhash regression)."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import _sim_candidate_pairs
+
+    rng = np.random.RandomState(7)
+    sigs = rng.randint(0, 2**63, size=400, dtype=np.int64).view(np.uint64)
+    # plant clones and near pairs: identical run (hamming 0) + 1..3-bit flips
+    sigs[50:90] = sigs[50]
+    for k, bits in [(101, [3]), (202, [5, 40]), (303, [1, 17, 63])]:
+        s = sigs[k - 1]
+        for b in bits:
+            s = s ^ np.uint64(1 << b)
+        sigs[k] = s
+    want = set()
+    ia, ja = np.triu_indices(len(sigs), k=1)
+    x = sigs[ia] ^ sigs[ja]
+    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    for a, b in zip(ia[d <= 3], ja[d <= 3]):
+        want.add((int(a), int(b)))
+    assert len(want) >= 780 + 3  # C(40,2) clones + 3 planted
+    cand = _sim_candidate_pairs(np.arange(len(sigs)), sigs,
+                                list(range(64)), 16, 3)
+    got = set()
+    for pa_, pb_ in cand:
+        got.update(zip(pa_.tolist(), pb_.tolist()))
+    assert want <= got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_pairs_overflow_bucket_exact():
+    """End-to-end: with max_bucket far below the planted clone-run size the
+    output must still equal the brute-force all-pairs answer."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.functions.hashing import (
+        md5_token_hashes, simhash64_batch)
+
+    base = ["tok%d" % i for i in range(120)]
+    texts = [" ".join(base)] * 12  # identical docs: one mega bucket
+    for i in range(12):            # near variants: swap one token
+        v = list(base)
+        v[7] = "rare%d" % i
+        texts.append(" ".join(v))
+    texts += [" ".join("other%d_%d" % (i, j) for j in range(30))
+              for i in range(6)]   # unrelated
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    pairs = simhash_pairs(rd.from_arrow(t).repartition(3),
+                          max_hamming=3, max_bucket=4).to_pandas()
+    got = {(a, b): h for a, b, h in
+           pairs[["doc_a", "doc_b", "hamming"]].itertuples(index=False)}
+    sigs = simhash64_batch([s.split() for s in texts], memo={},
+                           hash_fn=md5_token_hashes)
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            d = int(bin(int(sigs[a]) ^ int(sigs[b])).count("1"))
+            if d <= 3:
+                want[(a, b)] = d
+    assert len(want) >= 66  # at least the C(12,2) identical-doc pairs
+    assert got == want
+
+
 def test_embedding_neardup_pairs():
     import ray.data as rd
 

@@ -465,6 +465,35 @@ def _q_web_cdx(sf_dir: str):
          "payload_len"])
 
 
+def _q_web_jsonl(sf_dir: str):
+    """JSONL round-trip: documents → one-object-per-line ``.jsonl.gz``
+    shards (the LLM-corpus interchange format) → ``read_jsonl`` (Ray's
+    built-in per-file read tasks). Oracle = the documents table itself —
+    proving the shard writer + pyarrow.json reader preserve every column
+    byte-exactly (int64, UTF-8 incl. any escapes). Shard set cached
+    under /tmp per sf dir (same atomic-publish rule as the WARC cache)."""
+    import glob
+    import os
+
+    from fcrepo3_rdf_extractor_ray.sources.jsonl import (read_jsonl,
+                                                         write_jsonl_shards)
+
+    jl_dir = os.path.join("/tmp/kg_jsonl", os.path.basename(
+        os.path.normpath(sf_dir)))
+    if not os.path.isdir(jl_dir):
+        tmp = f"{jl_dir}.tmp-{os.getpid()}"
+        write_jsonl_shards(
+            _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]),
+            tmp, gzipped=True).materialize()
+        try:
+            os.rename(tmp, jl_dir)
+        except OSError:  # lost a concurrent-writer race: theirs wins
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return read_jsonl(sorted(glob.glob(os.path.join(jl_dir, "*.jsonl.gz"))))
+
+
 def _q_kg_mentions(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import pages_for_sf
     from fcrepo3_rdf_extractor_ray.stages.ner import detect_mentions
@@ -2306,6 +2335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "web_cdx": _q_web_cdx,
         "web_wet": _q_web_wet,
+        # round-5 NEW oracle entry (JSONL corpus round-trip):
+        "web_jsonl": _q_web_jsonl,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3977,6 +4008,9 @@ FROM t
     # WET round-trip preserves the extracted text byte-exactly, so it
     # shares the extracted-text oracle verbatim
     d["web_wet"] = d["kg_extracted_text"]
+    # JSONL round-trip preserves the documents table verbatim
+    d["web_jsonl"] = ("SELECT doc_id, text, lang, source, n_chars "
+                      "FROM documents")
     d["kg_mentions_parse_once"] = d["kg_mentions"]
     # aHash is all-integer over deterministic synthetic pixels, so the
     # full perceptual-hash pipeline replays in SQL: pixel formula →

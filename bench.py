@@ -141,8 +141,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda b: b, batch_format="pyarrow").count()
     _flagship(sf_dir)  # untimed warm-up run
     # fixture generation, untimed (same rule as pages synthesis): the
-    # one-time WARC export of the corpus that kg_quads_warc reads
+    # one-time WARC/JSONL exports of the corpus that kg_quads_warc /
+    # web_jsonl read
     qs["kg_quads_warc"](sf_dir).count()
+    qs["web_jsonl"](sf_dir).count()
 
     kg_sec, n_triples = _flagship(sf_dir)
     timings["kg_quads_all"] = round(kg_sec, 3)
@@ -196,7 +198,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_frontier", "kg_entity_cards", "kg_modularity",
                  "prep_dataset_card", "mm_audio_pitch", "kg_clustering",
                  "web_dup_profile", "kg_assortativity", "kg_violations",
-                 "dedup_substrings", "web_cdx", "web_wet"):
+                 "dedup_substrings", "web_cdx", "web_wet", "web_jsonl"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

@@ -600,3 +600,62 @@ def test_wet_containment_and_cross_format(ray_session, tmp_path):
     open(bad, "wb").write(b"\x00garbage\xff" * 10)
     t3 = _parse_wet_file(bad)
     assert t3.num_rows == 0 and t3.schema.names == t.schema.names
+
+
+def test_jsonl_round_trip_adversarial(ray_session, tmp_path):
+    """documents-shaped rows with adversarial content (newlines, quotes,
+    unicode, control chars, 2^53+ ids) survive write_jsonl_shards →
+    read_jsonl byte-exactly, for both gzip and plain layouts."""
+    import os
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.sources.jsonl import (read_jsonl,
+                                                         write_jsonl_shards)
+
+    texts = ['line\nbreak and "quotes"', "tab\there\\backslash",
+             "émoji 🎉 中文", "ctrl\x01\x1f chars", "", "plain"]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9007199254740999, 5, 6], pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    for gzipped, sub in ((True, "gz"), (False, "plain")):
+        out = str(tmp_path / f"jl_{sub}")
+        write_jsonl_shards(rd.from_arrow(t).repartition(3), out,
+                           gzipped=gzipped).materialize()
+        paths = sorted(os.path.join(out, p) for p in os.listdir(out))
+        assert all(p.endswith(".jsonl.gz" if gzipped else ".jsonl")
+                   for p in paths)
+        assert len(paths) >= 2  # one file per block, no shared writer
+        got = (read_jsonl(paths).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for c in ("doc_id", "text", "n_chars"):
+            assert (got[c] == want[c]).all(), c
+
+
+def test_jsonl_deterministic_and_empty_block(ray_session, tmp_path):
+    """Shard bytes are deterministic for a given block (sorted keys,
+    compact separators, ensure_ascii=False) and an empty block writes
+    no file instead of an unparseable empty shard."""
+    import glob
+    import json
+
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.sources.jsonl import write_jsonl_shards
+
+    t = pa.table({"b_key": pa.array([2, 1]), "a_key": pa.array(["y", "x"])})
+    out = str(tmp_path / "det")
+    write_jsonl_shards(rd.from_arrow(t), out, gzipped=False).materialize()
+    [path] = glob.glob(out + "/*.jsonl")
+    lines = open(path, "rb").read().decode("utf-8").splitlines()
+    assert lines == ['{"a_key":"y","b_key":2}', '{"a_key":"x","b_key":1}']
+    assert all(list(json.loads(l)) == ["a_key", "b_key"] for l in lines)
+
+    empty = rd.from_arrow(t.slice(0, 0))
+    out2 = str(tmp_path / "empty")
+    res = write_jsonl_shards(empty, out2, gzipped=False).materialize()
+    assert res.count() == 0
+    assert glob.glob(out2 + "/*.jsonl") == []

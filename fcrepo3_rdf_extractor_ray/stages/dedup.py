@@ -601,11 +601,33 @@ def _sim_candidate_pairs(idx, sigs, unmatched_bits, max_bucket, max_hamming):
     bit set, so identical-signature mega-groups terminate at the
     no-unmatched-bits brute force (those pairs are genuine hamming-0
     output, not a cap casualty). Callers must np.unique the union —
-    a pair can surface under several spans."""
+    a pair can surface under several spans.
+
+    Bits CONSTANT within the group are dropped before splitting: they
+    can never separate a pair and always "match", so keeping them would
+    let a group that some span fails to split recurse intact into every
+    span — exponential in the number of levels (an identical-signature
+    run of > max_bucket clones spins for hours). After the drop, every
+    span holds >=1 varying bit, so every span splits every group into
+    >=2 strictly smaller subgroups: total work is O(n log n · spans)
+    per bucket, and all-identical groups go straight to the brute-force
+    emit (their C(n,2) hamming-0 pairs ARE the output).
+
+    The split is taken ONLY while > max_hamming varying bits remain:
+    the pigeonhole needs max_hamming+1 NON-EMPTY spans, so a varying
+    set of <= max_hamming bits cannot be split soundly (a pair may
+    differ on every span) — but then every pair in the group differs
+    on <= max_hamming bits, i.e. the whole group is mutually near:
+    brute-force emit is both safe and output-bound."""
     n = len(idx)
     if n < 2:
         return []
-    if n <= max_bucket or not unmatched_bits:
+    sub = sigs[idx]
+    if n > max_bucket and unmatched_bits:
+        diff_mask = np.bitwise_or.reduce(sub ^ sub[0])
+        unmatched_bits = [b for b in unmatched_bits
+                          if (diff_mask >> np.uint64(b)) & np.uint64(1)]
+    if n <= max_bucket or len(unmatched_bits) <= max_hamming:
         pos = np.sort(idx)
         ia, ja = np.triu_indices(n, k=1)
         return [(pos[ia], pos[ja])]
@@ -613,7 +635,6 @@ def _sim_candidate_pairs(idx, sigs, unmatched_bits, max_bucket, max_hamming):
     spans = [s for s in np.array_split(np.asarray(unmatched_bits,
                                                   dtype=np.uint64),
                                        max_hamming + 1) if len(s)]
-    sub = sigs[idx]
     for span in spans:
         key = np.zeros(n, dtype=np.uint64)
         for j, b in enumerate(span):

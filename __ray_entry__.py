@@ -1569,6 +1569,17 @@ def _q_ta_vocab(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=100)
 
 
+def _q_ta_bpe_learn(sf_dir: str):
+    """Distributed BPE merge learning (tokenizer training): 6 rounds of
+    globally-most-frequent adjacent-symbol-pair merging over the corpus
+    word vocabulary. Oracle = the same 6 rounds unrolled in SQL on a
+    bracket-delimited symbol encoding where plain replace() IS canonical
+    left-to-right BPE merging."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bpe_learn
+
+    return bpe_learn(_docs(sf_dir, ["doc_id", "text"]), n_merges=6)
+
+
 def _q_prep_corpus(sf_dir: str):
     """Composite LLM-data prep chain (filter -> dedup -> sample), one
     streaming pipeline, oracle-checked end-to-end."""
@@ -2337,6 +2348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_wet": _q_web_wet,
         # round-5 NEW oracle entry (JSONL corpus round-trip):
         "web_jsonl": _q_web_jsonl,
+        # round-5 NEW oracle entry (distributed BPE merge learning):
+        "ta_bpe_learn": _q_ta_bpe_learn,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -4876,4 +4889,42 @@ SELECT doc_id, n_shingles, n_template,
        ((1000 * n_template) // n_shingles)::BIGINT AS template_permille
 FROM p
 """
+    # Distributed BPE merge learning, 6 rounds unrolled. The engine and
+    # this SQL share one merge procedure by construction: words are
+    # encoded fully bracket-delimited ('[c][a][t]'), so a plain
+    # replace('[l][r]' -> '[lr]') consumes whole delimited symbols,
+    # adjacent matches share no characters, and left-to-right
+    # non-overlapping replace IS canonical BPE merging (runs 'aaaa'
+    # -> 'aa aa'). Tiebreak (cnt DESC, l, r) on both sides.
+    _bpe = [r"""WITH words AS (
+  SELECT w AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents)
+  GROUP BY w),
+seq0 AS (
+  SELECT word, freq,
+         '[' || array_to_string(regexp_extract_all(word, '.'), '][') || ']'
+             AS seq
+  FROM words)"""]
+    for _k in range(1, 7):
+        _bpe.append(r""",
+p{k} AS (
+  SELECT list_extract(arr, i) AS l, list_extract(arr, i + 1) AS r,
+         sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq, regexp_extract_all(seq, '\[([^\]]*)\]', 1) AS arr,
+               unnest(generate_series(1,
+                 len(regexp_extract_all(seq, '\[([^\]]*)\]', 1)) - 1)) AS i
+        FROM seq{p})
+  GROUP BY l, r),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+seq{k} AS (
+  SELECT word, freq,
+         replace(seq, '[' || b.l || '][' || b.r || ']',
+                 '[' || b.l || b.r || ']') AS seq
+  FROM seq{p} CROSS JOIN b{k} b)""".format(k=_k, p=_k - 1))
+    _bpe.append("\nSELECT * FROM (\n  " + "\n  UNION ALL ".join(
+        "SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym,"
+        " cnt AS pair_count FROM b{k}".format(k=_k)
+        for _k in range(1, 7)) + "\n) ORDER BY rank")
+    d["ta_bpe_learn"] = "".join(_bpe)
     return d

@@ -1323,3 +1323,114 @@ def lm_buckets(docs_ds, k: int = 4, text_col="text", id_col="doc_id",
 
     return bucketed.groupby("bucket").map_groups(rank_tile,
                                                  batch_format="pandas")
+
+
+def bpe_learn(docs_ds, n_merges: int = 6, text_col: str = "text",
+              n_parts: int | None = None):
+    """Distributed byte-pair-encoding merge learning — the tokenizer-
+    training pipeline (Sennrich-style BPE) over a corpus.
+
+    Semantics (the exact oracle contract, replayed unrolled in
+    ``oracle_sql()["ta_bpe_learn"]``): words are ``[a-z0-9]+`` runs of
+    the lowercased text; every word starts as its character sequence;
+    each round merges the globally most frequent ADJACENT symbol pair
+    — pair counts weighted by corpus word frequency, ties broken
+    (count DESC, left ASC, right ASC) — left-to-right non-overlapping
+    inside every word, for ``n_merges`` rounds.  Merging is applied on
+    a fully bracket-delimited encoding (``[s][y][m]``), so one plain
+    string ``replace('[l][r]' -> '[lr]')`` is EXACTLY canonical
+    left-to-right BPE (each match consumes whole delimited symbols;
+    adjacent matches share no characters, so runs like ``aaaa``
+    collapse to ``aa aa``) and DuckDB ``replace`` replays it verbatim.
+
+    Returns one row per learned merge:
+    ``(rank int64, left_sym, right_sym, pair_count int64)``.
+
+    Shape (the fast-BPE vocabulary trick): ONE corpus pass builds the
+    word-frequency table (per-batch ``value_counts`` combiner →
+    word-hash exchange), materialized once; after that every round
+    touches only the vocabulary Dataset — broadcast the (≤ rank-sized)
+    merge list, per-batch re-derive sequences + PARTIAL pair counts
+    (the combiner: the exchange moves one row per distinct pair per
+    batch, never one per occurrence), pair-hash exchange, global
+    argmax via ``sort().limit(1)``.  Driver state is O(n_merges) rows.
+    At 100 TB the corpus is read exactly once; each round costs one
+    vocabulary pass + one vocabulary-bounded exchange."""
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(2.0)
+
+    from ..functions.hashing import fast_part_hash
+
+    word_re = r"[a-z0-9]+"
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].str.lower().str.findall(word_re)
+                .explode().dropna())
+        counts = toks.value_counts()
+        words = counts.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "word": words,
+            "freq": counts.to_numpy().astype("int64"),
+            "part": fast_part_hash(list(words), n_parts),
+        })
+
+    def word_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["part", "word"]).aggregate([("freq", "sum")])
+        return g.rename_columns(["part", "word", "freq"])
+
+    vocab = (docs_ds.map_batches(word_counts, batch_format="pandas")
+             .groupby("part").map_groups(word_sum, batch_format="pyarrow")
+             .map_batches(lambda t: t.drop_columns(["part"]),
+                          batch_format="pyarrow")
+             .materialize())
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        done = [(left, right) for left, right, _ in merges]  # tiny
+
+        def pair_partials(df: pd.DataFrame,
+                          done=done) -> pd.DataFrame:
+            seqs = ("[" + df["word"].str.replace("", "][", regex=False)
+                    .str.slice(2, -2) + "]")
+            # the bracketed encoding: '[a][b][c]' per word
+            for left, right in done:
+                seqs = seqs.str.replace(f"[{left}][{right}]",
+                                        f"[{left}{right}]", regex=False)
+            arrs = seqs.str.findall(r"\[([^\]]*)\]")
+            tmp = pd.DataFrame({
+                "l": arrs.map(lambda a: a[:-1]),
+                "r": arrs.map(lambda a: a[1:]),
+                "freq": df["freq"].to_numpy(),
+            }).explode(["l", "r"]).dropna(subset=["l"])
+            if not len(tmp):
+                return pd.DataFrame({"l": pd.array([], dtype=object),
+                                     "r": pd.array([], dtype=object),
+                                     "cnt": pd.array([], dtype="int64"),
+                                     "part": pd.array([], dtype="int64")})
+            g = tmp.groupby(["l", "r"])["freq"].sum().reset_index(name="cnt")
+            g["cnt"] = g["cnt"].astype("int64")
+            g["part"] = fast_part_hash(
+                (g["l"] + "\x1f" + g["r"]).tolist(), n_parts)
+            return g
+
+        def pair_sum(t: pa.Table) -> pa.Table:
+            g = t.group_by(["part", "l", "r"]).aggregate([("cnt", "sum")])
+            return g.rename_columns(["part", "l", "r", "cnt"])
+
+        best = (vocab.map_batches(pair_partials, batch_format="pandas")
+                .groupby("part").map_groups(pair_sum,
+                                            batch_format="pyarrow")
+                .sort(["cnt", "l", "r"], descending=[True, False, False])
+                .limit(1).take(1))
+        if not best:
+            break
+        b = best[0]
+        merges.append((b["l"], b["r"], int(b["cnt"])))
+
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(merges) + 1), dtype="int64"),
+        "left_sym": [m[0] for m in merges],
+        "right_sym": [m[1] for m in merges],
+        "pair_count": pd.array([m[2] for m in merges], dtype="int64"),
+    })

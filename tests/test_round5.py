@@ -659,3 +659,80 @@ def test_jsonl_deterministic_and_empty_block(ray_session, tmp_path):
     res = write_jsonl_shards(empty, out2, gzipped=False).materialize()
     assert res.count() == 0
     assert glob.glob(out2 + "/*.jsonl") == []
+
+
+def _canonical_bpe(texts, n_merges):
+    """Hand-rolled canonical BPE on the word vocabulary: explicit
+    left-to-right non-overlapping pair merging over symbol LISTS (no
+    string-replace encoding tricks) — the independent reference the
+    engine and the SQL oracle must both match."""
+    import collections
+    import re
+
+    words = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z0-9]+", t.lower()))
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for w, f in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), c = sorted(counts.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((l, r, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_canonical(ray_session):
+    """bpe_learn == canonical list-based BPE on a corpus planted with
+    the adversarial shapes: same-symbol runs (aaaa -> aa aa, odd run
+    aaa -> aa a), merged-symbol reuse (c+at after a+t), boundary-
+    ambiguous neighbors (banana/bandana), and punctuation/case noise
+    that the [a-z0-9]+ word rule must strip identically."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bpe_learn
+
+    texts = [
+        "The cat sat on the mat!",
+        "a cattle cat hat that mat",
+        "banana bandana aaaa aaa the",
+        "zzz zz zzzz abab ababab",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = bpe_learn(ds, n_merges=8)
+    want = _canonical_bpe(texts, 8)
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+    assert [tuple(r) for r in got[
+        ["left_sym", "right_sym", "pair_count"]].itertuples(index=False)
+    ] == want
+
+
+def test_bpe_learn_exhausted_pairs_stops_early(ray_session):
+    """A corpus of single-character words has no adjacent pairs after
+    zero merges: the learner returns an empty merge table instead of
+    looping."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bpe_learn
+
+    ds = rd.from_items([{"doc_id": 0, "text": "a b c a b"}])
+    got = bpe_learn(ds, n_merges=4)
+    assert len(got) == 0
+    assert list(got.columns) == ["rank", "left_sym", "right_sym",
+                                 "pair_count"]

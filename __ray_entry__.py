@@ -541,6 +541,22 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_web_robots(sf_dir: str):
+    """robots.txt politeness verdict per page over the messy-url
+    corpus: canonicalize, then an actor-pool stage renders each host's
+    deterministic robots.txt, REALLY parses it (grouping, comments,
+    case-insensitive directives, a non-* agent group that must not
+    apply), and applies longest-prefix-match semantics (ties to allow).
+    The oracle replays the TEMPLATE as CASE rules — the engine only
+    ever sees the rendered text, so the parser is genuinely on the
+    verified path."""
+    from fcrepo3_rdf_extractor_ray.stages.web import robots_filter
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_url_batch,
+                                               batch_format="pyarrow")
+    return robots_filter(ds)
+
+
 def _q_prep_dataset_card(sf_dir: str):
     """One-row corpus dataset card: doc/token volume, Gopher-gate keep
     count, canonical url/host coverage and dominant language — all
@@ -2350,6 +2366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_jsonl": _q_web_jsonl,
         # round-5 NEW oracle entry (distributed BPE merge learning):
         "ta_bpe_learn": _q_ta_bpe_learn,
+        # round-5 NEW oracle entry (robots.txt politeness verdicts):
+        "web_robots": _q_web_robots,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -4927,4 +4945,36 @@ seq{k} AS (
         " cnt AS pair_count FROM b{k}".format(k=_k)
         for _k in range(1, 7)) + "\n) ORDER BY rank")
     d["ta_bpe_learn"] = "".join(_bpe)
+    # robots.txt politeness: replay of the deterministic per-host rule
+    # template (stages/web.py _robots_text) under longest-prefix-match
+    # semantics. All messy-url variants canonicalize to host
+    # ex{doc_id%20}.org and path /p/{doc_id}, so the replay derives
+    # them directly. Rule sets by m = doc_id % 20:
+    #   m%3==0: Disallow /p/1, Allow /p/12  (allow is the longer match)
+    #   m%3==1: Disallow /p/,  Allow /p/7
+    #   m%3==2: no matching rule -> default allow
+    # ('/tmp' and the googlebot group never match any page path.)
+    d["web_robots"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+         '/p/' || doc_id::VARCHAR AS path,
+         doc_id % 20 AS m
+  FROM documents),
+r AS (
+  SELECT doc_id, host, path,
+         CASE
+           WHEN m % 3 = 0 AND path LIKE '/p/12%' THEN 'allow:/p/12'
+           WHEN m % 3 = 0 AND path LIKE '/p/1%'  THEN 'disallow:/p/1'
+           WHEN m % 3 = 1 AND path LIKE '/p/7%'  THEN 'allow:/p/7'
+           WHEN m % 3 = 1                        THEN 'disallow:/p/'
+           ELSE 'default'
+         END AS rule,
+         (1 + m % 5)::BIGINT AS crawl_delay
+  FROM b)
+SELECT doc_id, host, path,
+       (rule = 'default' OR rule LIKE 'allow:%') AS allowed,
+       rule, crawl_delay
+FROM r
+"""
     return d

@@ -1004,3 +1004,158 @@ def dup_cluster_profile(ds, url_col: str = "url", id_col: str = "doc_id",
             .repartition(4)
             .groupby("cluster_size").map_groups(fold,
                                                 batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness: synth → REAL parse → longest-prefix-rule match
+
+def _robots_text(host: str) -> str:
+    """Deterministic per-host robots.txt body — the sandbox stand-in
+    for the per-host fetch a crawler does (no network here; at scale
+    this is a batched range-read stage exactly like `stages/fetch.py`).
+    The TEMPLATE is the oracle contract (`oracle_sql()["web_robots"]`
+    replays it as CASE rules); the ENGINE never evaluates the template
+    directly — it renders this text and runs the real parser below, so
+    the parse step is genuinely exercised. Shapes covered: comments,
+    blank lines, a non-* agent group that must NOT apply, mixed-case
+    directive names, crawl-delay, and allow-overrides-disallow on the
+    longest-prefix rule."""
+    m = int("".join(ch for ch in host if ch.isdigit()) or 0)
+    lines = [
+        f"# robots for {host}",
+        "User-agent: googlebot",
+        "Disallow: /nobots",
+        "",
+        "User-agent: *",
+        f"Crawl-delay: {1 + m % 5}",
+        "DISALLOW: /tmp" if m % 2 else "Disallow: /tmp",
+    ]
+    if m % 3 == 0:
+        lines += ["Disallow: /p/1", "Allow: /p/12"]
+    elif m % 3 == 1:
+        lines += ["disallow: /p/", "allow: /p/7"]
+    return "\n".join(lines) + "\n"
+
+
+def parse_robots(text: str, agent: str = "*"):
+    """Minimal-but-real robots.txt parser (RFC 9309 shapes): directive
+    names case-insensitive, inline ``#`` comments stripped, rules
+    grouped under the most recent ``User-agent`` line(s), only groups
+    naming ``agent`` apply. Returns ``(rules, crawl_delay)`` where
+    rules is ``[(kind, prefix)]`` with kind in {"allow", "disallow"}
+    and empty-prefix rules dropped (an empty Disallow means
+    allow-all)."""
+    rules: list[tuple[str, str]] = []
+    delay = 0
+    active = False      # current group names `agent`
+    in_group_header = False  # consecutive User-agent lines stack
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                active = False
+            in_group_header = True
+            if val == agent:
+                active = True
+            continue
+        in_group_header = False
+        if not active:
+            continue
+        if key in ("allow", "disallow") and val:
+            rules.append((key, val))
+        elif key == "crawl-delay":
+            try:
+                delay = int(val)
+            except ValueError:
+                pass
+    return rules, delay
+
+
+class RobotsStage:
+    """Actor-pool politeness evaluator: per-host robots rules are
+    parsed ONCE per actor and cached (hosts ≪ pages and Zipf-headed,
+    so the cache hit rate approaches 1 at crawl scale — the state is
+    the reason this is a callable class, the W1 pattern). Input is the
+    canonical-url stream; output one row per page with the
+    longest-prefix-match verdict: Google semantics — longest matching
+    rule wins, ties go to allow, no match means allowed."""
+
+    def __init__(self, url_col: str = "url_canon",
+                 id_col: str = "doc_id"):
+        self.url_col, self.id_col = url_col, id_col
+        self._cache: dict[str, tuple[list[tuple[str, str]], int]] = {}
+
+    def _rules(self, host: str):
+        got = self._cache.get(host)
+        if got is None:
+            got = self._cache[host] = parse_robots(_robots_text(host))
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        u = t[self.url_col]
+        host = pc.struct_field(
+            pc.extract_regex(u, r"^https?://(?P<h>[^/?#]+)"), "h")
+        path = pc.coalesce(pc.struct_field(
+            pc.extract_regex(u, r"^https?://[^/?#]+(?P<p>[^?#]*)"), "p"),
+            "/")
+        hs = host.to_pandas().to_numpy(dtype=object)
+        ps = path.to_pandas().to_numpy(dtype=object)
+        n = len(hs)
+        allowed = np.ones(n, dtype=bool)
+        rule = np.full(n, "default", dtype=object)
+        delay = np.zeros(n, dtype=np.int64)
+        for h in pd.unique(hs):
+            sel = hs == h
+            rules, d = self._rules(h)
+            delay[sel] = d
+            if not rules:
+                continue
+            sub = ps[sel].astype("U")
+            best_len = np.zeros(sel.sum(), dtype=np.int64)
+            best_allow = np.ones(sel.sum(), dtype=bool)
+            best_rule = np.full(sel.sum(), "default", dtype=object)
+            for kind, prefix in rules:
+                m = np.char.startswith(sub, prefix)
+                ln = len(prefix)
+                is_allow = kind == "allow"
+                # longest wins; tie -> allow wins
+                take = m & ((ln > best_len)
+                            | ((ln == best_len) & is_allow & ~best_allow))
+                best_len[take] = ln
+                best_allow[take] = is_allow
+                best_rule[take] = f"{kind}:{prefix}"
+            allowed[sel] = best_allow
+            rule[sel] = best_rule
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "host": host,
+            "path": path,
+            "allowed": pa.array(allowed),
+            "rule": pa.array(rule.tolist(), pa.string()),
+            "crawl_delay": pa.array(delay),
+        })
+
+
+def robots_filter(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """robots.txt politeness verdict per page: canonicalize →
+    actor-pool longest-prefix rule match (`RobotsStage`). Returns
+    ``(id, host, path, allowed, rule, crawl_delay)`` — the mask a
+    frontier/crawl scheduler consumes next to `frontier_scores`.
+
+    Shape: two stateless/stateful map stages, zero shuffle; robots
+    state is per-actor, host-cardinality-bounded, and cached."""
+    from ..runtime import pool
+
+    cmin, cmax = pool(0.5)
+    canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)
+    canon = canon.map_batches(
+        lambda t: t.filter(t["parse_ok"]), batch_format="pyarrow")
+    return canon.map_batches(
+        RobotsStage,
+        fn_constructor_kwargs={"url_col": "url_canon", "id_col": id_col},
+        batch_format="pyarrow", concurrency=(cmin, cmax))

@@ -736,3 +736,91 @@ def test_bpe_learn_exhausted_pairs_stops_early(ray_session):
     assert len(got) == 0
     assert list(got.columns) == ["rank", "left_sym", "right_sym",
                                  "pair_count"]
+
+
+def test_parse_robots_grouping_and_shapes():
+    """Real-parser shapes: non-* groups excluded, stacked User-agent
+    headers, inline comments, case-insensitive directive names, empty
+    Disallow dropped (allow-all), bad crawl-delay ignored."""
+    from fcrepo3_rdf_extractor_ray.stages.web import parse_robots
+
+    text = "\n".join([
+        "# header comment",
+        "User-agent: googlebot",
+        "Disallow: /nobots",
+        "",
+        "User-agent: bingbot",
+        "User-agent: *",          # stacked header: both name the group
+        "CRAWL-DELAY: 3",
+        "DisAllow: /a  # inline comment",
+        "allow: /a/b",
+        "Disallow:",              # empty -> allow-all, dropped
+        "Crawl-delay: soon",      # later bad value ignored
+        "",
+        "User-agent: duckbot",
+        "Disallow: /c",
+    ])
+    rules, delay = parse_robots(text)
+    assert rules == [("disallow", "/a"), ("allow", "/a/b")]
+    assert delay == 3
+    rules_g, _ = parse_robots(text, agent="googlebot")
+    assert rules_g == [("disallow", "/nobots")]
+
+
+def test_robots_longest_match_and_tie(ray_session):
+    """Longest-prefix rule wins; an equal-length allow beats disallow;
+    no match defaults to allowed; rules from a foreign agent group
+    never apply."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import RobotsStage
+
+    stage = RobotsStage()
+    stage._cache["h.org"] = ([("disallow", "/a"), ("allow", "/a/b"),
+                              ("disallow", "/t"), ("allow", "/t")], 7)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "url_canon": pa.array([
+            "https://h.org/a/x",    # disallow:/a
+            "https://h.org/a/b/x",  # allow:/a/b (longer)
+            "https://h.org/t/x",    # tie at len 2 -> allow wins
+            "https://h.org/z",      # no match -> default
+        ]),
+    })
+    out = stage(t).to_pandas().set_index("doc_id")
+    assert list(out["allowed"]) == [False, True, True, True]
+    assert list(out["rule"]) == ["disallow:/a", "allow:/a/b",
+                                 "allow:/t", "default"]
+    assert set(out["crawl_delay"]) == {7}
+
+
+def test_robots_filter_end_to_end(ray_session):
+    """robots_filter over a tiny messy-url corpus: canonicalization
+    feeds the stage (ports/fragments stripped), and the per-host
+    template verdicts land exactly."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import robots_filter
+
+    ds = rd.from_items([
+        # host ex0.org (m=0): Disallow /p/1, Allow /p/12
+        {"doc_id": 1, "url": "https://ex0.org:443/p/1/"},
+        {"doc_id": 12, "url": "HTTPS://EX0.ORG/p/12#sec"},
+        {"doc_id": 2, "url": "https://ex0.org/p/2"},
+        # host ex1.org (m=1): Disallow /p/, Allow /p/7
+        {"doc_id": 7, "url": "https://ex1.org/p/7"},
+        {"doc_id": 8, "url": "https://ex1.org/p/8"},
+        # host ex2.org (m=2): no page rules
+        {"doc_id": 9, "url": "https://ex2.org/p/9"},
+    ])
+    out = robots_filter(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "allowed"] == False          # noqa: E712
+    assert out.loc[12, "allowed"] == True          # noqa: E712
+    assert out.loc[12, "rule"] == "allow:/p/12"
+    assert out.loc[2, "allowed"] == True           # noqa: E712
+    assert out.loc[2, "rule"] == "default"
+    assert out.loc[7, "allowed"] == True           # noqa: E712
+    assert out.loc[8, "allowed"] == False          # noqa: E712
+    assert out.loc[8, "rule"] == "disallow:/p/"
+    assert out.loc[9, "rule"] == "default"
+    assert out.loc[1, "crawl_delay"] == 1 and out.loc[7, "crawl_delay"] == 2

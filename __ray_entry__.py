@@ -2292,6 +2292,16 @@ def _q_ta_bm25(sf_dir: str):
     return bm25_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ta_search(sf_dir: str):
+    """Multi-query BM25 top-k retrieval: 4 fixed queries served against
+    the corpus, per-batch partial top-k combiners, tiny per-query final
+    re-rank. Scores are the same integer-micro rational-IDF family as
+    ta_bm25, so the oracle is bit-exact."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import search_topk
+
+    return search_topk(_docs(sf_dir, ["doc_id", "text"]), k=10)
+
+
 def _q_kg_reach(sf_dir: str):
     """3-hop BFS from the subjects of kg:acquired facts over the
     canonical entity graph; min hop distance per reached node."""
@@ -2368,6 +2378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bpe_learn": _q_ta_bpe_learn,
         # round-5 NEW oracle entry (robots.txt politeness verdicts):
         "web_robots": _q_web_robots,
+        # round-5 NEW oracle entry (multi-query BM25 top-k retrieval):
+        "ta_search": _q_ta_search,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -4976,5 +4988,43 @@ SELECT doc_id, host, path,
        (rule = 'default' OR rule LIKE 'allow:%') AS allowed,
        rule, crawl_delay
 FROM r
+"""
+    # multi-query BM25 top-k retrieval: the ta_bm25 integer-micro
+    # scoring expression (parse-tree mirrored) summed per (qid, doc)
+    # over the query's terms, then row_number per query (score DESC,
+    # doc_id ASC) capped at k=10. Query set = SEARCH_QUERIES in
+    # stages/text_analysis.py, inlined as VALUES.
+    d["ta_search"] = """
+WITH q(qid, term) AS (VALUES
+  ('q0','hash'), ('q0','join'),
+  ('q1','vector'), ('q1','scan'),
+  ('q2','sort'), ('q2','merge'), ('q2','window'),
+  ('q3','the'), ('q3','data')),
+qt AS (SELECT DISTINCT term FROM q),
+tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sdl FROM dl),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*) AS tf
+       FROM tok t JOIN qt ON t.tok = qt.term GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT q.qid, tf.doc_id,
+             floor((1000000.0 * ((n.n - df.df + 0.5) / (df.df + 0.5)))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * ((1 - 0.75)
+                                        + (0.75 * dl.dl)
+                                          / (n.sdl / n.n)))))::BIGINT
+                 AS sm
+      FROM q JOIN tf USING (term) JOIN df USING (term)
+             JOIN dl USING (doc_id), n),
+agg AS (SELECT qid, doc_id, sum(sm)::BIGINT AS score_micro
+        FROM s GROUP BY qid, doc_id),
+r AS (SELECT qid, doc_id, score_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_micro DESC, doc_id)
+                 AS rank
+      FROM agg)
+SELECT qid, rank::BIGINT AS rank, doc_id, score_micro
+FROM r WHERE rank <= 10
 """
     return d

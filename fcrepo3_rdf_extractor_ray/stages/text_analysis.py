@@ -1434,3 +1434,106 @@ def bpe_learn(docs_ds, n_merges: int = 6, text_col: str = "text",
         "right_sym": [m[1] for m in merges],
         "pair_count": pd.array([m[2] for m in merges], dtype="int64"),
     })
+
+
+SEARCH_QUERIES = (
+    ("q0", ("hash", "join")),
+    ("q1", ("vector", "scan")),
+    ("q2", ("sort", "merge", "window")),
+    ("q3", ("the", "data")),
+)
+
+
+def search_topk(docs_ds, queries=SEARCH_QUERIES, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Multi-query BM25 top-k retrieval — serving a query WORKLOAD
+    against the corpus (the batch-retrieval sibling of the single-query
+    ``bm25_scores``; same rational-IDF integer-micro formula, so the
+    oracle replays scores bit-for-bit).
+
+    Output: ``(qid, rank, doc_id, score_micro)`` — the top ``k`` docs
+    per query, ranked (score DESC, doc_id ASC; rank is 1-based and
+    deterministic).
+
+    Scale shape: pass 1 streams per-batch (N, Σdl, df-per-distinct-term)
+    summary rows (one per block, merged on the driver — bounded by
+    #blocks); the corpus constants broadcast by closure. Pass 2 scores
+    every query against the batch — tf is computed ONCE per DISTINCT
+    term, then summed per query — and emits a per-batch PARTIAL top-k
+    per query (the combiner): the exchange moves ≤ #queries·k rows per
+    block, never one per (query, doc). The final per-query merge is a
+    tiny ``groupby(qid).map_groups`` re-rank. No corpus-sized shuffle
+    anywhere; #queries and k bound every exchanged row count."""
+    queries = [(qid, tuple(ts)) for qid, ts in queries]
+    terms = sorted({t for _, ts in queries for t in ts})
+
+    def _flat(texts: pd.Series):
+        lens, flat = _split_flat(texts)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        return flat, doc_idx, lens
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_idx, lens = _flat(df[text_col])
+        row = {"n": np.int64(len(df)), "sdl": lens.sum()}
+        for j, term in enumerate(terms):
+            m = flat == term
+            row[f"df{j}"] = np.int64(
+                len(np.unique(doc_idx[m])) if m.any() else 0)
+        return pd.DataFrame([row])
+
+    st = docs_ds.map_batches(stats_partial, batch_format="pandas"
+                             ).to_pandas().sum()
+    N = float(st["n"])
+    avgdl = float(st["sdl"]) / N
+    idf = {t: (N - float(st[f"df{j}"]) + 0.5) / (float(st[f"df{j}"]) + 0.5)
+           for j, t in enumerate(terms)}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc_idx, lens = _flat(df[text_col])
+        dl = lens.astype(np.float64)
+        ids = df[id_col].to_numpy(np.int64)
+        per_term: dict[str, np.ndarray] = {}
+        hit_term: dict[str, np.ndarray] = {}
+        for term in terms:
+            m = flat == term
+            tf = np.bincount(doc_idx[m], minlength=len(df)
+                             ).astype(np.float64)
+            hit_term[term] = tf > 0
+            # parse-tree mirror of the SQL expression — do not refactor
+            tfn = (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * dl) / avgdl))
+            per_term[term] = np.floor(
+                (1000000.0 * idf[term]) * tfn).astype(np.int64)
+        out = []
+        for qid, ts in queries:
+            total = np.zeros(len(df), dtype=np.int64)
+            hit = np.zeros(len(df), dtype=bool)
+            for t_ in ts:
+                total += per_term[t_]
+                hit |= hit_term[t_]
+            if not hit.any():
+                continue
+            sid, ss = ids[hit], total[hit]
+            order = np.lexsort((sid, -ss))[:k]  # partial top-k combiner
+            out.append(pd.DataFrame({
+                "qid": qid,
+                id_col: sid[order],
+                "score_micro": ss[order],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "qid": pd.array([], dtype=object),
+                id_col: pd.array([], dtype="int64"),
+                "score_micro": pd.array([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    partial = docs_ds.map_batches(score, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["score_micro", id_col],
+                           ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return partial.groupby("qid").map_groups(final, batch_format="pandas")

@@ -824,3 +824,59 @@ def test_robots_filter_end_to_end(ray_session):
     assert out.loc[8, "rule"] == "disallow:/p/"
     assert out.loc[9, "rule"] == "default"
     assert out.loc[1, "crawl_delay"] == 1 and out.loc[7, "crawl_delay"] == 2
+
+
+def test_search_topk_matches_bruteforce_across_blocks(ray_session):
+    """Per-block partial top-k never loses a global winner (any global
+    top-k doc is in its own block's top-k): force many tiny blocks and
+    compare against a single-process brute-force ranking, including
+    deterministic tie-break on equal scores."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import search_topk
+
+    rows = []
+    for i in range(60):
+        # identical text per residue class -> massed score ties; the
+        # tie-break (score DESC, doc_id ASC) must pick the lowest ids
+        rows.append({"doc_id": i,
+                     "text": ["hash join", "vector scan scan",
+                              "sort merge window the data"][i % 3]})
+    ds = rd.from_items(rows).repartition(20)  # ~3 rows per block
+    got = (search_topk(ds, k=5).to_pandas()
+           .sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    # brute force with the same formula, one process
+    import collections
+
+    import numpy as np
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import \
+        SEARCH_QUERIES
+
+    texts = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    N = len(rows)
+    dl = {d: len(t) for d, t in texts.items()}
+    avgdl = sum(dl.values()) / N
+    terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
+    df = {t: sum(1 for x in texts.values() if t in x) for t in terms}
+    want = []
+    for qid, ts in SEARCH_QUERIES:
+        scores = []
+        for d, toks in texts.items():
+            c = collections.Counter(toks)
+            if not any(c[t] for t in ts):
+                continue
+            s = 0
+            for t in ts:
+                tf = float(c[t])
+                idf = (N - df[t] + 0.5) / (df[t] + 0.5)
+                tfn = (tf * 2.2) / (tf + 1.2 * ((1 - 0.75)
+                                                + (0.75 * dl[d]) / avgdl))
+                s += int(np.floor((1000000.0 * idf) * tfn))
+            scores.append((d, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scores[:5], 1):
+            want.append((qid, rank, d, s))
+    got_t = [tuple(r) for r in got[["qid", "rank", "doc_id",
+                                    "score_micro"]].itertuples(index=False)]
+    assert got_t == want

@@ -198,7 +198,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_frontier", "kg_entity_cards", "kg_modularity",
                  "prep_dataset_card", "mm_audio_pitch", "kg_clustering",
                  "web_dup_profile", "kg_assortativity", "kg_violations",
-                 "dedup_substrings", "web_cdx", "web_wet", "web_jsonl"):
+                 "dedup_substrings", "web_cdx", "web_wet", "web_jsonl",
+                 "ta_bpe_learn", "web_robots", "ta_search"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

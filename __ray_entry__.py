@@ -368,6 +368,17 @@ def _q_kg_fact_quads(sf_dir: str):
     return resolve_quads(facts, mapping)
 
 
+def _q_kg_bgp(sf_dir: str):
+    """SPARQL-style basic-graph-pattern join over the resolved fact
+    stream: distinct bindings of ``?a kg:acquired ?b . ?b kg:basedIn
+    ?c`` ("where are the acquired entities based"). One tag-union
+    exchange on the shared variable; oracle is a DISTINCT self-join
+    over the same resolved-facts replay."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bgp_join
+
+    return bgp_join(_q_kg_fact_quads(sf_dir))
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -2380,6 +2391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots": _q_web_robots,
         # round-5 NEW oracle entry (multi-query BM25 top-k retrieval):
         "ta_search": _q_ta_search,
+        # round-5 NEW oracle entry (SPARQL-style 2-pattern BGP join):
+        "kg_bgp": _q_kg_bgp,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5027,4 +5040,11 @@ r AS (SELECT qid, doc_id, score_micro,
 SELECT qid, rank::BIGINT AS rank, doc_id, score_micro
 FROM r WHERE rank <= 10
 """
+    # SPARQL-style 2-pattern BGP over the resolved fact stream:
+    # DISTINCT self-join on the shared variable b.
+    d["kg_bgp"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """
+SELECT DISTINCT f1.subj AS a, f1.obj AS b, f2.obj AS c
+FROM f f1 JOIN f f2 ON f1.obj = f2.subj
+WHERE f1.pred = 'kg:acquired' AND f2.pred = 'kg:basedIn'
+""")
     return d

@@ -2766,3 +2766,58 @@ def degree_mixing_stats(edges_ds, a_col: str = "norm_a",
                                  dtype="int64"),
         "sum_jj_plus_kk": pd.array([agg["sum(sum_jj_plus_kk)"] or 0],
                                    dtype="int64")})
+
+
+def bgp_join(facts_ds, p1: str = "kg:acquired", p2: str = "kg:basedIn",
+             subj_col: str = "subj", pred_col: str = "pred",
+             obj_col: str = "obj", n_parts: int | None = None):
+    """Basic-graph-pattern join — the 2-pattern SPARQL-style BGP
+    ``?a p1 ?b . ?b p2 ?c`` evaluated over the constructed KG's fact
+    stream; returns the DISTINCT binding set ``(a, b, c)``. This is the
+    query-side counterpart of the extraction pipeline (the reference's
+    output feeds a Jena resource index the same way —
+    Extract.java:96-100's ``#ri`` graph).
+
+    Shape: each pattern side filters its predicate and emits per-batch
+    DISTINCT (key, val) pairs (the combiner — duplicate assertions from
+    many pages collapse before the exchange), both sides ride ONE
+    hash-partition exchange on the shared variable ``b`` (tag union, no
+    join operator), and the per-partition merge emits a-values ×
+    c-values per b. Distinctness is global because all rows of a given
+    b co-locate. Skew note: a head entity with many a- and c-bindings
+    produces |a|·|c| rows — that is the query RESULT size, not a plan
+    artifact; cap upstream if a bounded preview is wanted."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+
+    def side(pred, key_col, val_col, tag):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[pred_col], pred))
+            g = (pa.table({"key": t[key_col], "val": t[val_col]})
+                 .group_by(["key", "val"]).aggregate([]))
+            return pa.table({
+                "key": g["key"],
+                "val": g["val"],
+                "tag": pa.array(np.full(g.num_rows, tag, np.int8)),
+                "part": pa.array(fast_part_hash(g["key"], n_parts)),
+            })
+        return fn
+
+    lhs = facts_ds.map_batches(side(p1, obj_col, subj_col, 0),
+                               batch_format="pyarrow")
+    rhs = facts_ds.map_batches(side(p2, subj_col, obj_col, 1),
+                               batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[df["tag"] == 0][["key", "val"]].drop_duplicates()
+        cv = df[df["tag"] == 1][["key", "val"]].drop_duplicates()
+        out = av.merge(cv, on="key", suffixes=("_a", "_c"))
+        return pd.DataFrame({"a": out["val_a"], "b": out["key"],
+                             "c": out["val_c"]})
+
+    return (lhs.union(rhs).groupby("part")
+            .map_groups(merge, batch_format="pandas"))

@@ -880,3 +880,31 @@ def test_search_topk_matches_bruteforce_across_blocks(ray_session):
     got_t = [tuple(r) for r in got[["qid", "rank", "doc_id",
                                     "score_micro"]].itertuples(index=False)]
     assert got_t == want
+
+
+def test_bgp_join_distinct_and_cross_block(ray_session):
+    """BGP ?a p1 ?b . ?b p2 ?c: duplicate assertions collapse, bindings
+    for one b meet across blocks (repartitioned so the two sides of a b
+    land in different input blocks), cross-product bindings per b are
+    complete, non-matching predicates ignored."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import bgp_join
+
+    rows = []
+    # b1: two acquirers x two locations -> 4 bindings
+    for a in ("a1", "a2"):
+        rows += [{"subj": a, "pred": "kg:acquired", "obj": "b1"}] * 3
+    for c in ("c1", "c2"):
+        rows.append({"subj": "b1", "pred": "kg:basedIn", "obj": c})
+    # b2: acquired but no location -> no binding
+    rows.append({"subj": "a3", "pred": "kg:acquired", "obj": "b2"})
+    # b3: located but never acquired -> no binding
+    rows.append({"subj": "b3", "pred": "kg:basedIn", "obj": "c3"})
+    # noise predicate sharing entities
+    rows.append({"subj": "a1", "pred": "kg:worksWith", "obj": "b1"})
+    got = (bgp_join(rd.from_items(rows).repartition(8)).to_pandas()
+           .sort_values(["a", "b", "c"]).reset_index(drop=True))
+    want = [("a1", "b1", "c1"), ("a1", "b1", "c2"),
+            ("a2", "b1", "c1"), ("a2", "b1", "c2")]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want

@@ -368,6 +368,16 @@ def _q_kg_fact_quads(sf_dir: str):
     return resolve_quads(facts, mapping)
 
 
+def _q_kg_rdfs_types(sf_dir: str):
+    """RDFS entailment (rdfs9) materialization: distinct entities of
+    the resolved fact stream, each exploded to its full type set under
+    the deterministic binary-heap class tree. Oracle = recursive-CTE
+    ancestor closure joined to the same entity derivation."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import rdfs_type_closure
+
+    return rdfs_type_closure(_q_kg_fact_quads(sf_dir))
+
+
 def _q_kg_bgp(sf_dir: str):
     """SPARQL-style basic-graph-pattern join over the resolved fact
     stream: distinct bindings of ``?a kg:acquired ?b . ?b kg:basedIn
@@ -2393,6 +2403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_search": _q_ta_search,
         # round-5 NEW oracle entry (SPARQL-style 2-pattern BGP join):
         "kg_bgp": _q_kg_bgp,
+        # round-5 NEW oracle entry (RDFS subclass-closure typing):
+        "kg_rdfs_types": _q_kg_rdfs_types,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5046,5 +5058,24 @@ FROM r WHERE rank <= 10
 SELECT DISTINCT f1.subj AS a, f1.obj AS b, f2.obj AS c
 FROM f f1 JOIN f f2 ON f1.obj = f2.subj
 WHERE f1.pred = 'kg:acquired' AND f2.pred = 'kg:basedIn'
+""")
+    # RDFS rdfs9 closure: entity ent:e{n} is asserted cls:c{n % 7};
+    # class tree = binary heap parent(c_k) = c_{(k-1)//2}; the
+    # recursive CTE walks each class's reflexive ancestor chain.
+    d["kg_rdfs_types"] = (
+        _U_CTE.replace("WITH u", "WITH RECURSIVE u", 1)
+        + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+ents AS (SELECT DISTINCT x AS e FROM (
+           SELECT subj AS x FROM f UNION ALL SELECT obj FROM f)
+         WHERE regexp_matches(x, '^ent:e[0-9]+$')),
+ta AS (SELECT e, regexp_extract(e, '^ent:e([0-9]+)$', 1)::BIGINT % 7
+              AS k
+       FROM ents),
+anc(k, a) AS (
+    SELECT k.k, k.k FROM (SELECT unnest(range(7))::BIGINT AS k) k
+    UNION
+    SELECT k, (a - 1) // 2 FROM anc WHERE a > 0)
+SELECT ta.e AS subj, 'cls:c' || anc.a::VARCHAR AS type
+FROM ta JOIN anc USING (k)
 """)
     return d

@@ -892,3 +892,69 @@ def functional_violations(facts_ds, preds: list[str],
 
     return (facts_ds.map_batches(combine, batch_format="pyarrow")
             .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def rdfs_type_closure(facts_ds, n_classes: int = 7,
+                      n_parts: int | None = None):
+    """RDFS entailment materialization: every entity's full type set
+    under a subclass hierarchy — the forward-chaining step a triple
+    store runs at load time (rdfs9: ``(x type C), (C subClassOf D) ->
+    (x type D)``).
+
+    The ontology here is the deterministic sandbox stand-in: entity
+    ``ent:e{n}`` is asserted class ``cls:c{n % n_classes}``, and the
+    class tree is the binary heap layout ``parent(c_k) = c_{(k-1)//2}``
+    rooted at ``c0`` (ontologies are small and static — broadcasting
+    the precomputed reflexive-transitive ancestor closure is the
+    at-scale design, exactly like the alias dictionary in
+    canonicalization; the corpus-sized side streams).
+
+    Shape: per-batch DISTINCT entity combiner over subj ∪ obj → one
+    entity-hash exchange for global distinct → stateless ancestor
+    explode (closure captured; ≤ log2(n_classes)+1 types per entity).
+    Output: ``(subj, type)``, distinct by construction."""
+    import re
+
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+
+    # reflexive-transitive ancestor closure of the class tree (tiny)
+    anc: dict[int, list[int]] = {}
+    for k in range(n_classes):
+        chain, cur = [k], k
+        while cur > 0:
+            cur = (cur - 1) // 2
+            chain.append(cur)
+        anc[k] = chain
+
+    ent_re = r"^ent:e[0-9]+$"
+
+    def distinct_entities(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nodes = pa.chunked_array([t["subj"], t["obj"]])
+        m = pc.match_substring_regex(nodes, ent_re)
+        ents = pc.unique(nodes.filter(m))
+        return pa.table({
+            "e": ents,
+            "part": pa.array(fast_part_hash(ents, n_parts)),
+        })
+
+    def explode_types(df: pd.DataFrame) -> pd.DataFrame:
+        ents = df["e"].drop_duplicates()
+        k = (ents.str.extract(r"^ent:e([0-9]+)$", expand=False)
+             .astype("int64") % n_classes)
+        chains = k.map(anc)
+        out = pd.DataFrame({"subj": ents, "a": chains}).explode("a")
+        return pd.DataFrame({
+            "subj": out["subj"],
+            "type": "cls:c" + out["a"].astype("int64").astype(str),
+        })
+
+    return (facts_ds.map_batches(distinct_entities, batch_format="pyarrow")
+            .groupby("part").map_groups(explode_types,
+                                        batch_format="pandas"))

@@ -908,3 +908,28 @@ def test_bgp_join_distinct_and_cross_block(ray_session):
     want = [("a1", "b1", "c1"), ("a1", "b1", "c2"),
             ("a2", "b1", "c1"), ("a2", "b1", "c2")]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_rdfs_type_closure_ancestors(ray_session):
+    """Every entity carries its asserted class plus the full ancestor
+    chain of the binary-heap tree (c5 -> c2 -> c0); skolem/non-entity
+    nodes are excluded; duplicates across facts collapse."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import rdfs_type_closure
+
+    rows = [
+        {"subj": "ent:e5", "pred": "kg:acquired", "obj": "ent:e12"},
+        {"subj": "ent:e5", "pred": "kg:worksWith", "obj": "ent:e12"},
+        {"subj": "ent:e0", "pred": "kg:basedIn", "obj": "ent:sk:widget3"},
+    ]
+    got = (rdfs_type_closure(rd.from_items(rows)).to_pandas()
+           .sort_values(["subj", "type"]).reset_index(drop=True))
+    want = [
+        ("ent:e0", "cls:c0"),                                # e0 -> c0
+        ("ent:e12", "cls:c0"), ("ent:e12", "cls:c2"),
+        ("ent:e12", "cls:c5"),                               # 12%7=5
+        ("ent:e5", "cls:c0"), ("ent:e5", "cls:c2"),
+        ("ent:e5", "cls:c5"),                                # 5%7=5
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want

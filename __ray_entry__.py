@@ -368,6 +368,18 @@ def _q_kg_fact_quads(sf_dir: str):
     return resolve_quads(facts, mapping)
 
 
+def _q_kg_term_dict(sf_dir: str):
+    """Dictionary encoding of the flagship KG: every distinct term
+    (graph/subj/pred/obj) gets a dense int64 id equal to its 1-based
+    lexicographic rank — the triple-store load step, built with the
+    TeraSort range-partition global-rank shape (no task holds more than
+    ~1/n_buckets of the vocabulary)."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (run_kg,
+                                                        term_dictionary)
+
+    return term_dictionary(run_kg(sf_dir))
+
+
 def _q_kg_rdfs_types(sf_dir: str):
     """RDFS entailment (rdfs9) materialization: distinct entities of
     the resolved fact stream, each exploded to its full type set under
@@ -2405,6 +2417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp": _q_kg_bgp,
         # round-5 NEW oracle entry (RDFS subclass-closure typing):
         "kg_rdfs_types": _q_kg_rdfs_types,
+        # round-5 NEW oracle entry (term-dictionary encoding):
+        "kg_term_dict": _q_kg_term_dict,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5077,5 +5091,17 @@ anc(k, a) AS (
     SELECT k, (a - 1) // 2 FROM anc WHERE a > 0)
 SELECT ta.e AS subj, 'cls:c' || anc.a::VARCHAR AS type
 FROM ta JOIN anc USING (k)
+""")
+    # term-dictionary encoding over the flagship quads: dense ids by
+    # lexicographic rank (UTF-8 byte order == codepoint order, so the
+    # engine's per-bucket string sort matches DuckDB's binary ORDER BY)
+    d["kg_term_dict"] = ("WITH qa AS (" + d["kg_quads_all"] + """),
+terms AS (SELECT DISTINCT term FROM (
+    SELECT graph AS term FROM qa
+    UNION ALL SELECT subj FROM qa
+    UNION ALL SELECT pred FROM qa
+    UNION ALL SELECT obj FROM qa))
+SELECT row_number() OVER (ORDER BY term)::BIGINT AS tid, term
+FROM terms
 """)
     return d

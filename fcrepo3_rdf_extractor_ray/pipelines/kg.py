@@ -958,3 +958,105 @@ def rdfs_type_closure(facts_ds, n_classes: int = 7,
     return (facts_ds.map_batches(distinct_entities, batch_format="pyarrow")
             .groupby("part").map_groups(explode_types,
                                         batch_format="pandas"))
+
+
+def term_dictionary(quads_ds, n_buckets: int | None = None):
+    """Dictionary encoding of the KG — the triple-store load step that
+    assigns every distinct term (graph ∪ subj ∪ pred ∪ obj) a dense
+    int64 id equal to its 1-based rank in lexicographic order (so the
+    oracle is ``row_number() OVER (ORDER BY term)``). Returns
+    ``(tid, term)``.
+
+    Shape (the TeraSort/global-rank range-partition pattern of
+    ``relational.global_rank_orders``): per-batch DISTINCT-term
+    combiner → one term-hash exchange for global distinct → order-
+    preserving 8-byte integer key (UTF-8 byte order == codepoint order,
+    and suffix-\\x00 padding preserves prefix order) → key-range
+    bucketing from one min/max pass → per-bucket counts (n_buckets-
+    sized driver state, bounded by configuration) → per-bucket sort +
+    prefix offset. Equal-key terms (same first 8 bytes) land in one
+    bucket by construction, so the within-bucket full-string sort makes
+    the global order exact. No task ever holds more than ~1/n_buckets
+    of the vocabulary."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import cluster_cpus, default_parts
+
+    n_parts = default_parts(1.0)
+    if n_buckets is None:
+        n_buckets = max(8, 2 * cluster_cpus())
+
+    def distinct_terms(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = [t[c] for c in ("graph", "subj", "pred", "obj")
+                if c in t.column_names]
+        terms = pc.unique(pa.chunked_array(cols))
+        return pa.table({
+            "term": terms,
+            "part": pa.array(fast_part_hash(terms, n_parts)),
+        })
+
+    def part_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms = pc.unique(t["term"])
+        # order-preserving int63 key: first 8 UTF-8 bytes, \x00-padded,
+        # big-endian, halved to stay in int64 (>>1 is monotonic)
+        keys = [int.from_bytes(s.encode("utf-8")[:8].ljust(8, b"\x00"),
+                               "big") >> 1
+                for s in terms.to_pylist()]
+        return pa.table({"term": terms,
+                         "key": pa.array(keys, pa.int64())})
+
+    dterms = (quads_ds.map_batches(distinct_terms, batch_format="pyarrow")
+              .groupby("part").map_groups(part_distinct,
+                                          batch_format="pyarrow")
+              .materialize())
+    mm = dterms.aggregate(Min("key"), Max("key"))
+    if not mm or mm.get("min(key)") is None:
+        return dterms.map_batches(
+            lambda t: pa.table({"tid": pa.array([], pa.int64()),
+                                "term": pa.array([], pa.string())}),
+            batch_format="pyarrow")
+    lo, hi = int(mm["min(key)"]), int(mm["max(key)"])
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # Python-int arithmetic: (key-lo)*n_buckets overflows int64 on
+        # the full 63-bit key span
+        b = [((k - lo) * n_buckets) // span for k in t["key"].to_pylist()]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = dterms.map_batches(bucketize,
+                                  batch_format="pyarrow").materialize()
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"bucket": t["bucket"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (g.group_by("bucket").aggregate([("n", "sum")])
+                .rename_columns(["bucket", "n"]))
+
+    counts = (bucketed.map_batches(count_part, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n")).take_all())
+    counts.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["sum(n)"]
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("term")
+        return pd.DataFrame({
+            "tid": off + 1 + np.arange(len(g), dtype=np.int64),
+            "term": g["term"].to_numpy(),
+        })
+
+    return bucketed.groupby("bucket").map_groups(rank_bucket,
+                                                 batch_format="pandas")

@@ -933,3 +933,29 @@ def test_rdfs_type_closure_ancestors(ray_session):
         ("ent:e5", "cls:c5"),                                # 5%7=5
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_term_dictionary_dense_lexicographic(ray_session):
+    """Dense 1-based ids in exact lexicographic order across many
+    buckets, duplicate terms across columns and rows collapse, and
+    same-8-byte-prefix terms (which share a range bucket) still order
+    by the full string."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import term_dictionary
+
+    rows = []
+    for i in range(40):
+        rows.append({"graph": "kg:web",
+                     "subj": f"ent:e{i % 7}",
+                     "pred": "kg:worksWith",
+                     # shared 8-byte prefix, differs after byte 8:
+                     "obj": f"longprefix{i:03d}"})
+    got = (term_dictionary(rd.from_items(rows).repartition(6),
+                           n_buckets=16).to_pandas()
+           .sort_values("tid").reset_index(drop=True))
+    terms = sorted({"kg:web", "kg:worksWith"}
+                   | {f"ent:e{i % 7}" for i in range(40)}
+                   | {f"longprefix{i:03d}" for i in range(40)})
+    assert list(got["term"]) == terms
+    assert list(got["tid"]) == list(range(1, len(terms) + 1))

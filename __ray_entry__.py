@@ -380,6 +380,16 @@ def _q_kg_term_dict(sf_dir: str):
     return term_dictionary(run_kg(sf_dir))
 
 
+def _q_kg_quads_encoded(sf_dir: str):
+    """The integer quad table a triple store indexes: flagship quads
+    with every term replaced by its term_dictionary id — four
+    co-partitioned tag-union merges (one per column), no join operator
+    and no driver-side dictionary."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import encode_quads, run_kg
+
+    return encode_quads(run_kg(sf_dir).materialize())
+
+
 def _q_kg_rdfs_types(sf_dir: str):
     """RDFS entailment (rdfs9) materialization: distinct entities of
     the resolved fact stream, each exploded to its full type set under
@@ -2419,6 +2429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_types": _q_kg_rdfs_types,
         # round-5 NEW oracle entry (term-dictionary encoding):
         "kg_term_dict": _q_kg_term_dict,
+        # round-5 NEW oracle entry (dictionary-encoded quad table):
+        "kg_quads_encoded": _q_kg_quads_encoded,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5103,5 +5115,22 @@ terms AS (SELECT DISTINCT term FROM (
     UNION ALL SELECT obj FROM qa))
 SELECT row_number() OVER (ORDER BY term)::BIGINT AS tid, term
 FROM terms
+""")
+    # dictionary-encoded quad table: the kg_term_dict ids joined back
+    # onto every column of the flagship quads
+    d["kg_quads_encoded"] = ("WITH qa AS (" + d["kg_quads_all"] + """),
+terms AS (SELECT DISTINCT term FROM (
+    SELECT graph AS term FROM qa
+    UNION ALL SELECT subj FROM qa
+    UNION ALL SELECT pred FROM qa
+    UNION ALL SELECT obj FROM qa)),
+td AS (SELECT row_number() OVER (ORDER BY term)::BIGINT AS tid, term
+       FROM terms)
+SELECT dg.tid AS g_id, ds_.tid AS s_id, dp.tid AS p_id, do_.tid AS o_id
+FROM qa
+JOIN td dg  ON qa.graph = dg.term
+JOIN td ds_ ON qa.subj  = ds_.term
+JOIN td dp  ON qa.pred  = dp.term
+JOIN td do_ ON qa.obj   = do_.term
 """)
     return d

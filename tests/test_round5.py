@@ -959,3 +959,30 @@ def test_term_dictionary_dense_lexicographic(ray_session):
                    | {f"longprefix{i:03d}" for i in range(40)})
     assert list(got["term"]) == terms
     assert list(got["tid"]) == list(range(1, len(terms) + 1))
+
+
+def test_encode_quads_roundtrip(ray_session):
+    """Encoding then decoding through the dictionary reproduces the
+    original quads exactly (ids are consistent across all four columns
+    and across blocks)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (encode_quads,
+                                                        term_dictionary)
+
+    rows = [{"graph": "kg:web", "subj": f"ent:e{i % 5}",
+             "pred": ["kg:worksWith", "kg:acquired"][i % 2],
+             "obj": f"ent:e{(i * 3) % 7}"} for i in range(30)]
+    quads = rd.from_items(rows).repartition(5).materialize()
+    dict_df = term_dictionary(quads).to_pandas()
+    enc = encode_quads(quads).to_pandas()
+    assert len(enc) == 30
+    inv = dict_df.set_index("tid")["term"]
+    dec = pd.DataFrame({
+        "graph": enc["g_id"].map(inv), "subj": enc["s_id"].map(inv),
+        "pred": enc["p_id"].map(inv), "obj": enc["o_id"].map(inv)})
+    key = ["graph", "subj", "pred", "obj"]
+    got = dec.sort_values(key).reset_index(drop=True)
+    want = (pd.DataFrame(rows)[key].sort_values(key)
+            .reset_index(drop=True))
+    assert got.equals(want)

@@ -380,6 +380,34 @@ def _q_kg_term_dict(sf_dir: str):
     return term_dictionary(run_kg(sf_dir))
 
 
+def _q_kg_nquads(sf_dir: str):
+    """N-Quads ROUND-TRIP: the flagship quads written through the K1
+    text sink (sorted ``quads{i}.nq`` shards) and read back via
+    ``sources/nquads.read_nquads`` — proving the serialized mirror
+    carries the full quad table losslessly (escapes included). Oracle =
+    the kg_quads_all replay projected to the six serialized columns.
+    Shard set cached under /tmp per sf dir (atomic publish)."""
+    import os
+
+    from fcrepo3_rdf_extractor_ray.sources.nquads import read_nquads
+
+    nq_dir = os.path.join("/tmp/kg_nq", os.path.basename(
+        os.path.normpath(sf_dir)))
+    if not os.path.isdir(nq_dir):
+        from fcrepo3_rdf_extractor_ray.pipelines.kg import (
+            materialize_sorted, run_kg)
+
+        tmp = f"{nq_dir}.tmp-{os.getpid()}"
+        materialize_sorted(run_kg(sf_dir), tmp, write_nquads=True)
+        try:
+            os.rename(tmp, nq_dir)
+        except OSError:  # lost a concurrent-writer race: theirs wins
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return read_nquads(os.path.join(nq_dir, "nquads"))
+
+
 def _q_kg_quads_encoded(sf_dir: str):
     """The integer quad table a triple store indexes: flagship quads
     with every term replaced by its term_dictionary id — four
@@ -2431,6 +2459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_dict": _q_kg_term_dict,
         # round-5 NEW oracle entry (dictionary-encoded quad table):
         "kg_quads_encoded": _q_kg_quads_encoded,
+        # round-5 NEW oracle entry (N-Quads sink+source round-trip):
+        "kg_nquads": _q_kg_nquads,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5132,5 +5162,10 @@ JOIN td dg  ON qa.graph = dg.term
 JOIN td ds_ ON qa.subj  = ds_.term
 JOIN td dp  ON qa.pred  = dp.term
 JOIN td do_ ON qa.obj   = do_.term
+""")
+    # N-Quads round-trip: the serialized mirror carries exactly the six
+    # quad columns (src provenance is aggregated away at the sink)
+    d["kg_nquads"] = ("WITH qa AS (" + d["kg_quads_all"] + """)
+SELECT graph, subj, pred, obj, obj_is_literal, obj_datatype FROM qa
 """)
     return d

@@ -986,3 +986,68 @@ def test_encode_quads_roundtrip(ray_session):
     want = (pd.DataFrame(rows)[key].sort_values(key)
             .reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_nquads_parse_escapes_and_shapes():
+    """Single-pass unescaping: '\\\\n' decodes to backslash+n (chained
+    global replaces get this wrong), '\\n' to newline; literals may
+    contain '> <' and fake graph tails; IRIs and typed literals split
+    correctly; malformed lines raise or skip per on_error."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from fcrepo3_rdf_extractor_ray.sources.nquads import \
+        parse_nquads_lines
+
+    lines = pd.Series([
+        '<s1> <p> <o1> <g> .',
+        '<s2> <p> "plain" <g> .',
+        '<s3> <p> "a\\nb" <g> .',            # newline
+        '<s4> <p> "a\\\\nb" <g> .',          # backslash + n
+        '<s5> <p> "say \\"hi\\"" <g> .',
+        '<s6> <p> "evil > <g2> . tail" <g> .',
+        '<s7> <p> "2024"^^<xsd:gYear> <g> .',
+    ])
+    out = parse_nquads_lines(lines).set_index("subj")
+    assert out.loc["s1", "obj"] == "o1" and not out.loc[
+        "s1", "obj_is_literal"]
+    assert out.loc["s3", "obj"] == "a\nb"
+    assert out.loc["s4", "obj"] == "a\\nb"
+    assert out.loc["s5", "obj"] == 'say "hi"'
+    assert out.loc["s6", "obj"] == "evil > <g2> . tail"
+    assert out.loc["s6", "graph"] == "g"
+    assert out.loc["s7", "obj_datatype"] == "xsd:gYear"
+    assert out["obj_is_literal"].sum() == 6
+
+    bad = pd.Series(["not a quad line"])
+    with _pytest.raises(ValueError):
+        parse_nquads_lines(bad)
+    assert len(parse_nquads_lines(bad, on_error="skip")) == 0
+
+
+def test_nquads_sink_source_roundtrip(ray_session, tmp_path):
+    """Write nasty literals through the real K1 sink, read them back
+    with read_nquads: byte-exact round-trip including the three escape
+    classes and typed literals."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import materialize_sorted
+    from fcrepo3_rdf_extractor_ray.sources.nquads import read_nquads
+
+    rows = [
+        {"graph": "kg:web", "subj": "ent:a", "pred": "kg:title",
+         "obj": 'line1\nline2 "q" back\\slash \\n literal',
+         "obj_is_literal": True, "obj_datatype": ""},
+        {"graph": "kg:web", "subj": "ent:b", "pred": "kg:fetchedAt",
+         "obj": "2026-01-01T00:00:00Z", "obj_is_literal": True,
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#dateTime"},
+        {"graph": "kg:web", "subj": "ent:c", "pred": "kg:worksWith",
+         "obj": "ent:d", "obj_is_literal": False, "obj_datatype": ""},
+    ]
+    out = str(tmp_path / "nq")
+    materialize_sorted(rd.from_items(rows), out, write_nquads=True)
+    got = (read_nquads(out + "/nquads").to_pandas()
+           .sort_values("subj").reset_index(drop=True))
+    want = (pd.DataFrame(rows)[got.columns.tolist()]
+            .sort_values("subj").reset_index(drop=True))
+    assert got.equals(want)

@@ -1051,3 +1051,24 @@ def test_nquads_sink_source_roundtrip(ray_session, tmp_path):
     want = (pd.DataFrame(rows)[got.columns.tolist()]
             .sort_values("subj").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_encode_quads_paths_equivalent(ray_session):
+    """Broadcast lookup (default at test scale) and the 4x
+    co-partitioned join path produce identical encodings."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (encode_quads,
+                                                        term_dictionary)
+
+    rows = [{"graph": "kg:web", "subj": f"ent:e{i % 5}",
+             "pred": ["kg:worksWith", "kg:acquired"][i % 2],
+             "obj": f"ent:e{(i * 3) % 7}"} for i in range(40)]
+    quads = rd.from_items(rows).repartition(4).materialize()
+    d = term_dictionary(quads).materialize()
+    key = ["g_id", "s_id", "p_id", "o_id"]
+    a = (encode_quads(quads, dict_ds=d).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (encode_quads(quads, dict_ds=d, broadcast_max_terms=0)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    assert a.equals(b)

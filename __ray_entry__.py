@@ -1667,6 +1667,16 @@ def _q_ta_bpe_learn(sf_dir: str):
     return bpe_learn(_docs(sf_dir, ["doc_id", "text"]), n_merges=6)
 
 
+def _q_ta_bpe_segment(sf_dir: str):
+    """BPE APPLY: learn 6 merges over the corpus, then segment every
+    document — per-doc word and piece counts under the learned merge
+    table (broadcast by closure; pieces computed once per distinct word
+    per batch)."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import bpe_segment
+
+    return bpe_segment(_docs(sf_dir, ["doc_id", "text"]), n_merges=6)
+
+
 def _q_prep_corpus(sf_dir: str):
     """Composite LLM-data prep chain (filter -> dedup -> sample), one
     streaming pipeline, oracle-checked end-to-end."""
@@ -2461,6 +2471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_quads_encoded": _q_kg_quads_encoded,
         # round-5 NEW oracle entry (N-Quads sink+source round-trip):
         "kg_nquads": _q_kg_nquads,
+        # round-5 NEW oracle entry (BPE apply / segmentation counts):
+        "ta_bpe_segment": _q_ta_bpe_segment,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5038,6 +5050,24 @@ seq{k} AS (
         " cnt AS pair_count FROM b{k}".format(k=_k)
         for _k in range(1, 7)) + "\n) ORDER BY rank")
     d["ta_bpe_learn"] = "".join(_bpe)
+    # BPE APPLY: per-doc word + piece counts under the same 6 learned
+    # merges — the seq6 chain above keyed per word, joined back to the
+    # document token stream (docs with zero [a-z0-9] words drop on both
+    # sides: engine groupby and oracle inner join agree)
+    d["ta_bpe_segment"] = ("".join(_bpe[:-1]) + """,
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS word
+        FROM documents),
+pieces AS (SELECT word,
+                  len(regexp_extract_all(seq, '\\[([^\\]]*)\\]'))::BIGINT
+                      AS np
+           FROM seq6)
+SELECT tok.doc_id, count(*)::BIGINT AS n_words,
+       sum(p.np)::BIGINT AS n_pieces
+FROM tok JOIN pieces p USING (word)
+GROUP BY tok.doc_id
+""")
     # robots.txt politeness: replay of the deterministic per-host rule
     # template (stages/web.py _robots_text) under longest-prefix-match
     # semantics. All messy-url variants canonicalize to host

@@ -1537,3 +1537,50 @@ def search_topk(docs_ds, queries=SEARCH_QUERIES, k: int = 10,
         return g
 
     return partial.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def bpe_segment(docs_ds, merges=None, n_merges: int = 6,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Apply learned BPE merges to the corpus — the tokenizer-training
+    APPLY half (``bpe_learn`` is the learn half): per document, the
+    whitespace/[a-z0-9] word count and the total piece count after all
+    merges. Returns ``(doc_id, n_words, n_pieces)``.
+
+    ``merges``: the ``bpe_learn`` result frame (or None to learn
+    ``n_merges`` rounds first). The merge table is rank-bounded and
+    broadcast by closure; application is one stateless pass — pieces
+    are computed once per DISTINCT word per batch (``value_counts``
+    dedup), then summed back per document. Same bracket-delimited
+    replace procedure as the learner, so the SQL oracle replays the
+    merged sequences verbatim."""
+    if merges is None:
+        merges = bpe_learn(docs_ds, n_merges=n_merges, text_col=text_col)
+    pairs = list(zip(merges["left_sym"], merges["right_sym"]))
+
+    word_re = r"[a-z0-9]+"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].str.lower().str.findall(word_re))
+        ids = np.repeat(df[id_col].to_numpy(np.int64),
+                        toks.str.len().to_numpy(np.int64))
+        flat = pd.Series(np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks])
+            if len(df) else [], dtype=object)
+        # pieces once per DISTINCT word in the batch
+        uniq = pd.Series(flat.unique(), dtype=object)
+        seqs = ("[" + uniq.str.replace("", "][", regex=False)
+                .str.slice(2, -2) + "]")
+        for left, right in pairs:
+            seqs = seqs.str.replace(f"[{left}][{right}]",
+                                    f"[{left}{right}]", regex=False)
+        np_per_word = pd.Series(seqs.str.count(r"\[").to_numpy(np.int64),
+                                index=uniq)
+        g = pd.DataFrame({id_col: ids,
+                          "np": flat.map(np_per_word).to_numpy(np.int64)})
+        out = g.groupby(id_col).agg(n_words=("np", "size"),
+                                    n_pieces=("np", "sum")).reset_index()
+        out["n_words"] = out["n_words"].astype("int64")
+        out["n_pieces"] = out["n_pieces"].astype("int64")
+        return out
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

@@ -1072,3 +1072,26 @@ def test_encode_quads_paths_equivalent(ray_session):
     b = (encode_quads(quads, dict_ds=d, broadcast_max_terms=0)
          .to_pandas().sort_values(key).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_bpe_segment_counts(ray_session):
+    """Piece counts match a per-word canonical BPE application: 'aaaa'
+    with merge (a,a) is 2 pieces, a word repeated in a doc is counted
+    per occurrence, empty-word docs drop."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        bpe_learn, bpe_segment)
+
+    texts = ["aaaa aaaa aa b", "aaaa!", "..."]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    merges = bpe_learn(ds, n_merges=1)
+    assert [tuple(r) for r in merges[["left_sym", "right_sym"]]
+            .itertuples(index=False)] == [("a", "a")]
+    got = (bpe_segment(ds, merges=merges).to_pandas()
+           .set_index("doc_id"))
+    # doc0: aaaa->2 pieces x2, aa->1, b->1 => 4 words, 6 pieces
+    assert tuple(got.loc[0]) == (4, 6)
+    assert tuple(got.loc[1]) == (1, 2)
+    assert 2 not in got.index  # no [a-z0-9] words -> dropped

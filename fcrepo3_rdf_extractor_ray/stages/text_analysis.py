@@ -1414,18 +1414,25 @@ def bpe_learn(docs_ds, n_merges: int = 6, text_col: str = "text",
                 (g["l"] + "\x1f" + g["r"]).tolist(), n_parts)
             return g
 
-        def pair_sum(t: pa.Table) -> pa.Table:
-            g = t.group_by(["part", "l", "r"]).aggregate([("cnt", "sum")])
-            return g.rename_columns(["part", "l", "r", "cnt"])
+        def pair_best(t: pa.Table) -> pa.Table:
+            # per-partition argmax: partitions hold DISJOINT pair sets,
+            # so the global argmax over the ≤ n_parts partition winners
+            # is exact — one row leaves each partition, no global sort
+            g = (t.group_by(["l", "r"]).aggregate([("cnt", "sum")])
+                 .rename_columns(["l", "r", "cnt"]).to_pandas()
+                 .sort_values(["cnt", "l", "r"],
+                              ascending=[False, True, True]))
+            return pa.Table.from_pandas(g.head(1),
+                                        preserve_index=False)
 
-        best = (vocab.map_batches(pair_partials, batch_format="pandas")
-                .groupby("part").map_groups(pair_sum,
-                                            batch_format="pyarrow")
-                .sort(["cnt", "l", "r"], descending=[True, False, False])
-                .limit(1).take(1))
-        if not best:
+        winners = (vocab.map_batches(pair_partials, batch_format="pandas")
+                   .groupby("part").map_groups(pair_best,
+                                               batch_format="pyarrow")
+                   .take_all())
+        if not winners:
             break
-        b = best[0]
+        b = sorted(winners,
+                   key=lambda r: (-r["cnt"], r["l"], r["r"]))[0]
         merges.append((b["l"], b["r"], int(b["cnt"])))
 
     return pd.DataFrame({

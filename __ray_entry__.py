@@ -612,6 +612,19 @@ def _q_web_url_canon(sf_dir: str):
     return canonicalize_urls(ds)
 
 
+def _q_web_sitemap(sf_dir: str):
+    """Sitemap coverage over the messy-url corpus: canonicalize → one
+    host-hash exchange → per-host sitemap render + REAL parse-back +
+    crawl set diff inside the partition. Oracle replays the sitemap
+    template's membership rules (two thirds listed + one un-crawled
+    extra per host)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import sitemap_coverage
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_messy_url_batch,
+                                               batch_format="pyarrow")
+    return sitemap_coverage(ds)
+
+
 def _q_web_robots(sf_dir: str):
     """robots.txt politeness verdict per page over the messy-url
     corpus: canonicalize, then an actor-pool stage renders each host's
@@ -2473,6 +2486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nquads": _q_kg_nquads,
         # round-5 NEW oracle entry (BPE apply / segmentation counts):
         "ta_bpe_segment": _q_ta_bpe_segment,
+        # round-5 NEW oracle entry (sitemap coverage report):
+        "web_sitemap": _q_web_sitemap,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5138,6 +5153,25 @@ r AS (SELECT qid, doc_id, score_micro,
 SELECT qid, rank::BIGINT AS rank, doc_id, score_micro
 FROM r WHERE rank <= 10
 """
+    # sitemap coverage: replay of the per-host sitemap template
+    # (stages/web.py _sitemap_text) over the canonical crawled urls —
+    # two thirds listed ((doc_id // 20) % 3 != 0 -> both, else
+    # crawled_only) plus exactly one un-crawled extra loc per host
+    d["web_sitemap"] = ("WITH c AS (" + d["web_url_canon"] + """),
+b AS (SELECT doc_id, url_canon AS url,
+             'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+             doc_id % 20 AS m
+      FROM c WHERE parse_ok)
+SELECT url, host,
+       CASE WHEN (doc_id // 20) % 3 <> 0 THEN 'both'
+            ELSE 'crawled_only' END AS status
+FROM b
+UNION ALL
+SELECT DISTINCT 'https://ex' || m::VARCHAR || '.org/extra/'
+                || m::VARCHAR AS url,
+                host, 'sitemap_only' AS status
+FROM b
+""")
     # SPARQL-style 2-pattern BGP over the resolved fact stream:
     # DISTINCT self-join on the shared variable b.
     d["kg_bgp"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """

@@ -1159,3 +1159,90 @@ def robots_filter(ds, url_col: str = "url", id_col: str = "doc_id"):
         RobotsStage,
         fn_constructor_kwargs={"url_col": "url_canon", "id_col": id_col},
         batch_format="pyarrow", concurrency=(cmin, cmax))
+
+
+# ---------------------------------------------------------------------------
+# sitemap coverage: render → REAL parse-back → crawl diff, one exchange
+
+def _sitemap_text(host: str, id_url_pairs) -> str:
+    """Deterministic per-host sitemap.xml — the sandbox stand-in for
+    the fetched file (template = the oracle contract, as with
+    `_robots_text`). Lists two thirds of the host's crawled canonical
+    urls (``(doc_id // 20) % 3 != 0``) plus one un-crawled extra url,
+    so all three coverage classes occur."""
+    m = int("".join(ch for ch in host if ch.isdigit()) or 0)
+    locs = [u for d, u in sorted(id_url_pairs)
+            if (d // 20) % 3 != 0]
+    locs.append(f"https://{host}/extra/{m}")
+    # proper XML: escape & (query-param urls) — the parser's
+    # entity-decode path is exercised on every multi-param url
+    body = "\n".join(
+        "  <url>\n    <loc>{}</loc>\n    <lastmod>2026-01-01</lastmod>"
+        "\n  </url>".format(u.replace("&", "&amp;")) for u in locs)
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f"{body}\n</urlset>\n")
+
+
+def parse_sitemap(text: str) -> list[str]:
+    """Extract ``<loc>`` values from a sitemap.xml body (whitespace
+    tolerated inside the element; entity-decoded for the five XML
+    predefineds). The engine only ever sees the rendered text — the
+    template stays on the oracle side."""
+    import re
+
+    out = []
+    for raw in re.findall(r"<loc>\s*([^<]*?)\s*</loc>", text):
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            raw = raw.replace(ent, ch)
+        out.append(raw)
+    return out
+
+
+def sitemap_coverage(ds, url_col: str = "url", id_col: str = "doc_id",
+                     n_parts: int | None = None):
+    """SITEMAP COVERAGE — the crawl-completeness report: per url,
+    whether it appears in the crawl, in the host's sitemap, or both
+    (``status ∈ {both, crawled_only, sitemap_only}``).
+
+    Shape: canonicalize (stateless) → ONE host-hash exchange → per-host
+    render + REAL parse-back + set diff inside the same partition (the
+    sitemap is host-local data, so co-partitioning by host makes the
+    whole comparison exchange-free past the first hop). Returns
+    ``(url, host, status)``."""
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+    from ..functions.hashing import fast_part_hash
+
+    canon = canonicalize_urls(ds, url_col=url_col, id_col=id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(t["parse_ok"])
+        u = t["url_canon"]
+        host = pc.struct_field(
+            pc.extract_regex(u, r"^https?://(?P<h>[^/?#]+)"), "h")
+        return pa.table({
+            id_col: t[id_col],
+            "url": u,
+            "host": host,
+            "part": pa.array(fast_part_hash(host, n_parts)),
+        })
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, g in df.groupby("host"):
+            text = _sitemap_text(host,
+                                 list(zip(g[id_col], g["url"])))
+            locs = set(parse_sitemap(text))
+            crawled = dict(zip(g["url"], g[id_col]))
+            for u in sorted(set(crawled) | locs):
+                status = ("both" if u in crawled and u in locs
+                          else "crawled_only" if u in crawled
+                          else "sitemap_only")
+                rows.append((u, host, status))
+        return pd.DataFrame(rows, columns=["url", "host", "status"])
+
+    return (canon.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(cover, batch_format="pandas"))

@@ -1095,3 +1095,30 @@ def test_bpe_segment_counts(ray_session):
     assert tuple(got.loc[0]) == (4, 6)
     assert tuple(got.loc[1]) == (1, 2)
     assert 2 not in got.index  # no [a-z0-9] words -> dropped
+
+
+def test_sitemap_parse_and_coverage(ray_session):
+    """parse_sitemap entity-decodes locs; sitemap_coverage classifies
+    both/crawled_only/sitemap_only per host, query-param urls round-trip
+    through the XML escaping."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import (parse_sitemap,
+                                                      sitemap_coverage)
+
+    assert parse_sitemap(
+        "<urlset><url><loc>\n  https://h/p?a=1&amp;b=2 \n</loc></url>"
+        "<url><loc>https://h/&lt;x&gt;</loc></url></urlset>"
+    ) == ["https://h/p?a=1&b=2", "https://h/<x>"]
+
+    # doc ids on host ex0.org: 0,20,40,60 -> listed iff (d//20)%3 != 0
+    rows = [{"doc_id": d, "url": f"https://ex0.org/p/{d}?b=2&a=1"}
+            for d in (0, 20, 40, 60)]
+    out = (sitemap_coverage(rd.from_items(rows)).to_pandas()
+           .set_index("url")["status"])
+    assert out["https://ex0.org/p/0?a=1&b=2"] == "crawled_only"  # 0//20=0
+    assert out["https://ex0.org/p/20?a=1&b=2"] == "both"
+    assert out["https://ex0.org/p/40?a=1&b=2"] == "both"
+    assert out["https://ex0.org/p/60?a=1&b=2"] == "crawled_only"  # 3%3=0
+    assert out["https://ex0.org/extra/0"] == "sitemap_only"
+    assert len(out) == 5

@@ -380,6 +380,33 @@ def _q_kg_term_dict(sf_dir: str):
     return term_dictionary(run_kg(sf_dir))
 
 
+def _q_kg_delta(sf_dir: str):
+    """Incremental-KG maintenance: the flagship KG vs a rebuild with a
+    crawl retraction (every doc_id % 7 == 3 page dropped) — each
+    canonical quad classified kept/removed (a multi-source quad
+    survives until its LAST source page goes; `added` is structurally
+    absent under a pure retraction and the oracle proves it). One
+    tag-union exchange on the 6-column quad identity."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (kg_delta,
+                                                        pages_for_sf,
+                                                        run_kg)
+
+    def keep(t):
+        ids = pc.cast(pc.struct_field(
+            pc.extract_regex(t["url"], r"/p/(?P<d>[0-9]+)$"), "d"),
+            __import__("pyarrow").int64()).to_numpy(zero_copy_only=False)
+        return t.filter(__import__("pyarrow").array(ids % 7 != 3))
+
+    a = run_kg(sf_dir)
+    b = run_kg(sf_dir,
+               pages_ds=pages_for_sf(sf_dir).map_batches(
+                   keep, batch_format="pyarrow"))
+    return kg_delta(a, b)
+
+
 def _q_kg_nquads(sf_dir: str):
     """N-Quads ROUND-TRIP: the flagship quads written through the K1
     text sink (sorted ``quads{i}.nq`` shards) and read back via
@@ -2488,6 +2515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bpe_segment": _q_ta_bpe_segment,
         # round-5 NEW oracle entry (sitemap coverage report):
         "web_sitemap": _q_web_sitemap,
+        # round-5 NEW oracle entry (incremental-KG retraction delta):
+        "kg_delta": _q_kg_delta,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -5171,6 +5200,34 @@ SELECT DISTINCT 'https://ex' || m::VARCHAR || '.org/extra/'
                 || m::VARCHAR AS url,
                 host, 'sitemap_only' AS status
 FROM b
+""")
+    # incremental-KG retraction delta: snapshot B = the same replay
+    # with every doc_id % 7 == 3 page dropped (the filter lands in all
+    # 5 union branches); FULL OUTER over the 6-column quad identity.
+    # Under a pure retraction no quad is B-only, so the oracle emits
+    # kept/removed exactly like the engine's side-set classifier.
+    # filter at the u CTE source: malformed pages still emit constant
+    # quads (the P4 containment contract), so a branch-level filter
+    # would miss the 4 unfiltered branches
+    _qb = d["kg_quads_all"].replace(
+        "FROM documents\n)",
+        "FROM documents WHERE doc_id % 7 <> 3\n)", 1)
+    d["kg_delta"] = ("WITH qa AS (" + d["kg_quads_all"] + """),
+qb AS (""" + _qb + """)
+SELECT coalesce(qa.graph, qb.graph) AS graph,
+       coalesce(qa.subj, qb.subj) AS subj,
+       coalesce(qa.pred, qb.pred) AS pred,
+       coalesce(qa.obj, qb.obj) AS obj,
+       coalesce(qa.obj_is_literal, qb.obj_is_literal) AS obj_is_literal,
+       coalesce(qa.obj_datatype, qb.obj_datatype) AS obj_datatype,
+       CASE WHEN qa.subj IS NULL THEN 'added'
+            WHEN qb.subj IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM qa FULL OUTER JOIN qb
+  ON qa.graph = qb.graph AND qa.subj = qb.subj
+ AND qa.pred = qb.pred AND qa.obj = qb.obj
+ AND qa.obj_is_literal = qb.obj_is_literal
+ AND qa.obj_datatype = qb.obj_datatype
 """)
     # SPARQL-style 2-pattern BGP over the resolved fact stream:
     # DISTINCT self-join on the shared variable b.

@@ -1131,3 +1131,53 @@ def encode_quads(quads_ds, dict_ds=None, n_parts: int | None = None,
             for c in ("g_id", "s_id", "p_id", "o_id")})
 
     return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def kg_delta(quads_a, quads_b, n_parts: int | None = None):
+    """Incremental-KG maintenance delta: classify every canonical quad
+    of two KG builds as ``kept`` (in both), ``removed`` (only in A) or
+    ``added`` (only in B). The interesting semantics come free from
+    canonicalization+dedup upstream: a quad asserted by several pages
+    survives a partial crawl retraction — it is ``removed`` only when
+    its LAST source page goes.
+
+    Shape: both quad streams ride ONE exchange hash-partitioned on the
+    full 6-column quad identity (tag union — side bit, no join
+    operator); the per-partition finisher groups by identity and maps
+    the side set to the status. Returns the 6 identity columns +
+    ``status``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+    key = ["graph", "subj", "pred", "obj", "obj_is_literal",
+           "obj_datatype"]
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.select(key)
+            k = t[key[0]]
+            for c in key[1:4]:
+                k = pc.binary_join_element_wise(k, t[c], "\x1f")
+            out = t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+            return out.append_column(
+                "part", pa.array(fast_part_hash(k, n_parts)))
+        return fn
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)["side"].agg(["min", "max"])
+        status = np.where(g["min"] != g["max"], "kept",
+                          np.where(g["min"] == 0, "removed", "added"))
+        out = g.reset_index()[key]
+        out["status"] = status
+        return out
+
+    return (quads_a.map_batches(tag(0), batch_format="pyarrow")
+            .union(quads_b.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("part").map_groups(finish, batch_format="pandas"))

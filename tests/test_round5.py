@@ -1122,3 +1122,25 @@ def test_sitemap_parse_and_coverage(ray_session):
     assert out["https://ex0.org/p/60?a=1&b=2"] == "crawled_only"  # 3%3=0
     assert out["https://ex0.org/extra/0"] == "sitemap_only"
     assert len(out) == 5
+
+
+def test_kg_delta_multi_source_survival(ray_session):
+    """A quad asserted by several pages survives a partial retraction
+    (kept); it is removed only when its last source goes; B-only quads
+    classify as added."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import kg_delta
+
+    def q(s, p, o):
+        return {"graph": "kg:web", "subj": s, "pred": p, "obj": o,
+                "obj_is_literal": False, "obj_datatype": ""}
+
+    a = rd.from_items([q("e1", "p", "x"), q("e1", "p", "x"),  # dup in A
+                       q("e2", "p", "y"), q("e3", "p", "z")])
+    b = rd.from_items([q("e1", "p", "x"),                     # survives
+                       q("e3", "p", "z"), q("e4", "p", "w")])  # new
+    got = (kg_delta(a, b).to_pandas()
+           .set_index("subj")["status"].to_dict())
+    assert got == {"e1": "kept", "e2": "removed", "e3": "kept",
+                   "e4": "added"}

@@ -1144,3 +1144,64 @@ def test_kg_delta_multi_source_survival(ray_session):
            .set_index("subj")["status"].to_dict())
     assert got == {"e1": "kept", "e2": "removed", "e3": "kept",
                    "e4": "added"}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lit = st.text(
+    alphabet=st.one_of(
+        st.characters(blacklist_categories=("Cs",), blacklist_characters="\r"),
+        st.sampled_from('\\"\n[]<>&^ .')),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_lit)
+def test_nquads_literal_escape_roundtrip_property(lex):
+    """PROPERTY: any literal (sans bare carriage returns, which the
+    line-oriented sink does not escape) survives the sink's escape →
+    the reader's single-pass unescape byte-exactly — including
+    adversarial mixes of backslashes, quotes, newlines, angle brackets
+    and fake datatype tails."""
+    import pandas as pd
+
+    esc = (lex.replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n"))
+    line = f'<s> <p> "{esc}" <g> .'
+    out = __import__(
+        "fcrepo3_rdf_extractor_ray.sources.nquads",
+        fromlist=["parse_nquads_lines"]).parse_nquads_lines(
+        pd.Series([line]))
+    assert len(out) == 1
+    assert out["obj"].iloc[0] == lex
+    assert bool(out["obj_is_literal"].iloc[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_robots_parser_total_property(text):
+    """PROPERTY: parse_robots never raises on arbitrary text and always
+    returns well-formed ((kind, nonempty-prefix) rules, int delay)."""
+    from fcrepo3_rdf_extractor_ray.stages.web import parse_robots
+
+    rules, delay = parse_robots(text)
+    assert isinstance(delay, int)
+    for kind, prefix in rules:
+        assert kind in ("allow", "disallow") and prefix
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_nquads_skip_mode_total_property(noise):
+    """PROPERTY: on_error='skip' never raises on arbitrary single-line
+    noise (multi-line text is what read_text would have split)."""
+    import pandas as pd
+
+    from fcrepo3_rdf_extractor_ray.sources.nquads import \
+        parse_nquads_lines
+
+    for line in noise.splitlines() or [noise]:
+        out = parse_nquads_lines(pd.Series([line], dtype=object),
+                                 on_error="skip")
+        assert len(out) <= 1

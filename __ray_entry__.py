@@ -1717,6 +1717,18 @@ def _q_ta_bpe_segment(sf_dir: str):
     return bpe_segment(_docs(sf_dir, ["doc_id", "text"]), n_merges=6)
 
 
+def _q_ta_dsir(sf_dir: str):
+    """DSIR-style importance selection toward the corpus's own 'en'
+    slice: hashed-unigram bucket ratios (integer-exact smoothed-ratio
+    analog of the log-ratio weights), per-doc importance, global
+    top-20% flag via the TeraSort range-partition rank. Driver state is
+    the 64-bucket ratio table + range-bucket prefix sums — O(1) in
+    corpus size."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import dsir_select
+
+    return dsir_select(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_prep_corpus(sf_dir: str):
     """Composite LLM-data prep chain (filter -> dedup -> sample), one
     streaming pipeline, oracle-checked end-to-end."""
@@ -2517,6 +2529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_sitemap": _q_web_sitemap,
         # round-5 NEW oracle entry (incremental-KG retraction delta):
         "kg_delta": _q_kg_delta,
+        # round-5 NEW oracle entry (DSIR importance selection):
+        "ta_dsir": _q_ta_dsir,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -3480,6 +3494,31 @@ v AS (SELECT doc_id,
                          THEN 39 ELSE 0 END)) % 64)::BIGINT AS bucket
       FROM h)
 SELECT doc_id, bucket, count(*)::BIGINT AS n FROM v GROUP BY doc_id, bucket
+""",
+        # DSIR selection: same md5-first-byte bucket family as
+        # ta_feature_hash; smoothed integer ratios, top-20% flag
+        "ta_dsir": """
+WITH t AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+           FROM documents),
+v AS (SELECT doc_id, lang,
+             ((16 * (ascii(substr(hx, 1, 1)) - 48
+                     - CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+                            THEN 39 ELSE 0 END)
+               + (ascii(substr(hx, 2, 1)) - 48
+                  - CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+                         THEN 39 ELSE 0 END)) % 64)::BIGINT AS bucket
+      FROM (SELECT doc_id, lang, md5(tok) AS hx FROM t)),
+g AS (SELECT bucket, count(*)::BIGINT AS s_cnt,
+             count(*) FILTER (WHERE lang = 'en')::BIGINT AS t_cnt
+      FROM v GROUP BY bucket),
+r AS (SELECT bucket, ((t_cnt + 1) * 1000000) // (s_cnt + 1) AS ratio
+      FROM g),
+w AS (SELECT v.doc_id, sum(r.ratio)::BIGINT AS weight
+      FROM v JOIN r USING (bucket) GROUP BY v.doc_id)
+SELECT doc_id, weight,
+       (row_number() OVER (ORDER BY weight DESC, doc_id)
+        <= (SELECT (count(*) * 20) // 100 FROM documents)) AS selected
+FROM w
 """,
         # identical result contract to rel_semi_join — the engine-side
         # bloom-prefilter + co-partitioned verify must not change values

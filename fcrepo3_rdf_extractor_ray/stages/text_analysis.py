@@ -1591,3 +1591,134 @@ def bpe_segment(docs_ds, merges=None, n_merges: int = 6,
         return out
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def dsir_select(docs_ds, n_buckets: int = 64, target_lang: str = "en",
+                scale: int = 1_000_000, top_pct: int = 20,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang", n_range_buckets: int | None = None):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    hashed-n-gram importance toward a target distribution (here: the
+    ``target_lang`` slice of the corpus itself), then keep the global
+    top ``top_pct`` percent.
+
+    Integer-exact analog for oracle parity: DSIR's log-ratio feature
+    weights are replaced by scaled smoothed ratios
+    ``ratio_f = (t_f + 1) * scale // (s_f + 1)`` (t = target bucket
+    count, s = source bucket count) and a document's importance is
+    ``Σ_tokens ratio_{bucket(token)}`` — same ordering intent, fully
+    replayable in int64 SQL. Buckets are the ``feature_hash`` family
+    (first md5 byte mod n_buckets ≤ 256).
+
+    Shape (all vectorized, no per-row Python):
+      1. ONE pass over docs → per-batch dense (s, t) bucket-count
+         partials → an n_buckets-row exchange. Driver state is the
+         2×n_buckets ratio table — O(1) in corpus size, broadcast via
+         ``ray.put``.
+      2. ONE pass over docs → per-doc weight by cumsum-segment sums of
+         the broadcast ratio array (int64 throughout; no float
+         accumulation).
+      3. Global top-k flag via the TeraSort range-partition rank the
+         engine uses for every total order (lm_buckets / NTILE): one
+         min/max pass, value-range bucketing on weight, an
+         n_range_buckets-sized count exchange whose prefix sums are the
+         only other driver state, per-bucket vectorized sort + global
+         rank on (weight DESC, id ASC); ``selected = rank < k`` with
+         ``k = total * top_pct // 100``.
+
+    Returns (doc_id, weight, selected)."""
+    import hashlib
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..runtime import cluster_cpus
+
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    if n_range_buckets is None:
+        n_range_buckets = max(8, 2 * cluster_cpus())
+
+    src = docs_ds.select_columns([id_col, text_col, lang_col])
+
+    def _bucket_tokens(df: pd.DataFrame):
+        """(doc_idx int64[], bucket int64[]) for a batch — md5 runs once
+        per DISTINCT token (np.unique memoization, the feature_hash
+        idiom)."""
+        lens, flat = _split_flat(df[text_col])
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        ub = np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).digest()[0] % n_buckets
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        bpt = ub[inv] if len(flat) else np.array([], np.int64)
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        return doc_idx, bpt, lens
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, bpt, _ = _bucket_tokens(df)
+        is_tgt = (df[lang_col].to_numpy() == target_lang)[doc_idx]
+        s = np.bincount(bpt, minlength=n_buckets).astype(np.int64)
+        t = np.bincount(bpt[is_tgt], minlength=n_buckets).astype(np.int64)
+        return pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64),
+                             "s": s, "t": t})
+
+    stats = (src.map_batches(stats_partial, batch_format="pandas")
+             .groupby("bucket").aggregate(Sum("s"), Sum("t")).take_all())
+    ratio = np.zeros(n_buckets, dtype=np.int64)  # unseen buckets: (0+1)//(0+1)
+    ratio[:] = scale
+    for r in stats:
+        ratio[r["bucket"]] = ((r["sum(t)"] + 1) * scale) // (r["sum(s)"] + 1)
+    ratio_ref = ray.put(ratio)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        rt = ray.get(ratio_ref)
+        doc_idx, bpt, lens = _bucket_tokens(df)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(rt[bpt])])
+        ends = np.cumsum(lens)
+        w = cs[ends] - cs[ends - lens]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "weight": w.astype(np.int64)})
+
+    weights = src.map_batches(weigh, batch_format="pandas").materialize()
+
+    mm = weights.aggregate(Min("weight"), Max("weight"))
+    if not mm or mm.get("min(weight)") is None:  # empty corpus
+        return weights.map_batches(
+            lambda t: t.append_column("selected", pa.array([], pa.bool_())),
+            batch_format="pyarrow")
+    lo, hi = int(mm["min(weight)"]), int(mm["max(weight)"])
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # DESC order: high weights land in LOW range-buckets
+        b = ((np.int64(hi) - t["weight"].to_numpy()) * n_range_buckets
+             ) // span
+        return t.append_column("rb", pa.array(b.astype(np.int64)))
+
+    bucketed = weights.map_batches(bucketize, batch_format="pyarrow")
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"rb": t["rb"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (g.group_by("rb").aggregate([("n", "sum")])
+                .rename_columns(["rb", "n"]))
+
+    counts = (bucketed.map_batches(count_part, batch_format="pyarrow")
+              .groupby("rb").aggregate(Sum("n")).take_all())
+    counts.sort(key=lambda r: r["rb"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["rb"]] = acc
+        acc += r["sum(n)"]
+    k = (acc * top_pct) // 100
+    off_ref = ray.put(offsets)
+
+    def rank_sel(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["rb"].iloc[0])]
+        g = g.sort_values(["weight", id_col], ascending=[False, True])
+        r = off + np.arange(len(g), dtype=np.int64)  # 0-based global rank
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "weight": g["weight"].to_numpy(),
+                             "selected": r < k})
+
+    return bucketed.groupby("rb").map_groups(rank_sel, batch_format="pandas")

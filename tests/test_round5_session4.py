@@ -1,0 +1,74 @@
+"""Round-5 session-4 operator tests: DSIR importance selection and the
+later batches added this session."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _dsir_corpus():
+    """60 docs: 20 'en' docs over an en-distinctive vocabulary, 40 'de'
+    docs over a disjoint one, plus 4 mixed docs that borrow en tokens.
+    Importance must rank en-vocab docs above de-vocab docs."""
+    rows = []
+    for i in range(20):
+        rows.append((i, f"alpha beta gamma tok{i % 3}", "en"))
+    for i in range(20, 60):
+        rows.append((i, f"zulu yankee xray tok{i % 3} extra", "de"))
+    for i in range(60, 64):
+        rows.append((i, "alpha beta gamma", "de"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+def test_dsir_selects_target_like_docs(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import dsir_select
+
+    df = _dsir_corpus()
+    out = (dsir_select(rd.from_pandas(df).repartition(4), top_pct=25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 64
+    k = 64 * 25 // 100
+    assert int(out["selected"].sum()) == k
+    # en-vocab docs (incl. the de-labelled borrowers) outweigh de-vocab
+    en_like = out[out["doc_id"].isin(list(range(20)) + [60, 61, 62, 63])]
+    de_only = out[~out["doc_id"].isin(en_like["doc_id"])]
+    assert en_like["weight"].min() > de_only["weight"].max()
+    # selection = exact top-k by (weight DESC, doc_id ASC)
+    ordered = out.sort_values(["weight", "doc_id"],
+                              ascending=[False, True])
+    assert set(ordered.head(k)["doc_id"]) == set(
+        out[out["selected"]]["doc_id"])
+
+
+def test_dsir_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import dsir_select
+
+    df = _dsir_corpus()
+    a = (dsir_select(rd.from_pandas(df).repartition(1))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dsir_select(rd.from_pandas(df).repartition(7))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["weight"].to_numpy() == b["weight"].to_numpy()).all()
+    assert (a["selected"].to_numpy() == b["selected"].to_numpy()).all()
+
+
+def test_dsir_tie_break_and_bounds(ray_session):
+    """Identical docs tie on weight: selection must break by doc_id
+    ascending, and n_buckets outside [1,256] must raise."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import dsir_select
+
+    df = pd.DataFrame({"doc_id": range(10),
+                       "text": ["same text here"] * 10,
+                       "lang": ["en"] * 10})
+    out = (dsir_select(rd.from_pandas(df).repartition(3), top_pct=30)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["weight"].nunique() == 1
+    assert out[out["selected"]]["doc_id"].tolist() == [0, 1, 2]
+    with pytest.raises(ValueError):
+        dsir_select(rd.from_pandas(df), n_buckets=0)

@@ -1729,6 +1729,17 @@ def _q_ta_dsir(sf_dir: str):
     return dsir_select(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_kg_neg_samples(sf_dir: str):
+    """Filtered negative sampling over the resolved fact stream (the
+    KG-embedding training-prep step): 4 deterministic md5-indexed
+    corruptions per distinct true triple, candidates that are true
+    triples dropped by a co-partitioned anti-join on (subj, pred).
+    Entity ids come from the TeraSort-rank term dictionary."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import negative_samples
+
+    return negative_samples(_q_kg_fact_quads(sf_dir), k=4)
+
+
 def _q_prep_corpus(sf_dir: str):
     """Composite LLM-data prep chain (filter -> dedup -> sample), one
     streaming pipeline, oracle-checked end-to-end."""
@@ -2531,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _q_kg_delta,
         # round-5 NEW oracle entry (DSIR importance selection):
         "ta_dsir": _q_ta_dsir,
+        # round-5 NEW oracle entry (filtered KG negative sampling):
+        "kg_neg_samples": _q_kg_neg_samples,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -2692,6 +2705,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_page_quads": _U_CTE + _PAGE_QUADS_SQL,
         "kg_meta_quads": _U_CTE + _META_QUADS_SQL,
         "kg_fact_quads": _U_CTE + _FACT_QUADS_SQL,
+        # filtered negative sampling: md5-60 candidate index into the
+        # lexicographic entity dictionary; true triples anti-joined out
+        "kg_neg_samples": _U_CTE + f"""
+, f0 AS ({_FACT_QUADS_SQL}),
+tr AS (SELECT DISTINCT subj, pred, obj FROM f0),
+ent AS (SELECT DISTINCT e
+        FROM (SELECT subj AS e FROM tr UNION ALL SELECT obj FROM tr)),
+dict AS (SELECT e, row_number() OVER (ORDER BY e) AS tid FROM ent),
+cand AS (SELECT t.subj, t.pred, t.obj, g.j AS slot,
+                1 + CAST('0x' || substring(
+                        md5('neg:' || t.subj || '|' || t.pred || '|'
+                            || t.obj || '|' || g.j::VARCHAR),
+                        1, 15) AS BIGINT)
+                    % (SELECT count(*) FROM ent) AS tid
+         FROM tr t
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g),
+neg AS (SELECT c.subj, c.pred, c.obj, c.slot, d.e AS neg_obj
+        FROM cand c JOIN dict d USING (tid))
+SELECT n.subj, n.pred, n.obj, n.slot, n.neg_obj
+FROM neg n
+ANTI JOIN tr t
+  ON t.subj = n.subj AND t.pred = n.pred AND t.obj = n.neg_obj
+""",
         "kg_quads_all": (
             _U_CTE
             + "SELECT graph, subj, pred, obj, obj_is_literal, obj_datatype,\n"

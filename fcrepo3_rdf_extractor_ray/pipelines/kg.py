@@ -1181,3 +1181,130 @@ def kg_delta(quads_a, quads_b, n_parts: int | None = None):
     return (quads_a.map_batches(tag(0), batch_format="pyarrow")
             .union(quads_b.map_batches(tag(1), batch_format="pyarrow"))
             .groupby("part").map_groups(finish, batch_format="pandas"))
+
+
+def negative_samples(facts_ds, k: int = 4, n_parts: int | None = None,
+                     broadcast_max_terms: int = 5_000_000):
+    """FILTERED NEGATIVE SAMPLING — the KG-embedding training-prep step
+    (TransE-family corruption, Bordes et al. 2013): for every distinct
+    true triple and slot j < k, corrupt the object to a deterministic
+    pseudo-random entity and keep only corruptions that are NOT true
+    triples (the standard "filtered setting").
+
+    Deterministic and SQL-replayable: the candidate is the entity whose
+    dense lexicographic id (``term_dictionary`` over the fact stream's
+    subject∪object set) equals ``md5_60("neg:<s>|<p>|<o>|<j>") mod
+    n_entities``. Shape:
+      1. distinct triples (one combiner exchange, reused for the
+         filter side),
+      2. entity dictionary via the TeraSort-rank ``term_dictionary``
+         (bounded driver state),
+      3. candidate generation: stateless map, k rows per triple,
+      4. id→entity resolution auto-routed like ``encode_quads``
+         (object-store broadcast + ``pc.take`` under
+         ``broadcast_max_terms``, co-partitioned ``_attach_val`` merge
+         above it),
+      5. the filter: ONE tag-union exchange hash-partitioned on
+         (subj, pred) — every true (s,p,o) co-locates with every
+         candidate (s,p,neg), so the anti-join is a per-partition
+         vectorized merge, no all-pairs stage.
+
+    Returns (subj, pred, obj, slot, neg_obj)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    from ..stages.graph import _attach_val, _collect_table, _distinct
+
+    n_parts = n_parts or default_parts(1.0)
+    tr = _distinct(facts_ds, ["subj", "pred", "obj"]).materialize()
+    ents = term_dictionary(
+        tr.map_batches(lambda t: t.select(["subj", "obj"]),
+                       batch_format="pyarrow")).materialize()
+    n_ents = ents.count()
+    if n_ents == 0:
+        return tr.map_batches(
+            lambda t: pa.table({"subj": pa.array([], pa.string()),
+                                "pred": pa.array([], pa.string()),
+                                "obj": pa.array([], pa.string()),
+                                "slot": pa.array([], pa.int64()),
+                                "neg_obj": pa.array([], pa.string())}),
+            batch_format="pyarrow")
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.repeat(df["subj"].to_numpy(object), k)
+        p = np.repeat(df["pred"].to_numpy(object), k)
+        o = np.repeat(df["obj"].to_numpy(object), k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(df))
+        cidx = np.fromiter(
+            (int(hashlib.md5(f"neg:{s_}|{p_}|{o_}|{j_}".encode())
+                 .hexdigest()[:15], 16) % n_ents
+             for s_, p_, o_, j_ in zip(s, p, o, j)),
+            dtype=np.int64, count=len(s))
+        return pd.DataFrame({"subj": s, "pred": p, "obj": o, "slot": j,
+                             "tid": cidx + 1})  # dict ids are 1-based
+
+    cands = tr.map_batches(gen, batch_format="pandas")
+
+    if n_ents <= broadcast_max_terms:
+        vocab = _collect_table(ents, pa.schema([
+            ("tid", pa.int64()), ("term", pa.string())]))
+        vocab = vocab.sort_by("tid")
+        terms_ref = ray.put(vocab["term"].combine_chunks())
+
+        def lookup(t: pa.Table) -> pa.Table:
+            terms = ray.get(terms_ref)
+            neg = pc.take(terms, pc.subtract(t["tid"],
+                                             pa.scalar(1, pa.int64())))
+            return pa.table({"subj": t["subj"], "pred": t["pred"],
+                             "obj": t["obj"], "slot": t["slot"],
+                             "neg_obj": neg})
+
+        resolved = cands.map_batches(lookup, batch_format="pyarrow")
+    else:
+        vals = ents.map_batches(
+            lambda t: pa.table({"node": t["tid"].cast(pa.string()),
+                                "val": t["term"]}),
+            batch_format="pyarrow")
+        keyed = cands.map_batches(
+            lambda t: t.append_column("tid_s", t["tid"].cast(pa.string())),
+            batch_format="pyarrow")
+        resolved = _attach_val(keyed, vals, key_col="tid_s",
+                               out_col="neg_obj", n_parts=n_parts)
+        resolved = resolved.map_batches(
+            lambda t: t.select(["subj", "pred", "obj", "slot", "neg_obj"]),
+            batch_format="pyarrow")
+
+    def tag(is_true: int):
+        def fn(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(t["subj"], t["pred"], "\x1f")
+            out = pa.table({
+                "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+                "slot": (t["slot"] if "slot" in t.column_names
+                         else pa.array(np.full(t.num_rows, -1, np.int64))),
+                "neg_obj": (t["neg_obj"] if "neg_obj" in t.column_names
+                            else t["obj"]),
+                "is_true": pa.array(
+                    np.full(t.num_rows, is_true, np.int8)),
+            })
+            return out.append_column(
+                "part", pa.array(fast_part_hash(key, n_parts)))
+        return fn
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        truth = df[df["is_true"] == 1]
+        cand = df[df["is_true"] == 0]
+        m = cand.merge(
+            truth[["subj", "pred", "neg_obj"]].drop_duplicates(),
+            on=["subj", "pred", "neg_obj"], how="left", indicator=True)
+        out = m[m["_merge"] == "left_only"]
+        return out[["subj", "pred", "obj", "slot", "neg_obj"]]
+
+    return (resolved.map_batches(tag(0), batch_format="pyarrow")
+            .union(tr.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("part").map_groups(anti, batch_format="pandas"))

@@ -72,3 +72,54 @@ def test_dsir_tie_break_and_bounds(ray_session):
     assert out[out["selected"]]["doc_id"].tolist() == [0, 1, 2]
     with pytest.raises(ValueError):
         dsir_select(rd.from_pandas(df), n_buckets=0)
+
+
+def _toy_facts():
+    import pyarrow as pa
+
+    return pa.table({
+        "subj": ["a", "a", "b", "c", "c", "a"],
+        "pred": ["p", "p", "p", "q", "q", "p"],
+        "obj":  ["b", "c", "c", "a", "b", "b"],  # (a,p,b) duplicated
+    })
+
+
+def test_neg_samples_filtered_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import negative_samples
+
+    facts = rd.from_arrow(_toy_facts()).repartition(3)
+    out = negative_samples(facts, k=4).to_pandas()
+    # k * distinct-triples upper bound (5 distinct true triples)
+    assert 0 < len(out) <= 4 * 5
+    truth = {("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+             ("c", "q", "a"), ("c", "q", "b")}
+    for r in out.itertuples():
+        assert (r.subj, r.pred, r.neg_obj) not in truth
+        assert (r.subj, r.pred, r.obj) in truth
+        assert r.neg_obj in {"a", "b", "c"}
+    # deterministic across partitionings
+    out2 = negative_samples(rd.from_arrow(_toy_facts()).repartition(1),
+                            k=4).to_pandas()
+    key = ["subj", "pred", "obj", "slot"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert (a[key + ["neg_obj"]].values == b[key + ["neg_obj"]].values).all()
+
+
+def test_neg_samples_paths_equivalent(ray_session):
+    """Broadcast id→entity resolution vs the co-partitioned attach path
+    (forced via broadcast_max_terms=0) must emit identical samples."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import negative_samples
+
+    facts = rd.from_arrow(_toy_facts()).repartition(2)
+    key = ["subj", "pred", "obj", "slot"]
+    a = (negative_samples(facts, k=3).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (negative_samples(facts, k=3, broadcast_max_terms=0).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) == len(b)
+    assert (a[key + ["neg_obj"]].values == b[key + ["neg_obj"]].values).all()

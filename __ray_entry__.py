@@ -1729,6 +1729,21 @@ def _q_ta_dsir(sf_dir: str):
     return dsir_select(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_kg_harmonic(sf_dir: str):
+    """Bounded-radius harmonic centrality (×2-scaled integer) at ≤2
+    hops over the resolved entity graph — distance-2 candidates via
+    mid-node co-partitioned cross merge, direct edges removed by a
+    pair-hash anti tag-union, zero-filled node sum."""
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import harmonic_2hop
+
+    facts = _q_kg_fact_quads(sf_dir).map_batches(
+        lambda t: t.filter(pc.invert(t["obj_is_literal"])),
+        batch_format="pyarrow")
+    return harmonic_2hop(facts)
+
+
 def _q_kg_neg_samples(sf_dir: str):
     """Filtered negative sampling over the resolved fact stream (the
     KG-embedding training-prep step): 4 deterministic md5-indexed
@@ -2544,6 +2559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_dsir": _q_ta_dsir,
         # round-5 NEW oracle entry (filtered KG negative sampling):
         "kg_neg_samples": _q_kg_neg_samples,
+        # round-5 NEW oracle entry (2-hop harmonic centrality):
+        "kg_harmonic": _q_kg_harmonic,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -2705,6 +2722,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_page_quads": _U_CTE + _PAGE_QUADS_SQL,
         "kg_meta_quads": _U_CTE + _META_QUADS_SQL,
         "kg_fact_quads": _U_CTE + _FACT_QUADS_SQL,
+        # 2-hop harmonic centrality: 2·|d1 in-ring| + |d2 in-ring|,
+        # zero-filled over the node set
+        "kg_harmonic": _U_CTE + f"""
+, f0 AS ({_FACT_QUADS_SQL}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM f0
+      WHERE NOT obj_is_literal),
+nodes AS (SELECT DISTINCT n
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+d1 AS (SELECT DISTINCT u, v FROM e WHERE u <> v),
+d2 AS (SELECT DISTINCT e1.u AS u, e2.v AS v
+       FROM e e1 JOIN e e2 ON e1.v = e2.u
+       WHERE e1.u <> e2.v
+         AND NOT EXISTS (SELECT 1 FROM d1
+                         WHERE d1.u = e1.u AND d1.v = e2.v)),
+c1 AS (SELECT v, count(*)::BIGINT AS n1 FROM d1 GROUP BY v),
+c2 AS (SELECT v, count(*)::BIGINT AS n2 FROM d2 GROUP BY v)
+SELECT n.n AS node,
+       (2 * coalesce(c1.n1, 0) + coalesce(c2.n2, 0))::BIGINT
+           AS harmonic_x2
+FROM nodes n
+LEFT JOIN c1 ON c1.v = n.n
+LEFT JOIN c2 ON c2.v = n.n
+""",
         # filtered negative sampling: md5-60 candidate index into the
         # lexicographic entity dictionary; true triples anti-joined out
         "kg_neg_samples": _U_CTE + f"""

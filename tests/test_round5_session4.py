@@ -123,3 +123,43 @@ def test_neg_samples_paths_equivalent(ray_session):
          .sort_values(key).reset_index(drop=True))
     assert len(a) == len(b)
     assert (a[key + ["neg_obj"]].values == b[key + ["neg_obj"]].values).all()
+
+
+def test_harmonic_2hop_planted(ray_session):
+    """Chain a->b->c->d plus direct a->c: c's in-rings are {b}=d1 and
+    {a}=d1 (direct edge wins over the 2-hop path), d's are {c}=d1,
+    {b}=d2. Self loop x->x contributes nothing."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import harmonic_2hop
+
+    edges = pa.table({
+        "subj": ["a", "b", "c", "a", "x"],
+        "obj":  ["b", "c", "d", "c", "x"]})
+    out = (harmonic_2hop(rd.from_arrow(edges).repartition(3))
+           .to_pandas().set_index("node")["harmonic_x2"].to_dict())
+    assert out == {
+        "a": 0,
+        "b": 2,          # d1={a}
+        "c": 2 + 2,      # d1={b,a} (a is d1 via the direct edge), d2={}
+        "d": 2 + 1 + 1,  # d1={c}, d2={b,a}
+        "x": 0,          # self loop ignored
+    }
+
+
+def test_harmonic_2hop_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import harmonic_2hop
+
+    rng = np.random.default_rng(11)
+    n = 400
+    edges = pa.table({
+        "subj": [f"n{int(i)}" for i in rng.integers(0, 60, n)],
+        "obj": [f"n{int(i)}" for i in rng.integers(0, 60, n)]})
+    a = (harmonic_2hop(rd.from_arrow(edges).repartition(1))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (harmonic_2hop(rd.from_arrow(edges).repartition(8))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert (a["node"] == b["node"]).all()
+    assert (a["harmonic_x2"].to_numpy() == b["harmonic_x2"].to_numpy()).all()

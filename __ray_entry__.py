@@ -1729,6 +1729,16 @@ def _q_ta_dsir(sf_dir: str):
     return dsir_select(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_prep_neardup_best(sf_dir: str):
+    """Near-dup dedup keeping the BEST cluster member (n_chars DESC,
+    doc_id ASC) instead of the minimum id — the quality-aware
+    representative-selection policy. Driver state bounded by dup
+    volume, stream filtered via one broadcast."""
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import neardup_best_corpus
+
+    return neardup_best_corpus(sf_dir)
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Bounded-radius harmonic centrality (×2-scaled integer) at ≤2
     hops over the resolved entity graph — distance-2 candidates via
@@ -2561,6 +2571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neg_samples": _q_kg_neg_samples,
         # round-5 NEW oracle entry (2-hop harmonic centrality):
         "kg_harmonic": _q_kg_harmonic,
+        # round-5 NEW oracle entry (quality-aware near-dup selection):
+        "prep_neardup_best": _q_prep_neardup_best,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
@@ -4124,6 +4136,43 @@ r(v, m2) AS (
 ),
 dropped AS (SELECT v FROM r GROUP BY v HAVING min(m2) <> v)
 SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT v FROM dropped)
+""",
+        # same pair->CC replay; winner = (n_chars DESC, doc_id ASC)
+        "prep_neardup_best": """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(greatest(len(ts) - 2, 0)),
+                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS ng
+  FROM t WHERE len(ts) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE 1000000.0 * i.c / (sa.n + sb.n - i.c) >= 500000.0),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+vs AS (SELECT DISTINCT src AS v FROM und),
+r(v, m2) AS (
+    SELECT v, v FROM vs
+  UNION
+    SELECT r.v, u.dst FROM r JOIN und u ON u.src = r.m2
+),
+comp AS (SELECT v, min(m2) AS comp FROM r GROUP BY v),
+wr AS (SELECT c.v,
+              row_number() OVER (PARTITION BY c.comp
+                                 ORDER BY d.n_chars DESC, c.v ASC) AS rn
+       FROM comp c JOIN documents d ON d.doc_id = c.v),
+dropped AS (SELECT v FROM wr WHERE rn > 1)
+SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT v FROM dropped)
 """,
         "rel_first_order": """

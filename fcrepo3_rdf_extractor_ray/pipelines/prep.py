@@ -424,3 +424,76 @@ def dataset_card(docs_ds, url_ds=None, n_parts: int | None = None):
         "n_hosts": pd.array([n_hosts], dtype="int64"),
         "top_lang": [top_lang],
         "top_lang_n": pd.array([top_lang_n], dtype="int64")})
+
+
+def neardup_best_corpus(sf_dir: str, threshold: float = 0.5):
+    """Near-dup dedup with QUALITY-AWARE representative selection: the
+    survivor of each near-dup cluster is the HIGHEST-QUALITY member
+    (longest document — ``n_chars`` DESC, doc_id ASC tiebreak), not the
+    minimum id. The "keep best, not first" policy of production
+    training-data pipelines (near-dup variants often differ by
+    truncation, and the longest variant is the one worth keeping).
+
+    Same shape and driver bound as ``neardup_filter_corpus``: the only
+    driver-resident state is the clustered-doc table — a few percent of
+    any real corpus — against which the full document stream is
+    filtered via one object-store broadcast. Returns surviving
+    (doc_id, n_chars)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import connected_components
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=threshold)
+
+    def pad(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "norm_a": pa.array([f"{x:012d}" for x in a], pa.string()),
+            "norm_b": pa.array([f"{x:012d}" for x in b], pa.string())})
+
+    comp = connected_components(pairs.map_batches(pad,
+                                                  batch_format="pyarrow"))
+    comp_df = comp.to_pandas()  # bounded by dup volume (see docstring)
+
+    if len(comp_df):
+        comp_df["doc_id"] = comp_df["node"].astype("int64")
+        member_set = pa.array(sorted(comp_df["doc_id"].tolist()),
+                              pa.int64())
+        member_ref = ray.put(member_set)
+
+        def member_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["doc_id"],
+                                  value_set=ray.get(member_ref)))
+            return t.select(["doc_id", "n_chars"])
+
+        members = (docs.map_batches(member_rows, batch_format="pyarrow")
+                   .to_pandas())  # same dup-volume bound
+        m = comp_df.merge(members, on="doc_id")
+        m = m.sort_values(["component", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        winners = m.groupby("component", sort=False).head(1)["doc_id"]
+        dropped = m[~m["doc_id"].isin(set(winners))]["doc_id"]
+        drop_set = pa.array(sorted(int(x) for x in dropped), pa.int64())
+    else:
+        drop_set = pa.array([], pa.int64())
+    drop_ref = ray.put(drop_set)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        if len(ds_):
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=ds_)))
+        return t.select(["doc_id", "n_chars"])
+
+    return docs.map_batches(survivors, batch_format="pyarrow")

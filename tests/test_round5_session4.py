@@ -163,3 +163,22 @@ def test_harmonic_2hop_partition_invariance(ray_session):
          .to_pandas().sort_values("node").reset_index(drop=True))
     assert (a["node"] == b["node"]).all()
     assert (a["harmonic_x2"].to_numpy() == b["harmonic_x2"].to_numpy()).all()
+
+
+def test_neardup_best_keeps_longest_not_min_id(ray_session, tmp_path):
+    """Planted cluster where the LONGEST member has the larger id: the
+    best-policy survivor differs from the min-id policy's."""
+    import pyarrow.parquet as pq
+
+    from fcrepo3_rdf_extractor_ray.pipelines.prep import neardup_best_corpus
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 7], pa.int64()),
+        "text": [dup, dup, "totally different words entirely here now"],
+        "n_chars": pa.array([10, 99, 40], pa.int64())})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (neardup_best_corpus(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [2, 7]  # 1 dropped, longest kept
+    assert out["n_chars"].tolist() == [99, 40]

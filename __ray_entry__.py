@@ -466,6 +466,29 @@ def _q_kg_bgp(sf_dir: str):
     return bgp_join(_q_kg_fact_quads(sf_dir))
 
 
+def _q_kg_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the resolved fact stream: ``?a kg:acquired
+    ?b . OPTIONAL { ?b kg:basedIn ?c }`` — every acquisition binding
+    survives, its target's base extends it where known ('' where not).
+    Same one-exchange tag-union shape as kg_bgp with a left merge;
+    oracle is the DISTINCT LEFT JOIN with coalesce('')."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import bgp_optional
+
+    return bgp_optional(_q_kg_fact_quads(sf_dir))
+
+
+def _q_kg_fact_intervals(sf_dir: str):
+    """Temporal validity episodes per (subj, pred) slot: maximal runs
+    of consecutive equal objects in fetch-time order with their
+    [from_ts, to_ts] spans — the full history kg_fact_current truncates
+    to its last row. Oracle replays the run-collapse with lag() +
+    running sum window functions."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (fact_intervals,
+                                                        pages_for_sf)
+
+    return fact_intervals(_q_kg_fact_quads(sf_dir), pages_for_sf(sf_dir))
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -813,6 +836,28 @@ def _q_ta_lm_score(sf_dir: str):
         unigram_lm_scores)
 
     return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_lm_bigram(sf_dir: str):
+    """Bigram-LM commonness score per document: floor-mean over token
+    transitions of the add-one-smoothed integer conditional
+    ``1e6·(c12+1)//(c1+V)`` — the KenLM-filter analog one order above
+    ta_lm_score. Oracle replays the corpus tables and the integer
+    division exactly."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        bigram_lm_scores)
+
+    return bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ta_readability(sf_dir: str):
+    """Integer Flesch-analog readability profile (×1000 rates; vowel
+    groups as the syllable proxy, every word ≥1). One stateless Arrow
+    map; oracle counts the same RE2 patterns."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        readability_scores)
+
+    return readability_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_ta_segment_dedup(sf_dir: str):
@@ -2551,6 +2596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_search": _q_ta_search,
         # round-5 NEW oracle entry (SPARQL-style 2-pattern BGP join):
         "kg_bgp": _q_kg_bgp,
+        "kg_optional": _q_kg_optional,
+        "kg_fact_intervals": _q_kg_fact_intervals,
         # round-5 NEW oracle entry (RDFS subclass-closure typing):
         "kg_rdfs_types": _q_kg_rdfs_types,
         # round-5 NEW oracle entry (term-dictionary encoding):
@@ -2618,6 +2665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_outlink_stats": _q_web_outlink_stats,
         "kg_hits": _q_kg_hits,
         "ta_lm_score": _q_ta_lm_score,
+        "ta_lm_bigram": _q_ta_lm_bigram,
+        "ta_readability": _q_ta_readability,
         "ta_segment_dedup": _q_ta_segment_dedup,
         "kg_trustrank": _q_kg_trustrank,
         "web_anchor_texts": _q_web_anchor_texts,
@@ -3288,6 +3337,56 @@ v AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok)
 SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(v.n)::BIGINT AS sum_freq,
        (sum(v.n)::BIGINT // count(*)::BIGINT) AS avg_freq
 FROM tok t JOIN v USING (tok) GROUP BY t.doc_id
+""",
+        # ta_lm_bigram: corpus unigram+bigram tables; per-transition
+        # add-one integer conditional 1e6*(c12+1)//(c1+V); floor-mean
+        "ta_lm_bigram": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+w AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1))
+                        AS i) g
+      WHERE len(ts) >= 2),
+uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM (
+          SELECT unnest(ts) AS tok FROM tk) GROUP BY tok),
+v AS (SELECT count(*)::BIGINT AS v FROM uni),
+bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM w GROUP BY w1, w2),
+sc AS (SELECT w.doc_id,
+              (1000000 * (bi.c12 + 1)) // (uni.c1 + v.v) AS s
+       FROM w JOIN bi USING (w1, w2)
+       JOIN uni ON uni.tok = w.w1 CROSS JOIN v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(s)::BIGINT AS sum_score,
+       (sum(s)::BIGINT // count(*)::BIGINT) AS avg_score
+FROM sc GROUP BY doc_id
+""",
+        # ta_readability: integer Flesch analog; RE2 counts on both
+        # sides (words, [.!?]+ sentence runs, vowel groups, vowel-less
+        # words get one syllable)
+        "ta_readability": r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+             AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT
+             AS vgroups,
+         len(regexp_extract_all(lower(text),
+                                '[^\s]*[aeiou][^\s]*'))::BIGINT
+             AS w_vowel
+  FROM documents),
+s AS (SELECT doc_id, n_words, n_sentences,
+             (vgroups + n_words - w_vowel) AS n_syllables
+      FROM c WHERE n_words > 0),
+r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+             (1000 * n_words // n_sentences) AS wps_milli,
+             (1000 * n_syllables // n_words) AS spw_milli
+      FROM s)
+SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
+       (206835 - (1015 * wps_milli) // 1000
+               - (84600 * spw_milli) // 1000) AS flesch_milli
+FROM r
 """,
         # ta_segment_dedup: non-overlapping 10-token segments (tail
         # keeps its partial segment), corpus-wide identical-segment
@@ -5399,6 +5498,39 @@ FROM qa FULL OUTER JOIN qb
 SELECT DISTINCT f1.subj AS a, f1.obj AS b, f2.obj AS c
 FROM f f1 JOIN f f2 ON f1.obj = f2.subj
 WHERE f1.pred = 'kg:acquired' AND f2.pred = 'kg:basedIn'
+""")
+    # SPARQL OPTIONAL: left-join BGP; unmatched optional -> '' (the
+    # engine's no-binding marker; '' is never a term)
+    d["kg_optional"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """
+SELECT DISTINCT f1.subj AS a, f1.obj AS b, coalesce(f2.obj, '') AS c
+FROM f f1 LEFT JOIN f f2
+  ON f1.obj = f2.subj AND f2.pred = 'kg:basedIn'
+WHERE f1.pred = 'kg:acquired'
+""")
+    # temporal validity episodes: run-collapse of equal objects per
+    # (subj, pred) slot in (ts, src_url, obj) order — lag() marks run
+    # starts, the running sum numbers episodes per slot
+    d["kg_fact_intervals"] = (
+        _U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+uts AS (SELECT url, make_timestamp(1700000000000000
+                                   + doc_id * 86400000000) AS wts
+        FROM u),
+a AS (SELECT f.subj, f.pred, f.obj, uts.wts AS ts, f.src_url
+      FROM f JOIN uts ON uts.url = f.src_url),
+o AS (SELECT subj, pred, obj, ts, src_url,
+             CASE WHEN lag(obj) OVER (PARTITION BY subj, pred
+                                      ORDER BY ts, src_url, obj)
+                  IS DISTINCT FROM obj THEN 1 ELSE 0 END AS chg
+      FROM a),
+e AS (SELECT subj, pred, obj, ts,
+             sum(chg) OVER (PARTITION BY subj, pred
+                            ORDER BY ts, src_url, obj
+                            ROWS UNBOUNDED PRECEDING) AS ep
+      FROM o)
+SELECT subj, pred, min(obj) AS obj, min(ts) AS from_ts,
+       max(ts) AS to_ts, count(*)::BIGINT AS n_assertions,
+       ep::BIGINT AS episode_no
+FROM e GROUP BY subj, pred, ep
 """)
     # RDFS rdfs9 closure: entity ent:e{n} is asserted cls:c{n % 7};
     # class tree = binary heap parent(c_k) = c_{(k-1)//2}; the

@@ -599,6 +599,97 @@ def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
     return g.map_batches(to_out, batch_format="pyarrow")
 
 
+def fact_intervals(facts_ds, pages_ds, n_parts: int | None = None):
+    """TEMPORAL VALIDITY EPISODES: for every (subject, predicate) slot,
+    the maximal runs of consecutive equal object values in fetch-time
+    order — the history `current_facts` truncates to its last row. A
+    slot asserted ``basedIn X`` by the 2023 crawls and ``basedIn Y``
+    by the 2025 recrawls yields two episodes with their [from, to]
+    fetch-time spans; a value that flips back opens a NEW episode
+    (validity is temporal, not set-semantic). This is the
+    SCD-2-dimension analog over extracted facts (the reference has no
+    temporal axis at all — every assertion is eternal,
+    ObjectProcessor.java:235-246).
+
+    Shape: ONE url-hash co-partition exchange attaches each page's
+    ``warc_ts`` to its assertions (the `current_facts` tag union —
+    pages stream, never broadcast), then ONE (subj, pred)-hash
+    exchange where the run-collapse is pure vectorized pandas
+    (sort → shift → cumsum → groupby). Total order inside a slot is
+    (ts, src_url, obj), the same deterministic tiebreak
+    `current_facts` uses. Pageless facts are dropped (same contract).
+    Returns (subj, pred, obj, from_ts, to_ts, n_assertions,
+    episode_no) with episode_no 1-based per slot in time order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def tag_f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["src_url"], "subj": t["subj"], "pred": t["pred"],
+            "obj": t["obj"], "ts_us": pa.nulls(t.num_rows, pa.int64()),
+            "part": pa.array(fast_part_hash(t["src_url"], n_parts))})
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "url": t["url"], "subj": pa.nulls(t.num_rows, pa.string()),
+            "pred": pa.nulls(t.num_rows, pa.string()),
+            "obj": pa.nulls(t.num_rows, pa.string()),
+            "ts_us": ts,
+            "part": pa.array(fast_part_hash(t["url"], n_parts))})
+
+    tagged = (facts_ds.map_batches(tag_f, batch_format="pyarrow")
+              .union(pages_ds.map_batches(tag_p, batch_format="pyarrow")))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
+              .groupby("url")["ts_us"].max())
+        rows = df[df["subj"].notna()].merge(
+            ts, left_on="url", right_index=True, how="inner",
+            suffixes=("", "_p"))
+        out = rows[["subj", "pred", "obj", "url"]].copy()
+        out["ts_us"] = rows["ts_us_p"].astype("int64")
+        out["p2"] = fast_part_hash(out["subj"], n_parts)
+        return out
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["subj", "pred", "ts_us", "url", "obj"],
+                            kind="mergesort").reset_index(drop=True)
+        new_run = ((df["subj"] != df["subj"].shift())
+                   | (df["pred"] != df["pred"].shift())
+                   | (df["obj"] != df["obj"].shift()))
+        ep = new_run.cumsum()
+        g = (df.assign(ep=ep).groupby("ep", sort=True)
+             .agg(subj=("subj", "first"), pred=("pred", "first"),
+                  obj=("obj", "first"), from_us=("ts_us", "min"),
+                  to_us=("ts_us", "max"),
+                  n_assertions=("ts_us", "size"))
+             .reset_index(drop=True))
+        g["n_assertions"] = g["n_assertions"].astype("int64")
+        g["episode_no"] = (g.groupby(["subj", "pred"], sort=False)
+                           .cumcount() + 1).astype("int64")
+        return g
+
+    g = (tagged.repartition(n_parts)
+         .groupby("part").map_groups(attach, batch_format="pandas")
+         .groupby("p2").map_groups(collapse, batch_format="pandas"))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+            "from_ts": pc.cast(t["from_us"], pa.timestamp("us")),
+            "to_ts": pc.cast(t["to_us"], pa.timestamp("us")),
+            "n_assertions": t["n_assertions"],
+            "episode_no": t["episode_no"]})
+
+    return g.map_batches(to_out, batch_format="pyarrow")
+
+
 def pred_stats(facts_ds, n_parts: int | None = None):
     """ONTOLOGY PROFILE per predicate: assertion volume, distinct-triple
     count, subject/object cardinalities, and the max objects asserted

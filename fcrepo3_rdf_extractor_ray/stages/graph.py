@@ -2823,6 +2823,59 @@ def bgp_join(facts_ds, p1: str = "kg:acquired", p2: str = "kg:basedIn",
             .map_groups(merge, batch_format="pandas"))
 
 
+def bgp_optional(facts_ds, p1: str = "kg:acquired",
+                 p2: str = "kg:basedIn", subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj",
+                 n_parts: int | None = None):
+    """SPARQL OPTIONAL — the left-join BGP ``?a p1 ?b . OPTIONAL { ?b
+    p2 ?c }``: every DISTINCT (a, b) binding of the required pattern
+    survives; where the optional pattern matches b it fans out to its
+    c-bindings, otherwise c is the empty string (the engine's
+    no-binding marker — '' is never a term, and it keeps the oracle's
+    ``coalesce`` exact without a NULL-representation contract).
+
+    Same physical shape as `bgp_join` (one tag-union exchange on the
+    shared variable, per-batch DISTINCT combiners on both sides, no
+    join operator); only the per-partition merge differs (left merge
+    instead of inner). Distinctness is global because all rows of a
+    given b co-locate."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+
+    def side(pred, key_col, val_col, tag):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[pred_col], pred))
+            g = (pa.table({"key": t[key_col], "val": t[val_col]})
+                 .group_by(["key", "val"]).aggregate([]))
+            return pa.table({
+                "key": g["key"],
+                "val": g["val"],
+                "tag": pa.array(np.full(g.num_rows, tag, np.int8)),
+                "part": pa.array(fast_part_hash(g["key"], n_parts)),
+            })
+        return fn
+
+    lhs = facts_ds.map_batches(side(p1, obj_col, subj_col, 0),
+                               batch_format="pyarrow")
+    rhs = facts_ds.map_batches(side(p2, subj_col, obj_col, 1),
+                               batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[df["tag"] == 0][["key", "val"]].drop_duplicates()
+        cv = df[df["tag"] == 1][["key", "val"]].drop_duplicates()
+        out = av.merge(cv, on="key", how="left", suffixes=("_a", "_c"))
+        return pd.DataFrame({
+            "a": out["val_a"], "b": out["key"],
+            "c": out["val_c"].fillna("")})
+
+    return (lhs.union(rhs).groupby("part")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def harmonic_2hop(edges_ds, a_col: str = "subj", b_col: str = "obj",
                   n_parts: int | None = None):
     """Bounded-radius HARMONIC CENTRALITY (Boldi & Vigna 2014) at ≤2

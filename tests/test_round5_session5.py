@@ -1,0 +1,200 @@
+"""Round-5 session-5 operator tests: SPARQL OPTIONAL and temporal
+fact-validity episodes."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _facts(rows):
+    """rows: (subj, pred, obj, src_url)"""
+    s, p, o, u = zip(*rows)
+    return pa.table({
+        "graph": pa.array(["kg:web"] * len(rows)),
+        "subj": pa.array(list(s)), "pred": pa.array(list(p)),
+        "obj": pa.array(list(o)),
+        "obj_is_literal": pa.array([False] * len(rows)),
+        "obj_datatype": pa.array([""] * len(rows)),
+        "src_url": pa.array(list(u))})
+
+
+def _pages(url_ts):
+    urls, ts = zip(*url_ts)
+    return pa.table({
+        "url": pa.array(list(urls)),
+        "warc_ts": pa.array(list(ts), pa.timestamp("us"))})
+
+
+def test_bgp_optional_left_semantics(ray_session):
+    """Required bindings without an optional match survive with c='';
+    matched ones fan out to every c binding; non-p1 rows never bind."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import bgp_optional
+
+    facts = _facts([
+        ("a1", "kg:acquired", "b1", "u1"),
+        ("a2", "kg:acquired", "b2", "u2"),   # b2 has no basedIn
+        ("b1", "kg:basedIn", "c1", "u3"),
+        ("b1", "kg:basedIn", "c2", "u4"),    # fan-out
+        ("a9", "kg:worksWith", "b9", "u5"),  # wrong predicate
+        ("a1", "kg:acquired", "b1", "u6"),   # duplicate assertion
+    ])
+    out = (bgp_optional(rd.from_arrow(facts).repartition(3))
+           .to_pandas().sort_values(["a", "b", "c"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "a": ["a1", "a1", "a2"],
+        "b": ["b1", "b1", "b2"],
+        "c": ["c1", "c2", ""]})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_bgp_optional_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import bgp_optional
+
+    rng = np.random.default_rng(5)
+    n = 300
+    preds = np.array(["kg:acquired", "kg:basedIn", "kg:worksWith"])
+    rows = [(f"e{int(rng.integers(0, 25))}",
+             str(preds[int(rng.integers(0, 3))]),
+             f"e{int(rng.integers(0, 25))}", f"u{i}")
+            for i in range(n)]
+    t = _facts(rows)
+    a = (bgp_optional(rd.from_arrow(t).repartition(1), n_parts=2)
+         .to_pandas().sort_values(["a", "b", "c"]).reset_index(drop=True))
+    b = (bgp_optional(rd.from_arrow(t).repartition(7), n_parts=9)
+         .to_pandas().sort_values(["a", "b", "c"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fact_intervals_flip_and_flip_back(ray_session):
+    """A slot asserting X, X, Y, X in time order yields THREE episodes
+    (validity is temporal — the return to X opens a new episode), each
+    with exact [from, to] spans and assertion counts."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import fact_intervals
+
+    ts = [pd.Timestamp(f"2024-01-0{i}T00:00:00") for i in range(1, 6)]
+    facts = _facts([
+        ("s", "kg:basedIn", "X", "u1"),
+        ("s", "kg:basedIn", "X", "u2"),
+        ("s", "kg:basedIn", "Y", "u3"),
+        ("s", "kg:basedIn", "X", "u4"),
+        ("s", "kg:worksWith", "Z", "u1"),   # second slot, one episode
+    ])
+    pages = _pages([("u1", ts[0]), ("u2", ts[1]), ("u3", ts[2]),
+                    ("u4", ts[3]), ("u5", ts[4])])
+    out = (fact_intervals(rd.from_arrow(facts).repartition(2),
+                          rd.from_arrow(pages))
+           .to_pandas().sort_values(["subj", "pred", "episode_no"])
+           .reset_index(drop=True))
+    slot = out[out["pred"] == "kg:basedIn"]
+    assert slot["obj"].tolist() == ["X", "Y", "X"]
+    assert slot["episode_no"].tolist() == [1, 2, 3]
+    assert slot["n_assertions"].tolist() == [2, 1, 1]
+    assert slot["from_ts"].tolist() == [ts[0], ts[2], ts[3]]
+    assert slot["to_ts"].tolist() == [ts[1], ts[2], ts[3]]
+    other = out[out["pred"] == "kg:worksWith"]
+    assert other["episode_no"].tolist() == [1]
+    assert other["n_assertions"].tolist() == [1]
+
+
+def test_fact_intervals_drops_pageless_and_matches_current(ray_session):
+    """Pageless facts are dropped (the kg_fact_current contract), and
+    the LAST episode per slot agrees with current_facts' snapshot."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (current_facts,
+                                                        fact_intervals)
+
+    ts1 = pd.Timestamp("2024-03-01T00:00:00")
+    ts2 = pd.Timestamp("2024-03-02T00:00:00")
+    facts = _facts([
+        ("s", "kg:basedIn", "X", "u1"),
+        ("s", "kg:basedIn", "Y", "u2"),
+        ("t", "kg:basedIn", "Q", "nowhere"),  # pageless -> dropped
+    ])
+    pages = _pages([("u1", ts1), ("u2", ts2)])
+    fi = fact_intervals(rd.from_arrow(facts), rd.from_arrow(pages)) \
+        .to_pandas()
+    assert "t" not in set(fi["subj"])
+    last = (fi.sort_values("episode_no").groupby(["subj", "pred"])
+            .last().reset_index())
+    cur = current_facts(rd.from_arrow(facts),
+                        rd.from_arrow(pages)).to_pandas()
+    m = last.merge(cur, on=["subj", "pred"], suffixes=("_i", "_c"))
+    assert len(m) == len(cur) == len(last)
+    assert (m["obj_i"] == m["obj_c"]).all()
+    assert (m["to_ts"] == m["last_ts"]).all()
+
+
+def test_bigram_lm_hand_computed(ray_session):
+    """3-doc corpus, hand-computed smoothed conditionals."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        bigram_lm_scores)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b", "a b", "a c"]})
+    out = (bigram_lm_scores(rd.from_arrow(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # unigrams: a=3, b=2, c=1 -> V=3; bigrams: (a,b)=2, (a,c)=1
+    # score(a,b) = 1e6*3 // (3+3) = 500000
+    # score(a,c) = 1e6*2 // (3+3) = 333333
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_bigrams"].tolist() == [1, 1, 1]
+    assert out["sum_score"].tolist() == [500000, 500000, 333333]
+    assert out["avg_score"].tolist() == [500000, 500000, 333333]
+
+
+def test_bigram_lm_short_docs_absent_and_invariant(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        bigram_lm_scores)
+
+    rng = np.random.default_rng(7)
+    words = np.array(["red", "blue", "green", "fox", "owl"])
+    texts = [" ".join(words[rng.integers(0, 5, int(rng.integers(0, 6)))])
+             for _ in range(80)]
+    docs = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                     "text": texts})
+    a = (bigram_lm_scores(rd.from_arrow(docs).repartition(1), n_parts=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_lm_scores(rd.from_arrow(docs).repartition(9), n_parts=5)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    n_tok = np.array([len(t.split()) for t in texts])
+    assert set(a["doc_id"]) == set(np.nonzero(n_tok >= 2)[0])
+
+
+def test_readability_hand_computed(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        readability_scores)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["The cat sat. It ran!",   # 5 words, 2 sentences
+                 "xyz zzz",                # vowel-less words -> 1 each
+                 "no terminator here",     # 0 runs -> 1 sentence
+                 "   "]})                  # word-less -> absent
+    out = (readability_scores(rd.from_arrow(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    r1 = out.iloc[0]
+    # "the cat sat. it ran!": vowel groups e,a,a,i,a = 5 syllables
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) \
+        == (5, 2, 5)
+    assert r1["wps_milli"] == 2500 and r1["spw_milli"] == 1000
+    assert r1["flesch_milli"] == 206835 - (1015 * 2500) // 1000 - 84600
+    r2 = out.iloc[1]
+    assert (r2["n_words"], r2["n_syllables"]) == (2, 2)
+    assert out.iloc[2]["n_sentences"] == 1

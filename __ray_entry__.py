@@ -1189,6 +1189,18 @@ def _q_web_anchor_links(sf_dir: str):
     return anchor_host_graph(pages)
 
 
+def _q_web_cocitation(sf_dir: str):
+    """Host co-citation coupling over the anchor host graph: for every
+    unordered host pair, the number of distinct source hosts linking
+    to both. One src-hash wedge exchange + one pair-hash sum; the
+    oracle self-joins the distinct host-edge replay."""
+    from fcrepo3_rdf_extractor_ray.stages.web import host_cocitation
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _anchor_pages_batch, batch_format="pyarrow")
+    return host_cocitation(pages)
+
+
 def _q_web_link_recip(sf_dir: str):
     """Host link reciprocity (link-farm signal) over the anchor host
     graph: per host, distinct out-neighbors, how many link back, and
@@ -2282,6 +2294,18 @@ def _q_dedup_substrings(sf_dir: str):
     return duplicated_substrings(_docs(sf_dir, ["doc_id", "text"]), L=20)
 
 
+def _q_dedup_winnowing(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: md5-40 token-3-gram
+    hashes, window w=4, rightmost-min tiebreak via the key = h·2^20−pos
+    order embedding. Distinct (doc_id, pos, fp) selections; oracle
+    replays the same key order with a ROWS window min."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        winnowing_fingerprints)
+
+    return winnowing_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                                  k=3, w=4)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the mention co-occurrence graph; label =
     min entity id per component (distributed union-find, no driver
@@ -2564,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_current": _q_kg_fact_current,
         "web_template": _q_web_template,
         "web_link_recip": _q_web_link_recip,
+        "web_cocitation": _q_web_cocitation,
         "kg_pred_stats": _q_kg_pred_stats,
         "web_frontier": _q_web_frontier,
         "kg_entity_cards": _q_kg_entity_cards,
@@ -2584,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 NEW oracle entries (ExactSubstr-style char dedup;
         # CDX index over the WARC export; WET round-trip):
         "dedup_substrings": _q_dedup_substrings,
+        "dedup_winnowing": _q_dedup_winnowing,
         "web_cdx": _q_web_cdx,
         "web_wet": _q_web_wet,
         # round-5 NEW oracle entry (JSONL corpus round-trip):
@@ -2930,6 +2956,36 @@ SELECT r.doc_id, r.h::BIGINT AS fp_rolling
 FROM r JOIN n USING (doc_id) WHERE r.i = n.n
 """,
         # --- dedup ---
+        # dedup_winnowing: token 3-grams, md5-40 hash, window w=4;
+        # rightmost-min tiebreak shared with the engine through the
+        # key = h*2^20 - pos order embedding; full windows only,
+        # except docs with fewer than w grams contribute their single
+        # whole-sequence window. Decode: h = (mn+P-1)//P (operands
+        # stay non-negative, so //'s rounding mode never matters).
+        "dedup_winnowing": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos, len(ts)::BIGINT - 2 AS n_grams,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2))
+                        AS i) l
+      WHERE len(ts) >= 3),
+k AS (SELECT doc_id, pos, n_grams,
+             CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT)
+                 * 1048576 - pos AS key
+      FROM g),
+m AS (SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS mn
+      FROM k),
+sel AS (SELECT DISTINCT doc_id, mn FROM m
+        WHERE pos >= 3 OR pos = n_grams - 1),
+dec AS (SELECT doc_id, mn, (mn + 1048575) // 1048576 AS h FROM sel)
+SELECT doc_id, (h * 1048576 - mn)::BIGINT AS pos, h::BIGINT AS fp
+FROM dec
+""",
         "dedup_exact": (
             "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"
@@ -5089,6 +5145,16 @@ r AS (SELECT *, row_number() OVER (PARTITION BY host
       FROM j)
 SELECT url, host, age_hours, score, frontier_rank
 FROM r WHERE frontier_rank <= 3
+""")
+    # host co-citation: distinct host edges (self-loops dropped),
+    # unordered dst pairs sharing a src, count of distinct srcs
+    d["web_cocitation"] = (
+        "WITH al AS (" + d["web_anchor_links"] + """),
+e AS (SELECT DISTINCT src_host AS s, dst_host AS d
+      FROM al WHERE src_host <> dst_host)
+SELECT e1.d AS h1, e2.d AS h2, count(*)::BIGINT AS n_cociting
+FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
+GROUP BY e1.d, e2.d
 """)
     # host link reciprocity on the same distinct host-edge set: a
     # left self-join marks out-neighbors that link back

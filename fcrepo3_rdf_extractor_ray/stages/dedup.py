@@ -1435,3 +1435,97 @@ def duplicated_substrings(docs_ds, L: int = 20, id_col: str = "doc_id",
     return (tagged.groupby("part").map_groups(keep_dup,
                                               batch_format="pandas")
             .groupby("p2").map_groups(merge_doc, batch_format="pandas"))
+
+
+def winnowing_fingerprints(docs_ds, k: int = 3, w: int = 4,
+                           text_col="text", id_col="doc_id"):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every token ``k``-gram, slide a window of
+    ``w`` consecutive hashes, and select each window's minimum —
+    rightmost on ties — giving a position-robust fingerprint set whose
+    density is guaranteed (at least one selection per window) without
+    the fragility of `fingerprints`' whole-doc hash or the fixed stride
+    of `segment_dedup_profile`. Shared selected fingerprints across
+    docs localize plagiarized/duplicated passages.
+
+    Exactness contract: gram hash = md5-prefix 40-bit
+    (``CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT)``, the
+    SQL-replayable md5 family); the rightmost-min tiebreak is encoded
+    order-theoretically as ``key = h·2^20 − pos`` (minimizing key ⇒
+    min h, then max pos), so engine and oracle share ONE total order.
+    Bound: gram index < 2^20 per doc (~1M tokens) keeps the key exact
+    in int64 — beyond that, split the doc upstream (`chunk_documents`).
+
+    Shape: per-doc work only — ONE stateless map, no exchange. md5 is
+    computed once per DISTINCT gram per batch; the sliding min is a
+    numpy stride view (int64-exact — pandas rolling would round trip
+    through float64 and corrupt keys above 2^53). Docs with fewer than
+    ``k`` tokens have no grams and are absent; docs with fewer than
+    ``w`` grams contribute their single whole-sequence window.
+    Returns distinct (doc_id, pos, fp) selections."""
+    import hashlib
+
+    P = 1 << 20
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        arr = pc.split_pattern_regex(
+            pa.array(df[text_col].to_numpy(dtype=object), pa.string()),
+            r"\s+")
+        lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "pos": pd.Series([], dtype="int64"),
+                              "fp": pd.Series([], dtype="int64")})
+        if len(flat) < k:
+            return empty
+        # k-grams within doc boundaries (vectorized shift-concat)
+        gram_ok = np.ones(len(flat) - k + 1, bool)
+        parts = flat[: len(flat) - k + 1].astype(object)
+        for j in range(1, k):
+            sl = flat[j: len(flat) - k + 1 + j]
+            parts = parts + " "
+            parts = parts + sl.astype(object)
+            gram_ok &= doc_idx[j: len(flat) - k + 1 + j] \
+                == doc_idx[: len(flat) - k + 1]
+        grams, gdoc = parts[gram_ok], doc_idx[: len(flat) - k + 1][gram_ok]
+        if len(grams) == 0:
+            return empty
+        # positions within doc (0-based gram index)
+        ng = np.bincount(gdoc, minlength=len(df)).astype(np.int64)
+        off = np.zeros(len(df) + 1, np.int64)
+        np.cumsum(ng, out=off[1:])
+        pos = np.arange(len(grams), dtype=np.int64) - off[gdoc]
+        # md5 once per distinct gram
+        uniq, inv = np.unique(grams.astype("U"), return_inverse=True)
+        hv = np.fromiter(
+            (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:10], 16)
+             for g in uniq), dtype=np.int64, count=len(uniq))[inv]
+        key = hv * P - pos
+        # full windows: ends with pos >= w-1 (window stays in-doc)
+        sel_keys = []
+        sel_docs = []
+        if len(key) >= w:
+            swv = np.lib.stride_tricks.sliding_window_view(key, w)
+            full = pos[w - 1:] >= w - 1
+            sel_keys.append(swv.min(axis=1)[full])
+            sel_docs.append(gdoc[w - 1:][full])
+        # short docs (n_grams < w): one whole-sequence window
+        short = ng[gdoc] < w
+        if short.any():
+            s = pd.DataFrame({"d": gdoc[short], "key": key[short]})
+            m = s.groupby("d", as_index=False)["key"].min()
+            sel_keys.append(m["key"].to_numpy())
+            sel_docs.append(m["d"].to_numpy())
+        mn = np.concatenate(sel_keys)
+        md = np.concatenate(sel_docs)
+        h = (mn + P - 1) // P
+        p = h * P - mn
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[md],
+            "pos": p, "fp": h}).drop_duplicates([id_col, "pos"])
+        return out.reset_index(drop=True)
+
+    return docs_ds.map_batches(select, batch_format="pandas")

@@ -198,3 +198,75 @@ def test_readability_hand_computed(ray_session):
     r2 = out.iloc[1]
     assert (r2["n_words"], r2["n_syllables"]) == (2, 2)
     assert out.iloc[2]["n_sentences"] == 1
+
+
+def test_winnowing_window_guarantee_and_shift(ray_session):
+    """Winnowing guarantees >=1 selection per w-window, selects only
+    real gram positions, and identical docs get identical (pos, fp)
+    sets (position-robust within the shared prefix)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        winnowing_fingerprints)
+
+    text = "one two three four five six seven eight nine ten"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [text, text, "a b", "p q r"]})
+    out = winnowing_fingerprints(rd.from_arrow(docs), k=3, w=4) \
+        .to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("pos")
+    d2 = out[out.doc_id == 2].sort_values("pos")
+    assert d1[["pos", "fp"]].values.tolist() \
+        == d2[["pos", "fp"]].values.tolist()
+    # 8 grams, windows end at pos 3..7; gaps between consecutive
+    # selections can never exceed w
+    poss = d1["pos"].to_numpy()
+    assert poss.min() >= 0 and poss.max() <= 7
+    assert (np.diff(np.sort(poss)) <= 4).all()
+    assert 3 not in set(out.doc_id)            # < k tokens: no grams
+    assert (out.doc_id == 4).sum() == 1        # single short window
+
+
+def test_winnowing_batch_invariance(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import (
+        winnowing_fingerprints)
+
+    rng = np.random.default_rng(3)
+    words = np.array(["ga", "bu", "zo", "meu"])
+    texts = [" ".join(words[rng.integers(0, 4, int(rng.integers(0, 12)))])
+             for _ in range(60)]
+    docs = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                     "text": texts})
+    a = (winnowing_fingerprints(rd.from_arrow(docs).repartition(1))
+         .to_pandas().sort_values(["doc_id", "pos"])
+         .reset_index(drop=True))
+    b = (winnowing_fingerprints(rd.from_arrow(docs).repartition(13))
+         .to_pandas().sort_values(["doc_id", "pos"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_host_cocitation_planted(ray_session):
+    """s1 links {a,b,c}, s2 links {b,c}, s3 links {c} -> pair counts
+    ab=1 ac=1 bc=2; self-loops and duplicate links never count."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import host_cocitation
+
+    def page(i, src, dsts):
+        html = "".join(f'<a href="https://{d}/x">l</a>' for d in dsts)
+        return {"doc_id": i, "url": f"https://{src}/p/{i}",
+                "html": html.encode()}
+
+    rows = [page(1, "s1.org", ["a.org", "b.org", "c.org"]),
+            page(2, "s2.org", ["b.org", "c.org", "c.org"]),  # dup link
+            page(3, "s3.org", ["c.org", "s3.org"])]          # self-loop
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (host_cocitation(ds).to_pandas()
+           .sort_values(["h1", "h2"]).reset_index(drop=True))
+    got = {(r.h1, r.h2): r.n_cociting for r in out.itertuples()}
+    assert got == {("a.org", "b.org"): 1, ("a.org", "c.org"): 1,
+                   ("b.org", "c.org"): 2}

@@ -860,6 +860,21 @@ def _q_ta_readability(sf_dir: str):
     return readability_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_PHRASES = ["table scan", "hash join", "sort merge",
+            "batch batch batch"]
+
+
+def _q_ta_phrase(sf_dir: str):
+    """Positional phrase search: exact occurrence counts of the 4-query
+    workload (incl. a 3-word and a repeated-word phrase) via
+    postings-adjacency — postings pruned to the query vocabulary at
+    the scan, one (query, doc) exchange. Oracle replays role-aligned
+    start positions generically for any phrase length."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import phrase_hits
+
+    return phrase_hits(_docs(sf_dir, ["doc_id", "text"]), _PHRASES)
+
+
 def _q_ta_segment_dedup(sf_dir: str):
     """CCNet-style segment-level duplication profile: 10-token
     segments counted corpus-wide, per-doc duplicated-permille."""
@@ -2693,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_lm_score": _q_ta_lm_score,
         "ta_lm_bigram": _q_ta_lm_bigram,
         "ta_readability": _q_ta_readability,
+        "ta_phrase": _q_ta_phrase,
         "ta_segment_dedup": _q_ta_segment_dedup,
         "kg_trustrank": _q_kg_trustrank,
         "web_anchor_texts": _q_web_anchor_texts,
@@ -3443,6 +3459,29 @@ SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
        (206835 - (1015 * wps_milli) // 1000
                - (84600 * spw_milli) // 1000) AS flesch_milli
 FROM r
+""",
+        # ta_phrase: role-aligned positional postings adjacency,
+        # generic in phrase length (count-of-roles == need per start)
+        "ta_phrase": r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+pos AS (SELECT doc_id, i - 1 AS p, ts[i] AS tok
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts)))
+                          AS i) l),
+q(query) AS (VALUES ('table scan'), ('hash join'), ('sort merge'),
+                    ('batch batch batch')),
+qw AS (SELECT query, i - 1 AS role, w[i] AS tok, len(w)::BIGINT AS need
+       FROM (SELECT query, regexp_split_to_array(query, ' ') AS w
+             FROM q),
+            LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) l),
+c AS (SELECT qw.query, qw.need, pos.doc_id, pos.p - qw.role AS strt
+      FROM qw JOIN pos USING (tok) WHERE pos.p - qw.role >= 0),
+hits AS (SELECT query, doc_id, strt, count(*)::BIGINT AS got,
+                min(need) AS need
+         FROM c GROUP BY query, doc_id, strt)
+SELECT query, doc_id, count(*)::BIGINT AS n_hits
+FROM hits WHERE got = need GROUP BY query, doc_id
 """,
         # ta_segment_dedup: non-overlapping 10-token segments (tail
         # keeps its partial segment), corpus-wide identical-segment

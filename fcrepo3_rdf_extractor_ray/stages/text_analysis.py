@@ -1892,3 +1892,85 @@ def readability_scores(docs_ds, text_col="text", id_col="doc_id"):
             "flesch_milli": pa.array(flesch)})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def phrase_hits(docs_ds, phrases, text_col="text", id_col="doc_id",
+                n_parts: int | None = None):
+    """POSITIONAL PHRASE SEARCH: exact occurrence counts of multi-word
+    phrases via positional-postings adjacency — the operator behind
+    quoted queries in `search_topk`'s retrieval stack (BM25 scores
+    bags; phrases need positions). Each phrase word's postings are
+    aligned to the phrase START (``pos − role``); a start position
+    where every role is present is a hit.
+
+    Shape: ONE stateless map emits (query, doc, start, role) rows
+    PRUNED to the query vocabulary (postings of non-query terms never
+    leave the scan — the index-lookup analog), then ONE
+    (query, doc)-hash exchange where completion is a vectorized
+    size-count per start (a token occupies one position, so role rows
+    per start are distinct and complete ⇔ count == phrase length).
+    Exchange volume is bounded by the query terms' posting lists, not
+    the corpus. Returns (query, doc_id, n_hits), hits ≥ 1 only."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    import pyarrow.compute as pc
+
+    words_per = [tuple(p.split()) for p in phrases]
+    if any(len(w) < 1 for w in words_per):
+        raise ValueError("empty phrase")
+    plen = {i: len(w) for i, w in enumerate(words_per)}
+    names = {i: p for i, p in enumerate(phrases)}
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        arr = pc.split_pattern_regex(
+            pa.array(df[text_col].to_numpy(dtype=object), pa.string()),
+            r"\s+")
+        lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        nn = np.bincount(doc_idx, minlength=len(df)).astype(np.int64)
+        off = np.zeros(len(df) + 1, np.int64)
+        np.cumsum(nn, out=off[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - off[doc_idx]
+        ids = df[id_col].to_numpy()
+        qs, ds_, ss, rs = [], [], [], []
+        for qi, words in enumerate(words_per):
+            for role, wrd in enumerate(words):
+                m = flat == wrd
+                if not m.any():
+                    continue
+                start = pos[m] - role
+                ok = start >= 0
+                qs.append(np.full(ok.sum(), qi, np.int64))
+                ds_.append(ids[doc_idx[m][ok]])
+                ss.append(start[ok])
+                rs.append(np.full(ok.sum(), role, np.int64))
+        if not qs:
+            return pd.DataFrame({"qi": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "start": pd.Series([], dtype="int64"),
+                                 "role": pd.Series([], dtype="int64"),
+                                 "part": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "qi": np.concatenate(qs), id_col: np.concatenate(ds_),
+            "start": np.concatenate(ss), "role": np.concatenate(rs)})
+        key = out["qi"].astype(str) + "\x1f" + out[id_col].astype(str)
+        out["part"] = fast_part_hash(list(key), n_parts)
+        return out
+
+    def complete(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["qi", id_col, "start"], as_index=False)
+             .size())
+        g["need"] = g["qi"].map(plen)
+        g = g[g["size"] == g["need"]]
+        h = (g.groupby(["qi", id_col], as_index=False).size()
+             .rename(columns={"size": "n_hits"}))
+        h["n_hits"] = h["n_hits"].astype("int64")
+        h["query"] = h["qi"].map(names)
+        return h[["query", id_col, "n_hits"]]
+
+    return (docs_ds.map_batches(emit, batch_format="pandas")
+            .groupby("part").map_groups(complete, batch_format="pandas"))

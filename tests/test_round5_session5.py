@@ -270,3 +270,43 @@ def test_host_cocitation_planted(ray_session):
     got = {(r.h1, r.h2): r.n_cociting for r in out.itertuples()}
     assert got == {("a.org", "b.org"): 1, ("a.org", "c.org"): 1,
                    ("b.org", "c.org"): 2}
+
+
+def test_phrase_hits_planted(ray_session):
+    """Overlapping repeats, repeated-word phrases, and cross-doc
+    isolation all counted exactly."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import phrase_hits
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a b a",        # 'a b' x2, 'b a' x2, 'a b a' x2
+                 "c c c c",          # 'c c' x3 (overlapping starts)
+                 "a x b"]})          # no adjacency
+    out = phrase_hits(rd.from_arrow(docs).repartition(2),
+                      ["a b", "b a", "a b a", "c c", "zz yy"]) \
+        .to_pandas()
+    got = {(r.query, r.doc_id): r.n_hits for r in out.itertuples()}
+    assert got == {("a b", 1): 2, ("b a", 1): 2, ("a b a", 1): 2,
+                   ("c c", 2): 3}
+
+
+def test_phrase_hits_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import phrase_hits
+
+    rng = np.random.default_rng(21)
+    words = np.array(["t", "u", "v"])
+    texts = [" ".join(words[rng.integers(0, 3, 15)]) for _ in range(50)]
+    docs = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                     "text": texts})
+    ph = ["t u", "u u v", "v t"]
+    a = (phrase_hits(rd.from_arrow(docs).repartition(1), ph, n_parts=2)
+         .to_pandas().sort_values(["query", "doc_id"])
+         .reset_index(drop=True))
+    b = (phrase_hits(rd.from_arrow(docs).repartition(11), ph, n_parts=7)
+         .to_pandas().sort_values(["query", "doc_id"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

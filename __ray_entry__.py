@@ -489,6 +489,49 @@ def _q_kg_fact_intervals(sf_dir: str):
     return fact_intervals(_q_kg_fact_quads(sf_dir), pages_for_sf(sf_dir))
 
 
+def _alias_facts_batch(t):
+    """Deterministic alias-assertion stream for the ER candidate op:
+    10 subjects × 3 preds × 7 objs keyed off doc_id residues, so
+    subject pairs share varying (pred, obj) slot subsets at every sf
+    (the flagship fact corpus is slot-functional by construction —
+    same slot ⇒ same subject — so it can never produce candidates).
+    Replayed verbatim in the kg_sameas oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    subj = np.char.add("al:s", (ids % 10).astype("U"))
+    pred = np.char.add("kg:p", (ids % 3).astype("U"))
+    obj = np.char.add("al:o", (ids % 7).astype("U"))
+    return pa.table({"subj": pa.array(subj.tolist(), pa.string()),
+                     "pred": pa.array(pred.tolist(), pa.string()),
+                     "obj": pa.array(obj.tolist(), pa.string())})
+
+
+def _q_kg_sameas(sf_dir: str):
+    """owl:sameAs candidate pairs by shared assertions: subjects
+    sharing >= 2 identical (pred, obj) slots over the deterministic
+    alias stream. Blocking-key ER on one slot-hash wedge exchange +
+    one pair-hash sum; oracle is the DISTINCT triple self-join with
+    HAVING."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import sameas_candidates
+
+    facts = _docs(sf_dir, ["doc_id"]).map_batches(
+        _alias_facts_batch, batch_format="pyarrow")
+    return sameas_candidates(facts, min_shared=2)
+
+
+def _q_kg_prop_path(sf_dir: str):
+    """SPARQL property path ``?a kg:acquired+ ?d`` bounded at 3 hops:
+    distinct reachable pairs with shortest chain length. max_len-1
+    co-partition join rounds over the materialized edge set; oracle
+    unrolls the same three hop compositions."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import property_path
+
+    return property_path(_q_kg_fact_quads(sf_dir), pred="kg:acquired",
+                         max_len=3)
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -2639,6 +2682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp": _q_kg_bgp,
         "kg_optional": _q_kg_optional,
         "kg_fact_intervals": _q_kg_fact_intervals,
+        "kg_sameas": _q_kg_sameas,
+        "kg_prop_path": _q_kg_prop_path,
         # round-5 NEW oracle entry (RDFS subclass-closure typing):
         "kg_rdfs_types": _q_kg_rdfs_types,
         # round-5 NEW oracle entry (term-dictionary encoding):
@@ -5636,6 +5681,30 @@ SELECT subj, pred, min(obj) AS obj, min(ts) AS from_ts,
        max(ts) AS to_ts, count(*)::BIGINT AS n_assertions,
        ep::BIGINT AS episode_no
 FROM e GROUP BY subj, pred, ep
+""")
+    # sameAs candidates: DISTINCT triple self-join on (pred, obj)
+    # over the alias-assertion replay (_alias_facts_batch)
+    d["kg_sameas"] = ("""
+WITH f AS (SELECT 'al:s' || (doc_id % 10)::VARCHAR AS subj,
+                  'kg:p' || (doc_id % 3)::VARCHAR AS pred,
+                  'al:o' || (doc_id % 7)::VARCHAR AS obj
+           FROM documents),
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM f)
+SELECT t1.s AS e1, t2.s AS e2, count(*)::BIGINT AS n_shared
+FROM t t1 JOIN t t2 ON t1.p = t2.p AND t1.o = t2.o AND t1.s < t2.s
+GROUP BY t1.s, t2.s HAVING count(*) >= 2
+""")
+    # bounded property path: three unrolled hop compositions, min len
+    d["kg_prop_path"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM f
+      WHERE pred = 'kg:acquired'),
+l2 AS (SELECT DISTINCT e1.a, e2.b AS d FROM e e1
+       JOIN e e2 ON e2.a = e1.b),
+l3 AS (SELECT DISTINCT l2.a, e.b AS d FROM l2 JOIN e ON e.a = l2.d),
+allp AS (SELECT a, b AS d, 1 AS length FROM e
+         UNION ALL SELECT a, d, 2 FROM l2
+         UNION ALL SELECT a, d, 3 FROM l3)
+SELECT a, d, min(length)::BIGINT AS length FROM allp GROUP BY a, d
 """)
     # RDFS rdfs9 closure: entity ent:e{n} is asserted cls:c{n % 7};
     # class tree = binary heap parent(c_k) = c_{(k-1)//2}; the

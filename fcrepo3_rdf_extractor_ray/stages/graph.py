@@ -3006,3 +3006,148 @@ def harmonic_2hop(edges_ds, a_col: str = "subj", b_col: str = "obj",
             .union(d1_counts, d2_counts)
             .map_batches(tag_node, batch_format="pyarrow")
             .groupby("part").map_groups(final_sum, batch_format="pandas"))
+
+
+def sameas_candidates(facts_ds, min_shared: int = 2,
+                      subj_col: str = "subj", pred_col: str = "pred",
+                      obj_col: str = "obj", n_parts: int | None = None):
+    """ENTITY-RESOLUTION CANDIDATES by shared assertions: subject pairs
+    (e1 < e2) asserting at least ``min_shared`` identical (pred, obj)
+    slots are owl:sameAs candidates — the structural step AFTER
+    string canonicalization (`build_entity_map` merges surface forms;
+    this surfaces aliases with DIFFERENT surfaces that behave
+    identically in the graph). Classic blocking-key ER: the block key
+    is the (pred, obj) slot itself.
+
+    Shape: per-batch DISTINCT (subj, pred, obj) combiner → ONE
+    (pred, obj)-hash exchange co-locating each slot's subject list →
+    per-slot vectorized cross merge emits C(n_subj, 2) pair partials
+    (a slot lives in exactly one partition, so partials are disjoint)
+    → ONE pair-hash exchange sums and thresholds. Cost is Σ n_subj²
+    over slots — the `two_hop_scores` wedge bound; a slot shared by a
+    true hub ('rdf:type kg:WebPage'-class predicates) must be excluded
+    upstream or df-capped, exactly as `ngram_pairs` caps df.
+
+    Returns (e1, e2, n_shared) with n_shared ≥ min_shared."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (pa.table({"s": t[subj_col], "p": t[pred_col],
+                       "o": t[obj_col]})
+             .group_by(["s", "p", "o"]).aggregate([]))
+        key = pc.binary_join_element_wise(g["p"], g["o"], "\x1f")
+        return g.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["s", "p", "o"])
+        m = df.merge(df, on=["p", "o"])
+        m = m[m["s_x"] < m["s_y"]]
+        g = (m.groupby(["s_x", "s_y"], as_index=False).size()
+             .rename(columns={"s_x": "e1", "s_y": "e2", "size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        key = g["e1"] + "\x1f" + g["e2"]
+        g["p2"] = fast_part_hash(list(key), n_parts)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["e1", "e2"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_shared]
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": "n_shared"})
+
+    return (facts_ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(cross, batch_format="pandas")
+            .groupby("p2").map_groups(fold, batch_format="pandas"))
+
+
+def property_path(facts_ds, pred: str = "kg:acquired", max_len: int = 3,
+                  subj_col: str = "subj", pred_col: str = "pred",
+                  obj_col: str = "obj", n_parts: int | None = None):
+    """SPARQL property-path reachability ``a (p)+ d`` bounded at
+    ``max_len`` hops: all DISTINCT ordered pairs connected by a chain
+    of ``pred`` edges of length 1..max_len, each with its SHORTEST
+    chain length — the acquisition-chain / ownership-chain query a KG
+    consumer runs ("what does a transitively own, and how directly").
+
+    Shape: the distinct ``pred`` edge set is materialized once; then
+    ``max_len − 1`` rounds, each ONE tag-union co-partition exchange
+    joining the frontier's tail to edge heads (the `bgp_join` merge),
+    with per-round DISTINCT combiners. Pairs carry their first
+    (= shortest, by BFS order) length; the final node-pair exchange
+    keeps the min. Diameter-bounded by construction — max_len is a
+    query parameter, not an iteration guess."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t[pred_col], pred))
+        g = (pa.table({"a": t[subj_col], "b": t[obj_col]})
+             .group_by(["a", "b"]).aggregate([]))
+        return g
+
+    edges = facts_ds.map_batches(edge_rows,
+                                 batch_format="pyarrow").materialize()
+
+    def tag(col, vals_tbl_cols, tagv):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table(dict(vals_tbl_cols(t)))
+            out = out.append_column(
+                "tag", pa.array(np.full(out.num_rows, tagv, np.int8)))
+            return out.append_column(
+                "part", pa.array(fast_part_hash(out[col], n_parts)))
+        return fn
+
+    # paths: (a, d, length); frontier starts as the edges themselves
+    frontier = edges.map_batches(
+        lambda t: pa.table({"a": t["a"], "d": t["b"],
+                            "length": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+    all_paths = [frontier]
+
+    for _ in range(max_len - 1):
+        lhs = frontier.map_batches(
+            tag("key", lambda t: {"key": t["d"], "val": t["a"]}, 0),
+            batch_format="pyarrow")
+        rhs = edges.map_batches(
+            tag("key", lambda t: {"key": t["a"], "val": t["b"]}, 1),
+            batch_format="pyarrow")
+        def extend(df: pd.DataFrame) -> pd.DataFrame:
+            av = df[df["tag"] == 0][["key", "val"]].drop_duplicates()
+            bv = df[df["tag"] == 1][["key", "val"]].drop_duplicates()
+            m = av.merge(bv, on="key", suffixes=("_a", "_d"))
+            out = pd.DataFrame({"a": m["val_a"], "d": m["val_d"]})
+            return out.drop_duplicates()
+
+        nxt = (lhs.union(rhs).groupby("part")
+               .map_groups(extend, batch_format="pandas"))
+        k = len(all_paths) + 1
+        frontier = nxt.map_batches(
+            lambda t, _k=k: t.append_column(
+                "length", pa.array(np.full(t.num_rows, _k, np.int64))),
+            batch_format="pyarrow").materialize()
+        all_paths.append(frontier)
+
+    def min_len(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "d"], as_index=False)["length"].min()
+        g["length"] = g["length"].astype("int64")
+        return g
+
+    union = all_paths[0]
+    for p in all_paths[1:]:
+        union = union.union(p)
+    tagged = union.map_batches(
+        lambda t: t.append_column("part", pa.array(fast_part_hash(
+            pc.binary_join_element_wise(t["a"], t["d"], "\x1f"),
+            n_parts))),
+        batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(min_len,
+                                             batch_format="pandas")

@@ -310,3 +310,50 @@ def test_phrase_hits_partition_invariance(ray_session):
          .to_pandas().sort_values(["query", "doc_id"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sameas_candidates_planted(ray_session):
+    """x and y share 2 slots; x and z share 1 (below threshold);
+    duplicate assertions never inflate counts."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import sameas_candidates
+
+    facts = _facts([
+        ("x", "p1", "o1", "u1"),
+        ("x", "p1", "o1", "u9"),   # duplicate assertion
+        ("y", "p1", "o1", "u2"),
+        ("x", "p2", "o2", "u3"),
+        ("y", "p2", "o2", "u4"),
+        ("z", "p1", "o1", "u5"),   # z shares 1 slot with x, y
+        ("z", "p9", "o9", "u6"),
+    ])
+    out = sameas_candidates(rd.from_arrow(facts).repartition(3),
+                            min_shared=2).to_pandas()
+    got = {(r.e1, r.e2): r.n_shared for r in out.itertuples()}
+    assert got == {("x", "y"): 2}
+
+
+def test_property_path_shortest_lengths(ray_session):
+    """Chain a->b->c->d plus shortcut a->c: lengths are SHORTEST
+    (a,c)=1 not 2; depth capped at 3 so a->e (4 hops) is absent."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import property_path
+
+    facts = _facts([
+        ("a", "kg:acquired", "b", "u1"),
+        ("b", "kg:acquired", "c", "u2"),
+        ("c", "kg:acquired", "d", "u3"),
+        ("d", "kg:acquired", "e", "u4"),
+        ("a", "kg:acquired", "c", "u5"),     # shortcut
+        ("a", "kg:worksWith", "z", "u6"),    # other predicate ignored
+    ])
+    out = property_path(rd.from_arrow(facts).repartition(2),
+                        pred="kg:acquired", max_len=3).to_pandas()
+    got = {(r.a, r.d): r.length for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+                   ("d", "e"): 1, ("a", "c"): 1, ("a", "d"): 2,
+                   ("b", "d"): 2, ("c", "e"): 2, ("a", "e"): 3,
+                   ("b", "e"): 3}
+    assert ("a", "z") not in got

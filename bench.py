@@ -201,7 +201,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_substrings", "web_cdx", "web_wet", "web_jsonl",
                  "ta_bpe_learn", "web_robots", "ta_search",
                  "kg_bgp", "kg_rdfs_types", "kg_term_dict", "kg_quads_encoded",
-                 "kg_nquads", "ta_bpe_segment", "web_sitemap", "kg_delta"):
+                 "kg_nquads", "ta_bpe_segment", "web_sitemap", "kg_delta",
+                 "ta_dsir", "kg_neg_samples", "kg_harmonic",
+                 "prep_neardup_best",
+                 "kg_optional", "kg_fact_intervals", "ta_lm_bigram",
+                 "ta_readability", "dedup_winnowing", "web_cocitation",
+                 "ta_phrase", "kg_sameas", "kg_prop_path"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

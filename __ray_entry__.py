@@ -2026,6 +2026,31 @@ def _q_mm_image_decode(sf_dir: str):
     )
 
 
+def _q_mm_image_hist(sf_dir: str):
+    """Real decode → 16-bin grayscale histogram profile per image
+    (distinct levels, dominant bin, integer concentration). Oracle
+    recomputes the stats from the generator formula alone — the decode
+    and the binning are what's verified."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        PpmHistStage, synthetic_ppm)
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_ppm(d, 8 + d % 9, 8 + (d * 3) % 9) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_ppm, batch_format="pyarrow")
+    return items.map_batches(lambda t: PpmHistStage()(t),
+                             batch_format="pyarrow", batch_size=64)
+
+
 def _q_ta_group_concat(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         group_concat_docs)
@@ -2778,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_conversion_lag": _q_rel_conversion_lag,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
+        "mm_image_hist": _q_mm_image_hist,
         "mm_audio_windows": _q_mm_audio_windows,
         "rel_global_rank": _q_rel_global_rank,
         "rel_outer_join": _q_rel_outer_join,
@@ -3609,6 +3635,38 @@ SELECT doc_id AS item_id, w::INT AS width, h::INT AS height,
        sum(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END)::BIGINT AS sum_g,
        sum(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END)::BIGINT AS sum_b
 FROM px GROUP BY doc_id, w, h
+""",
+        # mm_image_hist: gray=(r+g+b)//3 per pixel from the generator
+        # formula, 16 bins; dominant bin = min index on count ties;
+        # concentration = sum of squared bin counts (zero bins add 0)
+        "mm_image_hist": """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 9        AS w,
+         8 + (doc_id * 3) % 9  AS h,
+         (doc_id * 2654435761) % 256 AS base
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         (((base + 3 * p) % 256) + ((base + 3 * p + 1) % 256)
+          + ((base + 3 * p + 2) % 256)) // 3 AS gray
+  FROM dims, LATERAL (SELECT unnest(range(w * h)) AS p) g),
+bins AS (SELECT doc_id, gray // 16 AS bin, count(*)::BIGINT AS c
+         FROM px GROUP BY doc_id, bin),
+lv AS (SELECT doc_id, count(DISTINCT gray)::BIGINT AS n_levels,
+              count(*)::BIGINT AS n_pixels
+       FROM px GROUP BY doc_id),
+top AS (SELECT doc_id, bin AS top_bin, c AS top_count,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, bin) AS rn
+        FROM bins),
+cn AS (SELECT doc_id, sum(c * c)::BIGINT AS concentration
+       FROM bins GROUP BY doc_id)
+SELECT lv.doc_id AS item_id, lv.n_pixels, lv.n_levels,
+       top.top_bin::BIGINT AS top_bin, top.top_count,
+       cn.concentration
+FROM lv JOIN top USING (doc_id) JOIN cn USING (doc_id)
+WHERE top.rn = 1
 """,
         "ta_regex_extract": """
 SELECT doc_id,

@@ -779,3 +779,48 @@ def audio_pitch(items_ds, window: int = 256, min_lag: int = 2,
 
     return items_ds.map_batches(fn, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+class PpmHistStage:
+    """REAL image decode → 16-bin grayscale histogram profile (oracle
+    surface): per image, gray = (r+g+b)//3 per pixel, bin = gray//16,
+    and the exposure/contrast stats a curation gate thresholds on —
+    distinct gray levels (flat synthetic renders have few), the
+    dominant bin and its count (blown-out/black frames concentrate),
+    and the integer concentration Σ count² (the Gini/collision proxy;
+    entropy needs logs, collision probability doesn't). Same per-item
+    containment contract as `PpmStatsStage`."""
+
+    def __init__(self, id_col="item_id", payload_col="payload",
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "skip")
+        self.id_col, self.payload_col = id_col, payload_col
+        self.on_error = on_error
+        self.error_count = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, npx, nlev, tb, tc, conc = [], [], [], [], [], []
+        for i, payload in zip(t[self.id_col].to_pylist(),
+                              t[self.payload_col].to_pylist()):
+            try:
+                w, h, pix = decode_ppm(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                self.error_count += 1
+                continue
+            gray = pix.astype(np.int64).sum(axis=2) // 3
+            cnt = np.bincount((gray // 16).ravel(), minlength=16)
+            ids.append(i)
+            npx.append(w * h)
+            nlev.append(len(np.unique(gray)))
+            tb.append(int(cnt.argmax()))          # first max = min bin
+            tc.append(int(cnt.max()))
+            conc.append(int((cnt.astype(np.int64) ** 2).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_pixels": pa.array(npx, pa.int64()),
+            "n_levels": pa.array(nlev, pa.int64()),
+            "top_bin": pa.array(tb, pa.int64()),
+            "top_count": pa.array(tc, pa.int64()),
+            "concentration": pa.array(conc, pa.int64())})

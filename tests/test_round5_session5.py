@@ -357,3 +357,30 @@ def test_property_path_shortest_lengths(ray_session):
                    ("b", "d"): 2, ("c", "e"): 2, ("a", "e"): 3,
                    ("b", "e"): 3}
     assert ("a", "z") not in got
+
+
+def test_image_hist_hand_computed(ray_session):
+    """Uniform image concentrates in one bin; error containment skips
+    malformed payloads and counts them."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        PpmHistStage, encode_ppm)
+
+    flat = np.full((4, 4, 3), 200, np.uint8)       # gray 200 -> bin 12
+    ramp = np.zeros((1, 16, 3), np.uint8)
+    ramp[0, :, 0] = ramp[0, :, 1] = ramp[0, :, 2] = \
+        np.arange(0, 256, 16, dtype=np.uint8)      # one px per bin
+    t = pa.table({
+        "item_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_ppm(flat), encode_ppm(ramp),
+                             b"not a ppm"], pa.binary())})
+    stage = PpmHistStage(on_error="skip")
+    out = stage(t).to_pandas().sort_values("item_id")
+    assert stage.error_count == 1
+    r1 = out.iloc[0]
+    assert (r1["n_pixels"], r1["n_levels"], r1["top_bin"],
+            r1["top_count"], r1["concentration"]) == (16, 1, 12, 16, 256)
+    r2 = out.iloc[1]
+    assert (r2["n_pixels"], r2["n_levels"], r2["top_count"],
+            r2["concentration"]) == (16, 16, 1, 16)

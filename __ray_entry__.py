@@ -2427,6 +2427,36 @@ def _q_rel_cumsum(sf_dir: str):
     return cumulative_spend(sf_dir)
 
 
+def _q_rel_watermark(sf_dir: str):
+    """Streaming watermark / late-data audit: arrival order =
+    event_id, event time = ts with every 13th event shifted back 3
+    hours (the corpus arrives perfectly ordered, so disorder is
+    planted deterministically and replayed in the oracle); allowed
+    lateness 1 hour. Per event-time hour: totals and late counts.
+    Global running max = the TeraSort range-bucket carry-in pattern,
+    O(n_parts) driver state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        _read, late_events)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        shift = np.where(eid % 13 == 0, 3 * 3_600_000_000, 0)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "ts": pa.array(ts - shift).cast(pa.timestamp("us"))})
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        perturb, batch_format="pyarrow")
+    return late_events(ev, late_hours=1)
+
+
 def _q_rel_skew_join(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         skew_join_events_nation)
@@ -2840,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": _q_rel_cube,
         "rel_mode": _q_rel_mode,
         "rel_cumsum": _q_rel_cumsum,
+        "rel_watermark": _q_rel_watermark,
         "rel_skew_join": _q_rel_skew_join,
         "dedup_editdist": _q_dedup_editdist,
         "kg_page_quads": _q_kg_page_quads,
@@ -3667,6 +3698,27 @@ SELECT lv.doc_id AS item_id, lv.n_pixels, lv.n_levels,
        cn.concentration
 FROM lv JOIN top USING (doc_id) JOIN cn USING (doc_id)
 WHERE top.rn = 1
+""",
+        # rel_watermark: planted 3h disorder on every 13th event;
+        # watermark = strictly-preceding running max - 1h
+        "rel_watermark": """
+WITH e AS (SELECT event_id,
+                  ts - CASE WHEN event_id % 13 = 0
+                            THEN INTERVAL 3 HOUR
+                            ELSE INTERVAL 0 HOUR END AS ts
+           FROM events),
+o AS (SELECT event_id, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm
+      FROM e),
+c AS (SELECT date_trunc('hour', ts) AS window_start,
+             CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS late
+      FROM o)
+SELECT window_start, count(*)::BIGINT AS n_events,
+       sum(late)::BIGINT AS n_late
+FROM c GROUP BY window_start
 """,
         "ta_regex_extract": """
 SELECT doc_id,

@@ -2370,3 +2370,97 @@ def linreg_by_flag(sf_dir: str):
         })
 
     return stats.map_batches(fit, batch_format="pyarrow")
+
+
+def late_events(ev_ds, late_hours: int = 1, n_parts: int | None = None):
+    """STREAMING WATERMARK / LATE-DATA classification: events arrive in
+    ``event_id`` order; the watermark before arrival i is
+    ``max(event time of arrivals < i) − allowed lateness``, and an
+    event whose time falls behind it is LATE — the Beam/Flink
+    allowed-lateness contract, evaluated exactly in batch (the audit a
+    streaming deployment runs to size its lateness budget). Returns
+    per event-time hour (window_start, n_events, n_late).
+
+    Shape: the global arrival-order running max is the TeraSort
+    range-partition pattern (`term_dictionary`'s): event_id range
+    buckets → per-batch (bucket, max_ts) partials whose driver fold is
+    the O(n_parts) carry-in prefix — never row data — then ONE bucket
+    exchange where each partition seeds its in-bucket exclusive
+    prefix-max with its carry-in, classifies vectorized, and emits
+    per-hour PARTIAL counts; a final hour-hash exchange over
+    hour-cardinality rows sums. No global sort, no driver rows."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    late_us = int(late_hours) * 3_600_000_000
+    HOUR = 3_600_000_000
+    SENT = np.iinfo(np.int64).min
+
+    lo = ev_ds.min("event_id")
+    hi = ev_ds.max("event_id")
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def bucket_of(eids: np.ndarray) -> np.ndarray:
+        return (eids - int(lo)) * n_parts // span
+
+    def part_max(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        b = bucket_of(eid)
+        g = pd.DataFrame({"b": b, "ts": ts}).groupby(
+            "b", as_index=False)["ts"].max()
+        return pa.table({"b": pa.array(g["b"].to_numpy(), pa.int64()),
+                         "mx": pa.array(g["ts"].to_numpy(), pa.int64())})
+
+    partials = ev_ds.map_batches(part_max, batch_format="pyarrow") \
+        .to_pandas()  # ≤ n_parts rows per input block — metadata-sized
+    bmax = np.full(n_parts, SENT, np.int64)
+    agg = partials.groupby("b")["mx"].max()
+    bmax[agg.index.to_numpy()] = agg.to_numpy()
+    carry = np.full(n_parts, SENT, np.int64)
+    run = SENT
+    for b in range(n_parts):
+        carry[b] = run
+        run = max(run, int(bmax[b]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_id": pa.array(eid),
+                         "ts_us": ts,
+                         "part": pa.array(bucket_of(eid))})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id")
+        ts = df["ts_us"].to_numpy()
+        b = int(bucket_of(df["event_id"].to_numpy()[:1])[0])
+        pm = np.maximum.accumulate(ts)
+        wm = np.concatenate([[carry[b]], pm[:-1]])
+        wm = np.maximum(wm, carry[b])
+        late = (wm != SENT) & (ts < wm - late_us)
+        hour = (ts // HOUR) * HOUR
+        g = (pd.DataFrame({"h": hour, "late": late.astype(np.int64)})
+             .groupby("h", as_index=False)
+             .agg(n_events=("late", "size"), n_late=("late", "sum")))
+        g["p2"] = fast_part_hash(list(g["h"].astype(str)), n_parts)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("h", as_index=False)[["n_events", "n_late"]]
+             .sum())
+        return g
+
+    out = (ev_ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part").map_groups(classify, batch_format="pandas")
+           .groupby("p2").map_groups(fold, batch_format="pandas"))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(t["h"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_late": pc.cast(t["n_late"], pa.int64())})
+
+    return out.map_batches(to_out, batch_format="pyarrow")

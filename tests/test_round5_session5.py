@@ -384,3 +384,34 @@ def test_image_hist_hand_computed(ray_session):
     r2 = out.iloc[1]
     assert (r2["n_pixels"], r2["n_levels"], r2["top_count"],
             r2["concentration"]) == (16, 16, 1, 16)
+
+
+def test_late_events_watermark_semantics(ray_session):
+    """Hand-built arrival stream: the watermark is the strictly
+    preceding running max minus lateness; the first event can never be
+    late; carry-in across range buckets is exact (forced with
+    n_parts=4 over 8 events)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import late_events
+
+    H = 3_600_000_000
+    base = (1_700_000_000_000_000 // H) * H  # hour-aligned
+    # arrival order; times in hours relative to base
+    hours = [0.0, 1.0, 2.0, 0.5, 3.0, 0.2, 3.5, 2.9]
+    # wm (prev running max - 1h): e3 at 0.5 vs wm 2.0-1.0=1.0 -> late;
+    # e5 at 0.2 vs wm 3.0-1.0=2.0 -> late; e7 at 2.9 vs 3.5-1=2.5 -> ok
+    ts = [base + int(h * H) for h in hours]
+    ev = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    out = (late_events(rd.from_arrow(ev).repartition(3), late_hours=1,
+                       n_parts=4)
+           .to_pandas().sort_values("window_start")
+           .reset_index(drop=True))
+    assert out["n_events"].sum() == 8
+    assert out["n_late"].sum() == 2
+    per_hour = {int((r.window_start.value // 1000 - base) // H):
+                (r.n_events, r.n_late) for r in out.itertuples()}
+    assert per_hour[0] == (3, 2)   # hours 0.0, 0.5(late), 0.2(late)
+    assert per_hour[2] == (2, 0)   # hours 2.0, 2.9

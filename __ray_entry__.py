@@ -75,6 +75,32 @@ FROM u WHERE NOT malformed
 """
 
 
+_WINNOW_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos, len(ts)::BIGINT - 2 AS n_grams,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2))
+                        AS i) l
+      WHERE len(ts) >= 3),
+k AS (SELECT doc_id, pos, n_grams,
+             CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT)
+                 * 1048576 - pos AS key
+      FROM g),
+m AS (SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS mn
+      FROM k),
+sel AS (SELECT DISTINCT doc_id, mn FROM m
+        WHERE pos >= 3 OR pos = n_grams - 1),
+dec AS (SELECT doc_id, mn, (mn + 1048575) // 1048576 AS h FROM sel)
+SELECT doc_id, (h * 1048576 - mn)::BIGINT AS pos, h::BIGINT AS fp
+FROM dec
+"""
+
+
 def _minhash_md5_sql() -> str:
     """EXACT DuckDB replay of the md5-31 MinHash near-dup clustering
     (stages/dedup.py minhash_clusters(hash_family='md5')): the 64
@@ -2389,6 +2415,17 @@ def _q_dedup_winnowing(sf_dir: str):
                                   k=3, w=4)
 
 
+def _q_dedup_winnow_pairs(sf_dir: str):
+    """MOSS match step: doc pairs sharing >= 2 distinct winnowed
+    fingerprints, df-capped at 32 docs per fingerprint (the quadratic
+    wedge guard). One fp-hash exchange + one pair-hash sum on top of
+    the per-doc selection."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import winnowing_pairs
+
+    return winnowing_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, w=4,
+                           min_shared=2, max_df=32)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the mention co-occurrence graph; label =
     min entity id per component (distributed union-find, no driver
@@ -2723,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDX index over the WARC export; WET round-trip):
         "dedup_substrings": _q_dedup_substrings,
         "dedup_winnowing": _q_dedup_winnowing,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "web_cdx": _q_web_cdx,
         "web_wet": _q_web_wet,
         # round-5 NEW oracle entry (JSONL corpus round-trip):
@@ -3080,30 +3118,17 @@ FROM r JOIN n USING (doc_id) WHERE r.i = n.n
         # except docs with fewer than w grams contribute their single
         # whole-sequence window. Decode: h = (mn+P-1)//P (operands
         # stay non-negative, so //'s rounding mode never matters).
-        "dedup_winnowing": r"""
-WITH tk AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                             x -> x <> '') AS ts FROM documents),
-g AS (SELECT doc_id, i - 1 AS pos, len(ts)::BIGINT - 2 AS n_grams,
-             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2))
-                        AS i) l
-      WHERE len(ts) >= 3),
-k AS (SELECT doc_id, pos, n_grams,
-             CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT)
-                 * 1048576 - pos AS key
-      FROM g),
-m AS (SELECT doc_id, pos, n_grams,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                 AS mn
-      FROM k),
-sel AS (SELECT DISTINCT doc_id, mn FROM m
-        WHERE pos >= 3 OR pos = n_grams - 1),
-dec AS (SELECT doc_id, mn, (mn + 1048575) // 1048576 AS h FROM sel)
-SELECT doc_id, (h * 1048576 - mn)::BIGINT AS pos, h::BIGINT AS fp
-FROM dec
-""",
+        "dedup_winnowing": _WINNOW_SQL,
+        # dedup_winnow_pairs: MOSS match step over the winnowing
+        # replay; df cap excludes boilerplate fingerprints first
+        "dedup_winnow_pairs": ("WITH wf AS (" + _WINNOW_SQL + """),
+df AS (SELECT DISTINCT doc_id AS d, fp FROM wf),
+kept AS (SELECT d, fp FROM df
+         QUALIFY count(*) OVER (PARTITION BY fp) <= 32)
+SELECT k1.d AS d1, k2.d AS d2, count(*)::BIGINT AS n_shared
+FROM kept k1 JOIN kept k2 ON k1.fp = k2.fp AND k1.d < k2.d
+GROUP BY k1.d, k2.d HAVING count(*) >= 2
+"""),
         "dedup_exact": (
             "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"

@@ -1529,3 +1529,60 @@ def winnowing_fingerprints(docs_ds, k: int = 3, w: int = 4,
         return out.reset_index(drop=True)
 
     return docs_ds.map_batches(select, batch_format="pandas")
+
+
+def winnowing_pairs(docs_ds, k: int = 3, w: int = 4,
+                    min_shared: int = 2, max_df: int = 32,
+                    text_col="text", id_col="doc_id",
+                    n_parts: int | None = None):
+    """Near-dup CANDIDATE PAIRS from shared winnowing fingerprints —
+    the MOSS match step over `winnowing_fingerprints`' selections: doc
+    pairs sharing at least ``min_shared`` distinct selected
+    fingerprints. Winnowing's density guarantee makes the overlap
+    count a passage-level similarity signal (contiguous shared text of
+    t tokens shares ~t/w selections) where MinHash only sees whole-doc
+    Jaccard.
+
+    Shape: selection is per-doc (no exchange), then distinct (doc, fp)
+    → ONE fp-hash exchange co-locating each fingerprint's doc list —
+    fingerprints with more than ``max_df`` docs are DROPPED there
+    (boilerplate shingles; the same df cap `ngram_pairs` applies, and
+    the drop is the standard quadratic-wedge guard) — per-fp cross
+    merge emits disjoint pair partials → ONE pair-hash exchange sums
+    and thresholds. Returns (d1, d2, n_shared), d1 < d2."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    fps = winnowing_fingerprints(docs_ds, k=k, w=w, text_col=text_col,
+                                 id_col=id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = (pa.table({"d": t[id_col], "fp": t["fp"]})
+             .group_by(["d", "fp"]).aggregate([]))
+        return g.append_column(
+            "part", pa.array(fast_part_hash(
+                g["fp"].cast(pa.string()), n_parts)))
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["d", "fp"])
+        sz = df.groupby("fp")["d"].transform("size")
+        df = df[sz <= max_df]
+        m = df.merge(df, on="fp")
+        m = m[m["d_x"] < m["d_y"]]
+        g = (m.groupby(["d_x", "d_y"], as_index=False).size()
+             .rename(columns={"d_x": "d1", "d_y": "d2", "size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        key = g["d1"].astype(str) + "\x1f" + g["d2"].astype(str)
+        g["p2"] = fast_part_hash(list(key), n_parts)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["d1", "d2"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_shared]
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": "n_shared"})
+
+    return (fps.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(cross, batch_format="pandas")
+            .groupby("p2").map_groups(fold, batch_format="pandas"))

@@ -415,3 +415,25 @@ def test_late_events_watermark_semantics(ray_session):
                 (r.n_events, r.n_late) for r in out.itertuples()}
     assert per_hour[0] == (3, 2)   # hours 0.0, 0.5(late), 0.2(late)
     assert per_hour[2] == (2, 0)   # hours 2.0, 2.9
+
+
+def test_winnowing_pairs_planted_and_df_cap(ray_session):
+    """Two near-identical docs pair up; a fingerprint shared by MANY
+    docs (boilerplate) is df-capped out and creates no pairs."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    boiler = "one two three four five six"
+    docs = [{"doc_id": 1, "text": shared + " tailone"},
+            {"doc_id": 2, "text": shared + " tailtwo"}]
+    docs += [{"doc_id": 10 + i, "text": boiler} for i in range(6)]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    out = winnowing_pairs(ds, k=3, w=4, min_shared=2, max_df=4) \
+        .to_pandas()
+    got = {(r.d1, r.d2) for r in out.itertuples()}
+    assert (1, 2) in got
+    assert all(d1 < 10 for d1, _ in got)  # boilerplate capped out
+    n12 = out[(out.d1 == 1) & (out.d2 == 2)]["n_shared"].iloc[0]
+    assert n12 >= 2

@@ -517,30 +517,21 @@ def fact_support(facts_ds, n_parts: int | None = None):
             .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
-def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
-    """TEMPORAL KG SNAPSHOT: the CURRENT assertion per (subject,
-    predicate) — for every functional-property slot, the fact from the
-    most recently fetched page, with its fetch time and source. A KG
-    built from recrawls must supersede stale assertions (the page that
-    said ``basedIn X`` in 2023 loses to the 2025 recrawl saying
-    ``basedIn Y``); the reference emits every assertion with no
-    temporal resolution (one triple per relation), so this is the
-    as-of step a consumer runs after it.
-
-    Shape: ONE url-hash co-partition exchange attaches each page's
-    ``warc_ts`` to its fact assertions (tagged union + groupby — the
-    page table streams, never broadcast), then ONE (subj, pred)-hash
-    exchange keeps the max-(ts, src_url) row per slot via vectorized
-    sort + drop_duplicates. Returns (subj, pred, obj, last_ts,
-    src_url); ``last_ts`` stays a microsecond timestamp end-to-end.
-    """
-    import numpy as np
+def _attach_page_ts(facts_ds, pages_ds, n_parts: int, post):
+    """Shared temporal-attach exchange for `current_facts` /
+    `fact_intervals`: ONE url-hash co-partition tag union joins each
+    page's max ``warc_ts`` onto its fact assertions (the page table
+    streams, never broadcast); facts whose src_url has no pages row
+    are DROPPED (pageless facts are unknowable-as-of, not infinitely
+    old — both consumers share this contract and the oracle's inner
+    join). ``post(df)`` runs inside the same map_groups on the
+    attached frame (subj, pred, obj, url, ts_us) — the hook where
+    each consumer fuses its per-partition combiner before its own
+    second exchange."""
     import pandas as pd
     import pyarrow.compute as pc
 
     from ..functions.hashing import fast_part_hash
-    from ..runtime import default_parts
-    n_parts = n_parts or default_parts(1.0)
 
     def tag_f(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -565,16 +556,42 @@ def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
         # contributes its LATEST fetch to every fact it asserts)
         ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
               .groupby("url")["ts_us"].max())
-        # CONTRACT: a fact whose src_url has no pages row carries no
-        # fetch time and cannot participate in recency supersession —
-        # it is DROPPED, matching the oracle's inner join on uts
-        # (pageless facts are unknowable-as-of, not infinitely old).
         rows = df[df["subj"].notna()].merge(
             ts, left_on="url", right_index=True, how="inner",
             suffixes=("", "_p"))
         out = rows[["subj", "pred", "obj", "url"]].copy()
         out["ts_us"] = rows["ts_us_p"].astype("int64")
-        # per-partition combiner: keep the local max-(ts, url) per slot
+        return post(out)
+
+    return (tagged.repartition(n_parts)
+            .groupby("part").map_groups(attach, batch_format="pandas"))
+
+
+def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
+    """TEMPORAL KG SNAPSHOT: the CURRENT assertion per (subject,
+    predicate) — for every functional-property slot, the fact from the
+    most recently fetched page, with its fetch time and source. A KG
+    built from recrawls must supersede stale assertions (the page that
+    said ``basedIn X`` in 2023 loses to the 2025 recrawl saying
+    ``basedIn Y``); the reference emits every assertion with no
+    temporal resolution (one triple per relation), so this is the
+    as-of step a consumer runs after it.
+
+    Shape: the shared `_attach_page_ts` url-hash exchange (pageless
+    facts dropped there — the shared contract), with the per-partition
+    combiner fused into it (keep the local max-(ts, src_url) row per
+    slot), then ONE (subj, pred)-hash exchange keeps the global max
+    via vectorized sort + drop_duplicates. Returns (subj, pred, obj,
+    last_ts, src_url); ``last_ts`` stays a microsecond timestamp
+    end-to-end."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def slot_max(out: pd.DataFrame) -> pd.DataFrame:
         out = out.sort_values(["subj", "pred", "ts_us", "url", "obj"],
                               ascending=[True, True, False, False, False])
         out = out.drop_duplicates(["subj", "pred"], keep="first")
@@ -586,8 +603,7 @@ def current_facts(facts_ds, pages_ds, n_parts: int | None = None):
                             ascending=[True, True, False, False, False])
         return df.drop_duplicates(["subj", "pred"], keep="first")
 
-    g = (tagged.repartition(n_parts)
-         .groupby("part").map_groups(attach, batch_format="pandas")
+    g = (_attach_page_ts(facts_ds, pages_ds, n_parts, post=slot_max)
          .groupby("p2").map_groups(finish, batch_format="pandas"))
 
     def to_out(t: pa.Table) -> pa.Table:
@@ -611,16 +627,14 @@ def fact_intervals(facts_ds, pages_ds, n_parts: int | None = None):
     temporal axis at all — every assertion is eternal,
     ObjectProcessor.java:235-246).
 
-    Shape: ONE url-hash co-partition exchange attaches each page's
-    ``warc_ts`` to its assertions (the `current_facts` tag union —
-    pages stream, never broadcast), then ONE (subj, pred)-hash
-    exchange where the run-collapse is pure vectorized pandas
-    (sort → shift → cumsum → groupby). Total order inside a slot is
-    (ts, src_url, obj), the same deterministic tiebreak
-    `current_facts` uses. Pageless facts are dropped (same contract).
-    Returns (subj, pred, obj, from_ts, to_ts, n_assertions,
-    episode_no) with episode_no 1-based per slot in time order."""
-    import numpy as np
+    Shape: the shared `_attach_page_ts` url-hash exchange (pageless
+    facts dropped there — the `current_facts` contract), then ONE
+    (subj, pred)-hash exchange where the run-collapse is pure
+    vectorized pandas (sort → shift → cumsum → groupby). Total order
+    inside a slot is (ts, src_url, obj), the same deterministic
+    tiebreak `current_facts` uses. Returns (subj, pred, obj, from_ts,
+    to_ts, n_assertions, episode_no) with episode_no 1-based per slot
+    in time order."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -628,32 +642,7 @@ def fact_intervals(facts_ds, pages_ds, n_parts: int | None = None):
     from ..runtime import default_parts
     n_parts = n_parts or default_parts(1.0)
 
-    def tag_f(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": t["src_url"], "subj": t["subj"], "pred": t["pred"],
-            "obj": t["obj"], "ts_us": pa.nulls(t.num_rows, pa.int64()),
-            "part": pa.array(fast_part_hash(t["src_url"], n_parts))})
-
-    def tag_p(t: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
-        return pa.table({
-            "url": t["url"], "subj": pa.nulls(t.num_rows, pa.string()),
-            "pred": pa.nulls(t.num_rows, pa.string()),
-            "obj": pa.nulls(t.num_rows, pa.string()),
-            "ts_us": ts,
-            "part": pa.array(fast_part_hash(t["url"], n_parts))})
-
-    tagged = (facts_ds.map_batches(tag_f, batch_format="pyarrow")
-              .union(pages_ds.map_batches(tag_p, batch_format="pyarrow")))
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        ts = (df.loc[df["ts_us"].notna(), ["url", "ts_us"]]
-              .groupby("url")["ts_us"].max())
-        rows = df[df["subj"].notna()].merge(
-            ts, left_on="url", right_index=True, how="inner",
-            suffixes=("", "_p"))
-        out = rows[["subj", "pred", "obj", "url"]].copy()
-        out["ts_us"] = rows["ts_us_p"].astype("int64")
+    def to_p2(out: pd.DataFrame) -> pd.DataFrame:
         out["p2"] = fast_part_hash(out["subj"], n_parts)
         return out
 
@@ -675,8 +664,7 @@ def fact_intervals(facts_ds, pages_ds, n_parts: int | None = None):
                            .cumcount() + 1).astype("int64")
         return g
 
-    g = (tagged.repartition(n_parts)
-         .groupby("part").map_groups(attach, batch_format="pandas")
+    g = (_attach_page_ts(facts_ds, pages_ds, n_parts, post=to_p2)
          .groupby("p2").map_groups(collapse, batch_format="pandas"))
 
     def to_out(t: pa.Table) -> pa.Table:

@@ -2389,6 +2389,8 @@ def late_events(ev_ds, late_hours: int = 1, n_parts: int | None = None):
     prefix-max with its carry-in, classifies vectorized, and emits
     per-hour PARTIAL counts; a final hour-hash exchange over
     hour-cardinality rows sums. No global sort, no driver rows."""
+    from ray.data.aggregate import Max, Min
+
     from ..functions.hashing import fast_part_hash
     from ..runtime import default_parts
     n_parts = n_parts or default_parts(1.0)
@@ -2396,12 +2398,18 @@ def late_events(ev_ds, late_hours: int = 1, n_parts: int | None = None):
     HOUR = 3_600_000_000
     SENT = np.iinfo(np.int64).min
 
-    lo = ev_ds.min("event_id")
-    hi = ev_ds.max("event_id")
-    span = max(int(hi) - int(lo) + 1, 1)
+    # the stream is consumed by three passes (bounds, carry partials,
+    # classify) — materialize once instead of re-running the upstream
+    ev_ds = ev_ds.materialize()
+    bounds = ev_ds.aggregate(Min("event_id"), Max("event_id"))
+    lo = int(bounds["min(event_id)"])
+    span = max(int(bounds["max(event_id)"]) - lo + 1, 1)
+    # overflow-free monotone bucketing: width = ceil(span / n_parts)
+    # ((eid-lo)*n_parts can exceed int64 for snowflake-style id spans)
+    width = -(-span // n_parts)
 
     def bucket_of(eids: np.ndarray) -> np.ndarray:
-        return (eids - int(lo)) * n_parts // span
+        return (eids - lo) // width
 
     def part_max(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False) \

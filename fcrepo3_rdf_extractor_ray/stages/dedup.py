@@ -1543,46 +1543,19 @@ def winnowing_pairs(docs_ds, k: int = 3, w: int = 4,
     t tokens shares ~t/w selections) where MinHash only sees whole-doc
     Jaccard.
 
-    Shape: selection is per-doc (no exchange), then distinct (doc, fp)
-    → ONE fp-hash exchange co-locating each fingerprint's doc list —
-    fingerprints with more than ``max_df`` docs are DROPPED there
-    (boilerplate shingles; the same df cap `ngram_pairs` applies, and
-    the drop is the standard quadratic-wedge guard) — per-fp cross
-    merge emits disjoint pair partials → ONE pair-hash exchange sums
-    and thresholds. Returns (d1, d2, n_shared), d1 < d2."""
-    from ..functions.hashing import fast_part_hash
-    from ..runtime import default_parts
-    n_parts = n_parts or default_parts(1.0)
+    Shape: selection is per-doc (no exchange), then `wedge_pairs` on
+    block = the fingerprint, item = the doc — ONE fp-hash exchange
+    where fingerprints wider than ``max_df`` docs are DROPPED
+    (boilerplate shingles; the same df cap `ngram_pairs` applies) and
+    ONE pair-hash threshold sum. Returns (d1, d2, n_shared), d1 < d2."""
+    from .graph import wedge_pairs
 
     fps = winnowing_fingerprints(docs_ds, k=k, w=w, text_col=text_col,
                                  id_col=id_col)
-
-    def tag(t: pa.Table) -> pa.Table:
-        g = (pa.table({"d": t[id_col], "fp": t["fp"]})
-             .group_by(["d", "fp"]).aggregate([]))
-        return g.append_column(
-            "part", pa.array(fast_part_hash(
-                g["fp"].cast(pa.string()), n_parts)))
-
-    def cross(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["d", "fp"])
-        sz = df.groupby("fp")["d"].transform("size")
-        df = df[sz <= max_df]
-        m = df.merge(df, on="fp")
-        m = m[m["d_x"] < m["d_y"]]
-        g = (m.groupby(["d_x", "d_y"], as_index=False).size()
-             .rename(columns={"d_x": "d1", "d_y": "d2", "size": "n"}))
-        g["n"] = g["n"].astype("int64")
-        key = g["d1"].astype(str) + "\x1f" + g["d2"].astype(str)
-        g["p2"] = fast_part_hash(list(key), n_parts)
-        return g
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["d1", "d2"], as_index=False)["n"].sum()
-        g = g[g["n"] >= min_shared]
-        g["n"] = g["n"].astype("int64")
-        return g.rename(columns={"n": "n_shared"})
-
-    return (fps.map_batches(tag, batch_format="pyarrow")
-            .groupby("part").map_groups(cross, batch_format="pandas")
-            .groupby("p2").map_groups(fold, batch_format="pandas"))
+    flat = fps.map_batches(
+        lambda t: pa.table({"d": t[id_col], "fp": t["fp"]}),
+        batch_format="pyarrow")
+    return wedge_pairs(flat, block_cols=["fp"], item_col="d",
+                       min_count=min_shared, max_df=max_df,
+                       out_cols=("d1", "d2", "n_shared"),
+                       n_parts=n_parts)

@@ -3008,6 +3008,70 @@ def harmonic_2hop(edges_ds, a_col: str = "subj", b_col: str = "obj",
             .groupby("part").map_groups(final_sum, batch_format="pandas"))
 
 
+def wedge_pairs(ds, block_cols, item_col, min_count: int = 1,
+                max_df: int | None = None,
+                out_cols=("d1", "d2", "n"),
+                n_parts: int | None = None):
+    """Shared BLOCKING-KEY PAIR COUNTER — the wedge shape
+    `sameas_candidates`, `winnowing_pairs` and `host_cocitation` all
+    instantiate: count, for every unordered pair of ITEMS, the number
+    of distinct BLOCKS containing both.
+
+    Shape: per-batch DISTINCT (item, block) combiner → ONE block-hash
+    exchange co-locating each block's item list (blocks wider than
+    ``max_df`` items are DROPPED there — the quadratic-wedge guard) →
+    per-block vectorized cross merge emits C(n, 2) pair PARTIALS (a
+    block lives in exactly one partition, so partials are disjoint) →
+    ONE pair-hash exchange sums and thresholds at ``min_count``. Cost
+    is Σ n_items² over blocks — `two_hop_scores`' bound. Input batches
+    must carry ``block_cols`` + ``item_col``; items must be mutually
+    orderable (the pair is emitted as (min, max))."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    block_cols = list(block_cols)
+    c1, c2, cn = out_cols
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (t.select([item_col] + block_cols)
+             .group_by([item_col] + block_cols).aggregate([]))
+        key = g[block_cols[0]].cast(pa.string())
+        for c in block_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, g[c].cast(pa.string()), "\x1f")
+        return g.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([item_col] + block_cols)
+        if max_df is not None:
+            sz = df.groupby(block_cols)[item_col].transform("size")
+            df = df[sz <= max_df]
+        m = df[[item_col] + block_cols].merge(
+            df[[item_col] + block_cols], on=block_cols)
+        a, b = item_col + "_x", item_col + "_y"
+        m = m[m[a] < m[b]]
+        g = (m.groupby([a, b], as_index=False).size()
+             .rename(columns={a: c1, b: c2, "size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        key = g[c1].astype(str) + "\x1f" + g[c2].astype(str)
+        g["p2"] = fast_part_hash(list(key), n_parts)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([c1, c2], as_index=False)["n"].sum()
+        if min_count > 1:
+            g = g[g["n"] >= min_count]
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": cn})
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(cross, batch_format="pandas")
+            .groupby("p2").map_groups(fold, batch_format="pandas"))
+
+
 def sameas_candidates(facts_ds, min_shared: int = 2,
                       subj_col: str = "subj", pred_col: str = "pred",
                       obj_col: str = "obj", n_parts: int | None = None):
@@ -3019,50 +3083,23 @@ def sameas_candidates(facts_ds, min_shared: int = 2,
     identically in the graph). Classic blocking-key ER: the block key
     is the (pred, obj) slot itself.
 
-    Shape: per-batch DISTINCT (subj, pred, obj) combiner → ONE
-    (pred, obj)-hash exchange co-locating each slot's subject list →
-    per-slot vectorized cross merge emits C(n_subj, 2) pair partials
-    (a slot lives in exactly one partition, so partials are disjoint)
-    → ONE pair-hash exchange sums and thresholds. Cost is Σ n_subj²
-    over slots — the `two_hop_scores` wedge bound; a slot shared by a
-    true hub ('rdf:type kg:WebPage'-class predicates) must be excluded
-    upstream or df-capped, exactly as `ngram_pairs` caps df.
+    Shape: `wedge_pairs` on block = the (pred, obj) slot, item = the
+    subject — per-batch distinct combiner, ONE slot-hash exchange with
+    the per-slot cross merge, ONE pair-hash threshold sum. Cost is
+    Σ n_subj² over slots; a slot shared by a true hub
+    ('rdf:type kg:WebPage'-class predicates) must be excluded upstream
+    or df-capped, exactly as `ngram_pairs` caps df.
 
     Returns (e1, e2, n_shared) with n_shared ≥ min_shared."""
-    import pandas as pd
 
-    from ..functions.hashing import fast_part_hash
-    from ..runtime import default_parts
-    n_parts = n_parts or default_parts(1.0)
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t[subj_col], "p": t[pred_col],
+                         "o": t[obj_col]})
 
-    def combine(t: pa.Table) -> pa.Table:
-        g = (pa.table({"s": t[subj_col], "p": t[pred_col],
-                       "o": t[obj_col]})
-             .group_by(["s", "p", "o"]).aggregate([]))
-        key = pc.binary_join_element_wise(g["p"], g["o"], "\x1f")
-        return g.append_column(
-            "part", pa.array(fast_part_hash(key, n_parts)))
-
-    def cross(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["s", "p", "o"])
-        m = df.merge(df, on=["p", "o"])
-        m = m[m["s_x"] < m["s_y"]]
-        g = (m.groupby(["s_x", "s_y"], as_index=False).size()
-             .rename(columns={"s_x": "e1", "s_y": "e2", "size": "n"}))
-        g["n"] = g["n"].astype("int64")
-        key = g["e1"] + "\x1f" + g["e2"]
-        g["p2"] = fast_part_hash(list(key), n_parts)
-        return g
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["e1", "e2"], as_index=False)["n"].sum()
-        g = g[g["n"] >= min_shared]
-        g["n"] = g["n"].astype("int64")
-        return g.rename(columns={"n": "n_shared"})
-
-    return (facts_ds.map_batches(combine, batch_format="pyarrow")
-            .groupby("part").map_groups(cross, batch_format="pandas")
-            .groupby("p2").map_groups(fold, batch_format="pandas"))
+    return wedge_pairs(
+        facts_ds.map_batches(project, batch_format="pyarrow"),
+        block_cols=["p", "o"], item_col="s", min_count=min_shared,
+        out_cols=("e1", "e2", "n_shared"), n_parts=n_parts)
 
 
 def property_path(facts_ds, pred: str = "kg:acquired", max_len: int = 3,
@@ -3093,8 +3130,13 @@ def property_path(facts_ds, pred: str = "kg:acquired", max_len: int = 3,
              .group_by(["a", "b"]).aggregate([]))
         return g
 
-    edges = facts_ds.map_batches(edge_rows,
-                                 batch_format="pyarrow").materialize()
+    # GLOBAL distinct before materializing: the same edge is asserted
+    # by many docs across many batches, and this table rides every
+    # round's exchange — shuffle volume must scale with distinct
+    # edges, not assertion count
+    edges = _distinct(
+        facts_ds.map_batches(edge_rows, batch_format="pyarrow"),
+        ["a", "b"], n_parts=n_parts).materialize()
 
     def tag(col, vals_tbl_cols, tagv):
         def fn(t: pa.Table) -> pa.Table:

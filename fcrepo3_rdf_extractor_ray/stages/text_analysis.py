@@ -1750,7 +1750,16 @@ def bigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
     import ray
 
     from ..functions.hashing import fast_part_hash
-    SEP = "\x1f"
+
+    def bikey(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+        # INJECTIVE pair encoding: a separator char can occur inside a
+        # token (tokens are \s+-split), so a joined string would merge
+        # distinct bigrams ('a\x1fb','c') vs ('a','b\x1fc'); the
+        # length prefix makes the split point part of the key
+        u1, u2 = w1.astype("U"), w2.astype("U")
+        lens = np.char.str_len(u1).astype("U")
+        return np.char.add(np.char.add(lens, ","),
+                           np.char.add(u1, u2))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         arr = pc.split_pattern_regex(
@@ -1765,18 +1774,19 @@ def bigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
         if len(flat) > 1:
             same = doc_idx[1:] == doc_idx[:-1]
             w1, w2 = flat[:-1][same], flat[1:][same]
-            bi = pd.Series(np.char.add(np.char.add(
-                w1.astype("U"), SEP), w2.astype("U"))).value_counts()
+            bi = (pd.DataFrame({"k": bikey(w1, w2), "left": w1})
+                  .groupby(["k", "left"], as_index=False).size())
         else:
-            bi = pd.Series([], dtype="int64")
+            bi = pd.DataFrame({"k": [], "left": [], "size": []})
         keys = np.concatenate([uni.index.to_numpy(dtype=object),
-                               bi.index.to_numpy(dtype=object)])
-        ns = np.concatenate([uni.to_numpy(), bi.to_numpy()]) \
-            .astype("int64")
+                               bi["k"].to_numpy(dtype=object)])
+        ns = np.concatenate([uni.to_numpy(),
+                             bi["size"].to_numpy()]).astype("int64")
         tag = np.concatenate([np.zeros(len(uni), np.int8),
                               np.ones(len(bi), np.int8)])
         # bigram rows hash on their LEFT word: related rows co-locate
-        left = np.array([k.split(SEP, 1)[0] for k in keys], dtype=object)
+        left = np.concatenate([uni.index.to_numpy(dtype=object),
+                               bi["left"].to_numpy(dtype=object)])
         return pd.DataFrame({
             "key": keys, "n": ns, "tag": tag,
             "part": fast_part_hash(list(left), n_parts)})
@@ -1821,8 +1831,7 @@ def bigram_lm_scores(docs_ds, text_col="text", id_col="doc_id",
             return pd.DataFrame({id_col: [], "n_bigrams": [],
                                  "sum_score": [], "avg_score": []}) \
                 .astype("int64")
-        bkey = np.char.add(np.char.add(w1.astype("U"), SEP),
-                           w2.astype("U"))
+        bkey = bikey(w1, w2)
         i1 = pc.index_in(pa.array(w1, pa.string()),
                          value_set=uni["key"].combine_chunks())
         c1 = pc.take(uni["n"].combine_chunks(), i1).to_numpy()

@@ -1259,18 +1259,14 @@ def host_cocitation(pages_ds, html_col: str = "html",
 
     Shape: the `anchor_host_graph` edge set (already distinct
     (src, dst), host-pair cardinality — far below page cardinality) →
-    self-loops dropped → ONE src-hash exchange co-locates each source
-    host's out-neighborhood → per-src vectorized cross merge emits its
-    C(d_out, 2) pairs as PARTIAL counts (a src appears in exactly one
-    partition, so partition pair-counts are disjoint contributions) →
-    ONE pair-hash exchange sums. Cost is Σ d_out² over source hosts —
-    the same wedge bound as `two_hop_scores`; cap directory-page
-    out-degree upstream if a true hub dominates.
+    self-loops dropped → `wedge_pairs` on block = the source host,
+    item = the destination host (ONE src-hash exchange with the
+    per-src cross merge, ONE pair-hash sum). Cost is Σ d_out² over
+    source hosts — the same wedge bound as `two_hop_scores`; cap
+    directory-page out-degree upstream if a true hub dominates.
 
     Returns (h1, h2, n_cociting)."""
-    from ..functions.hashing import fast_part_hash
-    from ..runtime import default_parts
-    n_parts = n_parts or default_parts(1.0)
+    from .graph import wedge_pairs
 
     edges = anchor_host_graph(pages_ds, html_col=html_col,
                               url_col=url_col, id_col=id_col,
@@ -1278,25 +1274,9 @@ def host_cocitation(pages_ds, html_col: str = "html",
 
     def tag(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(t["src_host"], t["dst_host"])))
-        return pa.table({
-            "s": t["src_host"], "d": t["dst_host"],
-            "part": pa.array(fast_part_hash(t["src_host"], n_parts))})
+        return pa.table({"s": t["src_host"], "d": t["dst_host"]})
 
-    def cross(df: pd.DataFrame) -> pd.DataFrame:
-        m = df[["s", "d"]].merge(df[["s", "d"]], on="s")
-        m = m[m["d_x"] < m["d_y"]]
-        g = (m.groupby(["d_x", "d_y"], as_index=False).size()
-             .rename(columns={"d_x": "h1", "d_y": "h2", "size": "n"}))
-        g["n"] = g["n"].astype("int64")
-        key = g["h1"] + "\x1f" + g["h2"]
-        g["p2"] = fast_part_hash(list(key), n_parts)
-        return g
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["h1", "h2"], as_index=False)["n"].sum()
-        g["n"] = g["n"].astype("int64")
-        return g.rename(columns={"n": "n_cociting"})
-
-    return (edges.map_batches(tag, batch_format="pyarrow")
-            .groupby("part").map_groups(cross, batch_format="pandas")
-            .groupby("p2").map_groups(fold, batch_format="pandas"))
+    return wedge_pairs(edges.map_batches(tag, batch_format="pyarrow"),
+                       block_cols=["s"], item_col="d",
+                       out_cols=("h1", "h2", "n_cociting"),
+                       n_parts=n_parts)

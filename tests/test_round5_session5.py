@@ -437,3 +437,23 @@ def test_winnowing_pairs_planted_and_df_cap(ray_session):
     assert all(d1 < 10 for d1, _ in got)  # boilerplate capped out
     n12 = out[(out.d1 == 1) & (out.d2 == 2)]["n_shared"].iloc[0]
     assert n12 >= 2
+
+
+def test_bigram_lm_separator_tokens_dont_collide(ray_session):
+    """Tokens may contain any non-whitespace byte: ('a\\x1fb','c') and
+    ('a','b\\x1fc') are DIFFERENT bigrams (the count key is
+    length-prefixed, not separator-joined)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        bigram_lm_scores)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a\x1fb c", "a b\x1fc", "a\x1fb c"]})
+    out = (bigram_lm_scores(rd.from_arrow(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # unigrams: a\x1fb=2, c=2, a=1, b\x1fc=1 -> V=4
+    # bigram (a\x1fb, c)=2 ; (a, b\x1fc)=1 — MUST stay separate
+    # doc1/doc3: 1e6*3 // (2+4) = 500000 ; doc2: 1e6*2 // (1+4) = 400000
+    assert out["sum_score"].tolist() == [500000, 400000, 500000]

@@ -5,9 +5,12 @@ with every copy retaining its intra-copy duplicate structure) and
 report walls + output volumes. The point is the SHAPE at scale: the
 per-doc selection is exchange-free and must scale linearly; the two
 wedge ops are bounded by Σ n² over their block keys and must not blow
-up when the corpus multiplies (block sizes grow by the repeat factor
-— the df cap is what keeps the pair stage polynomial-bounded, and the
-run records how many fingerprints it dropped).
+up when the corpus multiplies. Amplification SALTS each copy's tokens
+so block structure (dup-group size, fingerprint df) stays constant per
+copy while volume grows; the unsalted id-shift variant (every dup
+group × REPEAT, all shared fingerprints pushed past max_df so the cap
+drops every pair) was run once and recorded in BASELINE.md as the
+cap-behavior datapoint.
 
 Usage: python tools/stress_session5.py [sf_dir] [repeat] [num_cpus]
 """
@@ -80,9 +83,8 @@ out["winnowing_select_sec"] = round(time.time() - t0, 2)
 out["winnowing_selections"] = n_fp
 
 t0 = time.time()
-# id-shifted copies: every text's dup-group size multiplies by REPEAT,
-# so df-capping is doing real work here (max_df=32 < typical group
-# size at ×50) — the run must stay wedge-bounded, not quadratic
+# salted copies: dup structure constant per copy, so pair output and
+# wall must scale ~linearly with REPEAT (the wedge stays bounded)
 n_pairs = winnowing_pairs(docs, k=3, w=4, min_shared=2,
                           max_df=32).count()
 out["winnowing_pairs_sec"] = round(time.time() - t0, 2)

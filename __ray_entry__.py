@@ -2077,6 +2077,52 @@ def _q_mm_image_hist(sf_dir: str):
                              batch_format="pyarrow", batch_size=64)
 
 
+def _q_web_revisits(sf_dir: str):
+    """WARC revisit classification over a deterministic 3-capture
+    recrawl CDX (day 0, +30 d, +60 d; every doc_id % 4 == 1 page
+    changes at +30 d and stays changed): per urlkey in capture order —
+    original / revisit (digest equals the previous capture's; payload
+    bytes saved) / changed. One urlkey exchange; lag() oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.web import revisit_classify
+
+    BASE = 1_700_000_000_000_000
+    DAY = 86_400_000_000
+
+    def captures(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        key = np.char.add(np.char.add(
+            "org,ex", (ids % 20).astype("U")),
+            np.char.add(")/p/", ids.astype("U")))
+        d0 = np.array([hashlib.md5(t.encode()).hexdigest()
+                       for t in df["text"]], dtype=object)
+        d1 = np.array([hashlib.md5((t + "!").encode()).hexdigest()
+                       for t in df["text"]], dtype=object)
+        changed = ids % 4 == 1
+        dmid = np.where(changed, d1, d0)
+        plen = df["n_chars"].to_numpy().astype(np.int64)
+
+        def ts_str(off_days):
+            us = BASE + ids * DAY + off_days * 30 * DAY
+            return pd.to_datetime(us, unit="us") \
+                .strftime("%Y%m%d%H%M%S").to_numpy(dtype=object)
+
+        return pd.DataFrame({
+            "urlkey": np.concatenate([key, key, key]),
+            "ts": np.concatenate([ts_str(0), ts_str(1), ts_str(2)]),
+            "digest": np.concatenate([d0, dmid, dmid]),
+            "payload_len": np.concatenate([plen, plen, plen])})
+
+    cdx = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        captures, batch_format="pandas")
+    return revisit_classify(cdx)
+
+
 def _q_ta_group_concat(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         group_concat_docs)
@@ -2762,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnowing": _q_dedup_winnowing,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "web_cdx": _q_web_cdx,
+        "web_revisits": _q_web_revisits,
         "web_wet": _q_web_wet,
         # round-5 NEW oracle entry (JSONL corpus round-trip):
         "web_jsonl": _q_web_jsonl,
@@ -4722,6 +4769,26 @@ SELECT 'org,ex' || (doc_id % 20)::VARCHAR || ')/p/'
        ts, url, 'text/html' AS mime, 200::BIGINT AS status,
        md5(html) AS digest, len(html)::BIGINT AS payload_len
 FROM t
+"""
+    # revisit classification: 3-capture recrawl replay, lag() window
+    d["web_revisits"] = """
+WITH c AS (
+  SELECT 'org,ex' || (doc_id % 20)::VARCHAR || ')/p/'
+             || doc_id::VARCHAR AS urlkey,
+         strftime(make_timestamp(1700000000000000
+                  + doc_id * 86400000000 + cap * 30 * 86400000000),
+                  '%Y%m%d%H%M%S') AS ts,
+         CASE WHEN cap >= 1 AND doc_id % 4 = 1 THEN md5(text || '!')
+              ELSE md5(text) END AS digest,
+         n_chars::BIGINT AS plen
+  FROM documents, LATERAL (SELECT unnest(range(3)) AS cap) g)
+SELECT urlkey, ts,
+       CASE WHEN lag(digest) OVER w IS NULL THEN 'original'
+            WHEN digest = lag(digest) OVER w THEN 'revisit'
+            ELSE 'changed' END AS verdict,
+       CASE WHEN digest = lag(digest) OVER w THEN plen
+            ELSE 0 END AS saved_bytes
+FROM c WINDOW w AS (PARTITION BY urlkey ORDER BY ts, digest)
 """
     # WET round-trip preserves the extracted text byte-exactly, so it
     # shares the extracted-text oracle verbatim

@@ -1280,3 +1280,49 @@ def host_cocitation(pages_ds, html_col: str = "html",
                        block_cols=["s"], item_col="d",
                        out_cols=("h1", "h2", "n_cociting"),
                        n_parts=n_parts)
+
+
+def revisit_classify(cdx_ds, key_col: str = "urlkey",
+                     ts_col: str = "ts", digest_col: str = "digest",
+                     len_col: str = "payload_len",
+                     n_parts: int | None = None):
+    """WARC REVISIT classification — the web-archive storage dedup the
+    CDX index exists to drive (ISO 28500 §6.7 revisit records): per
+    urlkey in capture order, the first capture is the ORIGINAL;
+    each later capture whose digest equals the immediately preceding
+    capture's is a REVISIT (stored as a pointer, its payload bytes
+    saved), anything else is CHANGED. A crawler writing revisit
+    records instead of duplicate payloads is the single biggest
+    storage win on recrawl-heavy archives.
+
+    Shape: ONE urlkey-hash exchange co-locates each url's capture
+    history; the per-partition classify is pure vectorized pandas
+    (sort → groupwise shift → compare) and emits one row per capture —
+    no second exchange (verdicts are partition-local facts). Returns
+    (urlkey, ts, verdict, saved_bytes) with saved_bytes = payload_len
+    for revisits, else 0."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "urlkey": t[key_col], "ts": t[ts_col],
+            "digest": t[digest_col], "plen": t[len_col],
+            "part": pa.array(fast_part_hash(t[key_col], n_parts))})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["urlkey", "ts", "digest"],
+                            kind="mergesort").reset_index(drop=True)
+        same_key = df["urlkey"] == df["urlkey"].shift()
+        same_digest = df["digest"] == df["digest"].shift()
+        verdict = np.where(~same_key, "original",
+                           np.where(same_digest, "revisit", "changed"))
+        saved = np.where(verdict == "revisit",
+                         df["plen"].to_numpy(), 0).astype(np.int64)
+        return pd.DataFrame({
+            "urlkey": df["urlkey"], "ts": df["ts"],
+            "verdict": verdict, "saved_bytes": saved})
+
+    return (cdx_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(classify, batch_format="pandas"))

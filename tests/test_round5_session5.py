@@ -457,3 +457,24 @@ def test_bigram_lm_separator_tokens_dont_collide(ray_session):
     # bigram (a\x1fb, c)=2 ; (a, b\x1fc)=1 — MUST stay separate
     # doc1/doc3: 1e6*3 // (2+4) = 500000 ; doc2: 1e6*2 // (1+4) = 400000
     assert out["sum_score"].tolist() == [500000, 400000, 500000]
+
+
+def test_revisit_classify_verdict_sequence(ray_session):
+    """original -> changed -> revisit sequence, saved_bytes only on
+    revisits, urls isolated from each other."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import revisit_classify
+
+    cdx = pa.table({
+        "urlkey": ["a", "a", "a", "b", "b"],
+        "ts": ["20240101000000", "20240201000000", "20240301000000",
+               "20240101000000", "20240601000000"],
+        "digest": ["d1", "d2", "d2", "dX", "dX"],
+        "payload_len": pa.array([10, 20, 20, 7, 7], pa.int64())})
+    out = (revisit_classify(rd.from_arrow(cdx).repartition(2))
+           .to_pandas().sort_values(["urlkey", "ts"])
+           .reset_index(drop=True))
+    assert out["verdict"].tolist() == \
+        ["original", "changed", "revisit", "original", "revisit"]
+    assert out["saved_bytes"].tolist() == [0, 0, 20, 0, 7]

@@ -2799,7 +2799,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fronted for at least a rows-only driver row this round:
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_ivf": _q_sim_knn_ivf,
-        "mm_image_features": _q_mm_image_features,
         # round-5 NEW oracle entry (WARC round-trip flagship):
         "kg_quads_warc": _q_kg_quads_warc,
         # round-5 NEW oracle entries (ExactSubstr-style char dedup;
@@ -2847,6 +2846,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 NEW oracle entry (quality-aware near-dup selection):
         "prep_neardup_best": _q_prep_neardup_best,
         # round-4 driver-green entries (CORRECTNESS_r04 rows):
+        "ta_lm_bigram": _q_ta_lm_bigram,
+        "ta_readability": _q_ta_readability,
+        "ta_phrase": _q_ta_phrase,
+        "mm_image_hist": _q_mm_image_hist,
+        "rel_watermark": _q_rel_watermark,
+        "mm_image_features": _q_mm_image_features,
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
         "rel_retention": _q_rel_retention,
@@ -2891,9 +2896,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_outlink_stats": _q_web_outlink_stats,
         "kg_hits": _q_kg_hits,
         "ta_lm_score": _q_ta_lm_score,
-        "ta_lm_bigram": _q_ta_lm_bigram,
-        "ta_readability": _q_ta_readability,
-        "ta_phrase": _q_ta_phrase,
         "ta_segment_dedup": _q_ta_segment_dedup,
         "kg_trustrank": _q_kg_trustrank,
         "web_anchor_texts": _q_web_anchor_texts,
@@ -2918,7 +2920,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_conversion_lag": _q_rel_conversion_lag,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_image_decode": _q_mm_image_decode,
-        "mm_image_hist": _q_mm_image_hist,
         "mm_audio_windows": _q_mm_audio_windows,
         "rel_global_rank": _q_rel_global_rank,
         "rel_outer_join": _q_rel_outer_join,
@@ -2955,7 +2956,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": _q_rel_cube,
         "rel_mode": _q_rel_mode,
         "rel_cumsum": _q_rel_cumsum,
-        "rel_watermark": _q_rel_watermark,
         "rel_skew_join": _q_rel_skew_join,
         "dedup_editdist": _q_dedup_editdist,
         "kg_page_quads": _q_kg_page_quads,

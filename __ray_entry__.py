@@ -2540,6 +2540,56 @@ def _q_rel_watermark(sf_dir: str):
     return late_events(ev, late_hours=1)
 
 
+def _q_kg_star(sf_dir: str):
+    """Star-shaped BGP ``?s kg:worksWith ?a . ?s kg:acquired ?b``
+    (distinct bindings) — the subject-join companion of kg_bgp's
+    chain. One tag-union exchange on s; DISTINCT self-join oracle."""
+    from fcrepo3_rdf_extractor_ray.stages.graph import star_join
+
+    return star_join(_q_kg_fact_quads(sf_dir))
+
+
+def _q_rel_merge(sf_dir: str):
+    """CDC MERGE INTO over orders: a deterministic compacted change
+    stream (every 5th key's price +$5, every key ≡ 3 mod 11 deleted,
+    a fresh +1e9 insert per key ≡ 0 mod 7) applied in one key-hash
+    tag-union exchange; FULL OUTER JOIN oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        _read, merge_upsert)
+
+    def to_base(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"k": t["o_orderkey"], "cents": cents})
+
+    def to_updates(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mu = (k % 5 == 0) & (k % 11 != 3)
+        md = k % 11 == 3
+        mi = k % 7 == 0
+        ks = np.concatenate([k[mu], k[md], k[mi] + 1_000_000_000])
+        vs = np.concatenate([cents[mu] + 500, np.zeros(md.sum(), np.int64),
+                             123 + (k[mi] % 100)])
+        op = np.concatenate([np.full(mu.sum(), "U", object),
+                             np.full(md.sum(), "D", object),
+                             np.full(mi.sum(), "I", object)])
+        return pa.table({"k": pa.array(ks), "cents": pa.array(vs),
+                         "op": pa.array(op, pa.string())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    base = orders.map_batches(to_base, batch_format="pyarrow")
+    upd = orders.map_batches(to_updates, batch_format="pyarrow")
+    return merge_upsert(base, upd)
+
+
 def _q_rel_skew_join(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.relational import (
         skew_join_events_nation)
@@ -2797,8 +2847,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_violations": _q_kg_violations,
         # the 3 legit no_oracle entries, also never driver-sampled —
         # fronted for at least a rows-only driver row this round:
-        "dedup_embedding": _q_dedup_embedding,
-        "sim_knn_ivf": _q_sim_knn_ivf,
         # round-5 NEW oracle entry (WARC round-trip flagship):
         "kg_quads_warc": _q_kg_quads_warc,
         # round-5 NEW oracle entries (ExactSubstr-style char dedup;
@@ -2851,7 +2899,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_phrase": _q_ta_phrase,
         "mm_image_hist": _q_mm_image_hist,
         "rel_watermark": _q_rel_watermark,
+        "kg_star": _q_kg_star,
+        "rel_merge": _q_rel_merge,
         "mm_image_features": _q_mm_image_features,
+        "dedup_embedding": _q_dedup_embedding,
+        "sim_knn_ivf": _q_sim_knn_ivf,
         "kg_link_jaccard": _q_kg_link_jaccard,
         "ta_collocations": _q_ta_collocations,
         "rel_retention": _q_rel_retention,
@@ -5884,6 +5936,34 @@ SELECT subj, pred, min(obj) AS obj, min(ts) AS from_ts,
        ep::BIGINT AS episode_no
 FROM e GROUP BY subj, pred, ep
 """)
+    # star BGP: DISTINCT self-join on the shared subject
+    d["kg_star"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """
+SELECT DISTINCT f1.subj AS s, f1.obj AS a, f2.obj AS b
+FROM f f1 JOIN f f2 ON f1.subj = f2.subj
+WHERE f1.pred = 'kg:worksWith' AND f2.pred = 'kg:acquired'
+""")
+    # CDC MERGE: compacted change stream applied via FULL OUTER JOIN
+    d["rel_merge"] = """
+WITH b AS (SELECT o_orderkey AS k,
+                  round(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+u AS (SELECT k, cents + 500 AS cents, 'U' AS op FROM b
+      WHERE k % 5 = 0 AND k % 11 <> 3
+      UNION ALL
+      SELECT k, 0, 'D' FROM b WHERE k % 11 = 3
+      UNION ALL
+      SELECT k + 1000000000, (123 + k % 100)::BIGINT, 'I' FROM b
+      WHERE k % 7 = 0),
+m AS (SELECT coalesce(u.k, b.k) AS k,
+             CASE WHEN u.op IN ('U', 'I') THEN u.cents
+                  ELSE b.cents END AS cents,
+             CASE WHEN u.op = 'I' THEN 'inserted'
+                  WHEN u.op = 'U' THEN 'updated'
+                  WHEN u.op = 'D' THEN NULL
+                  ELSE 'kept' END AS action
+      FROM b FULL OUTER JOIN u ON u.k = b.k)
+SELECT k, cents, action FROM m WHERE action IS NOT NULL
+"""
     # sameAs candidates: DISTINCT triple self-join on (pred, obj)
     # over the alias-assertion replay (_alias_facts_batch)
     d["kg_sameas"] = ("""

@@ -2472,3 +2472,63 @@ def late_events(ev_ds, late_hours: int = 1, n_parts: int | None = None):
             "n_late": pc.cast(t["n_late"], pa.int64())})
 
     return out.map_batches(to_out, batch_format="pyarrow")
+
+
+def merge_upsert(base_ds, updates_ds, key_col: str = "k",
+                 val_col: str = "cents", op_col: str = "op",
+                 n_parts: int | None = None):
+    """CDC MERGE (the lakehouse ``MERGE INTO``): apply a key-unique,
+    compacted change stream — ``U`` (update value), ``D`` (delete),
+    ``I`` (insert new key) — to a base table in ONE key-hash tag-union
+    exchange; the per-partition resolve is three vectorized masks, no
+    join operator. Returns the merged table with its action audit
+    column (kept / updated / inserted; deleted keys are absent).
+
+    Contract: the change stream is COMPACTED (at most one op per key —
+    what a CDC reader emits per checkpoint); an I op's key must not
+    exist in the base (upstream assigns fresh keys). Neither is
+    checked per row here — compaction is the producer's invariant."""
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(keys),
+            "v": pc.cast(t[val_col], pa.int64()),
+            "op": pa.array(np.full(len(keys), "", object), pa.string()),
+            "is_base": pa.array(np.ones(len(keys), bool)),
+            "part": pa.array(fast_part_hash(keys, n_parts))})
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(keys),
+            "v": pc.cast(t[val_col], pa.int64()),
+            "op": pc.cast(t[op_col], pa.string()),
+            "is_base": pa.array(np.zeros(len(keys), bool)),
+            "part": pa.array(fast_part_hash(keys, n_parts))})
+
+    tagged = (base_ds.map_batches(tag_b, batch_format="pyarrow")
+              .union(updates_ds.map_batches(tag_u,
+                                            batch_format="pyarrow")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[df["is_base"]][["k", "v"]]
+        u = df[~df["is_base"]]
+        dels = set(u.loc[u["op"] == "D", "k"])
+        upd = u[u["op"] == "U"].set_index("k")["v"]
+        ins = u[u["op"] == "I"]
+        b = b[~b["k"].isin(dels)].copy()
+        newv = b["k"].map(upd)
+        b["action"] = np.where(newv.notna(), "updated", "kept")
+        b["v"] = newv.fillna(b["v"]).astype("int64")
+        out = pd.concat([
+            b[["k", "v", "action"]],
+            pd.DataFrame({"k": ins["k"], "v": ins["v"],
+                          "action": "inserted"})], ignore_index=True)
+        return out.rename(columns={"k": key_col, "v": val_col})
+
+    return tagged.groupby("part").map_groups(resolve,
+                                             batch_format="pandas")

@@ -3193,3 +3193,50 @@ def property_path(facts_ds, pred: str = "kg:acquired", max_len: int = 3,
         batch_format="pyarrow")
     return tagged.groupby("part").map_groups(min_len,
                                              batch_format="pandas")
+
+
+def star_join(facts_ds, p1: str = "kg:worksWith",
+              p2: str = "kg:acquired", subj_col: str = "subj",
+              pred_col: str = "pred", obj_col: str = "obj",
+              n_parts: int | None = None):
+    """STAR-shaped BGP ``?s p1 ?a . ?s p2 ?b`` — the subject-join
+    companion of `bgp_join`'s chain: DISTINCT bindings (s, a, b) for
+    subjects asserting BOTH predicates. Star queries are the entity-
+    card shape (all properties of one subject at once); the chain is
+    the path shape.
+
+    Same physical plan as `bgp_join` with the shared variable being
+    the SUBJECT on both sides: per-side per-batch DISTINCT combiners,
+    ONE tag-union exchange on s, per-partition cross merge. Result
+    size per subject is |a|·|b| — the query's own output, as with the
+    chain."""
+    import pandas as pd
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+
+    n_parts = n_parts or default_parts(1.0)
+
+    def side(pred, tag):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[pred_col], pred))
+            g = (pa.table({"key": t[subj_col], "val": t[obj_col]})
+                 .group_by(["key", "val"]).aggregate([]))
+            return pa.table({
+                "key": g["key"], "val": g["val"],
+                "tag": pa.array(np.full(g.num_rows, tag, np.int8)),
+                "part": pa.array(fast_part_hash(g["key"], n_parts))})
+        return fn
+
+    lhs = facts_ds.map_batches(side(p1, 0), batch_format="pyarrow")
+    rhs = facts_ds.map_batches(side(p2, 1), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        av = df[df["tag"] == 0][["key", "val"]].drop_duplicates()
+        bv = df[df["tag"] == 1][["key", "val"]].drop_duplicates()
+        out = av.merge(bv, on="key", suffixes=("_a", "_b"))
+        return pd.DataFrame({"s": out["key"], "a": out["val_a"],
+                             "b": out["val_b"]})
+
+    return (lhs.union(rhs).groupby("part")
+            .map_groups(merge, batch_format="pandas"))

@@ -478,3 +478,45 @@ def test_revisit_classify_verdict_sequence(ray_session):
     assert out["verdict"].tolist() == \
         ["original", "changed", "revisit", "original", "revisit"]
     assert out["saved_bytes"].tolist() == [0, 0, 20, 0, 7]
+
+
+def test_star_join_planted(ray_session):
+    """Subjects with both predicates bind |a|x|b|; single-sided
+    subjects never appear."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import star_join
+
+    facts = _facts([
+        ("s1", "kg:worksWith", "a1", "u1"),
+        ("s1", "kg:worksWith", "a2", "u2"),
+        ("s1", "kg:acquired", "b1", "u3"),
+        ("s2", "kg:worksWith", "a9", "u4"),  # no acquired
+        ("s3", "kg:acquired", "b9", "u5"),   # no worksWith
+    ])
+    out = (star_join(rd.from_arrow(facts).repartition(2))
+           .to_pandas().sort_values(["s", "a", "b"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [["s1", "a1", "b1"],
+                                   ["s1", "a2", "b1"]]
+
+
+def test_merge_upsert_semantics(ray_session):
+    """U updates in place, D removes, I appends; untouched rows kept."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.relational import (
+        merge_upsert)
+
+    base = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "cents": pa.array([100, 200, 300, 400], pa.int64())})
+    upd = pa.table({"k": pa.array([2, 3, 9], pa.int64()),
+                    "cents": pa.array([777, 0, 950], pa.int64()),
+                    "op": ["U", "D", "I"]})
+    out = (merge_upsert(rd.from_arrow(base).repartition(2),
+                        rd.from_arrow(upd))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 4, 9]
+    assert out["cents"].tolist() == [100, 777, 400, 950]
+    assert out["action"].tolist() == ["kept", "updated", "kept",
+                                      "inserted"]

@@ -558,6 +558,26 @@ def _q_kg_prop_path(sf_dir: str):
                          max_len=3)
 
 
+def _q_kg_shacl(sf_dir: str):
+    """SHACL min-count shape validation: every kg:WebPage subject
+    missing a required predicate (malformed pages deterministically
+    lack kg:title / kg:state under the P4 containment contract). One
+    subject-hash exchange; CROSS JOIN + anti-join oracle."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import shacl_report
+
+    return shacl_report(
+        _q_kg_page_quads(sf_dir).union(_q_kg_meta_quads(sf_dir)))
+
+
+def _q_kg_inverse(sf_dir: str):
+    """owl:inverseOf entailment: distinct inverse triples materialized
+    for the declared pairs (acquired/acquiredBy, basedIn/hosts). One
+    flip map + one identity-hash distinct exchange."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import inverse_closure
+
+    return inverse_closure(_q_kg_fact_quads(sf_dir))
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -2901,6 +2921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_watermark": _q_rel_watermark,
         "kg_star": _q_kg_star,
         "rel_merge": _q_rel_merge,
+        "kg_shacl": _q_kg_shacl,
+        "kg_inverse": _q_kg_inverse,
         "mm_image_features": _q_mm_image_features,
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_ivf": _q_sim_knn_ivf,
@@ -5935,6 +5957,27 @@ SELECT subj, pred, min(obj) AS obj, min(ts) AS from_ts,
        max(ts) AS to_ts, count(*)::BIGINT AS n_assertions,
        ep::BIGINT AS episode_no
 FROM e GROUP BY subj, pred, ep
+""")
+    # SHACL min-count: typed subjects cross required preds, anti-join
+    d["kg_shacl"] = (_U_CTE + """,
+q AS (""" + _PAGE_QUADS_SQL + " UNION ALL " + _META_QUADS_SQL + """),
+typed AS (SELECT DISTINCT subj FROM q
+          WHERE pred = 'rdf:type' AND obj = 'kg:WebPage'),
+req(missing_pred) AS (VALUES ('kg:fetchedAt'), ('kg:lang'),
+                             ('kg:domain'), ('kg:title'), ('kg:state')),
+have AS (SELECT DISTINCT subj, pred FROM q)
+SELECT typed.subj, req.missing_pred
+FROM typed CROSS JOIN req
+LEFT JOIN have ON have.subj = typed.subj
+              AND have.pred = req.missing_pred
+WHERE have.subj IS NULL
+""")
+    # owl:inverseOf entailment: distinct flipped triples
+    d["kg_inverse"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """,
+pairs(p, inv) AS (VALUES ('kg:acquired', 'kg:acquiredBy'),
+                         ('kg:basedIn', 'kg:hosts'))
+SELECT DISTINCT f.obj AS subj, pairs.inv AS pred, f.subj AS obj
+FROM f JOIN pairs ON f.pred = pairs.p
 """)
     # star BGP: DISTINCT self-join on the shared subject
     d["kg_star"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """

@@ -208,7 +208,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "ta_readability", "dedup_winnowing", "web_cocitation",
                  "ta_phrase", "kg_sameas", "kg_prop_path",
                  "mm_image_hist", "rel_watermark", "dedup_winnow_pairs",
-                 "web_revisits", "kg_star", "rel_merge"):
+                 "web_revisits", "kg_star", "rel_merge",
+                 "kg_shacl", "kg_inverse"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

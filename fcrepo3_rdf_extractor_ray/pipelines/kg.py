@@ -1387,3 +1387,106 @@ def negative_samples(facts_ds, k: int = 4, n_parts: int | None = None,
     return (resolved.map_batches(tag(0), batch_format="pyarrow")
             .union(tr.map_batches(tag(1), batch_format="pyarrow"))
             .groupby("part").map_groups(anti, batch_format="pandas"))
+
+
+SHACL_REQUIRED = ("kg:fetchedAt", "kg:lang", "kg:domain", "kg:title",
+                  "kg:state")
+
+
+def shacl_report(quads_ds, target_class: str = "kg:WebPage",
+                 required=SHACL_REQUIRED, n_parts: int | None = None):
+    """SHACL-style SHAPE VALIDATION: for every subject typed
+    ``target_class`` (rdf:type), report each REQUIRED predicate it
+    fails to assert — the sh:minCount 1 property-shape check a KG
+    publisher runs before release (the malformed-page contract makes
+    violations a deterministic part of this corpus: P4-contained pages
+    emit constant quads but no meta quads, so they lack kg:title /
+    kg:state). Complements `functional_violations` (max-cardinality)
+    with the min-cardinality half.
+
+    Shape: per-batch distinct (subj, pred) combiner (+ the rdf:type
+    target rows tagged along) → ONE subject-hash exchange → per-subject
+    vectorized set difference against the constant required tuple
+    (closure broadcast — vocabulary-sized). Returns (subj,
+    missing_pred), one row per violation."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    req = list(required)
+
+    def combine(t: pa.Table) -> pa.Table:
+        is_type = pc.and_(pc.equal(t["pred"], "rdf:type"),
+                          pc.equal(t["obj"], target_class))
+        keep = pc.or_(is_type, pc.is_in(
+            t["pred"], value_set=pa.array(req, pa.string())))
+        t = t.filter(keep)
+        g = (pa.table({"subj": t["subj"], "pred": t["pred"]})
+             .group_by(["subj", "pred"]).aggregate([]))
+        return g.append_column(
+            "part", pa.array(fast_part_hash(g["subj"], n_parts)))
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["subj", "pred"])
+        typed = df.loc[df["pred"] == "rdf:type", "subj"].unique()
+        have = df[df["pred"] != "rdf:type"]
+        full = pd.MultiIndex.from_product(
+            [typed, req], names=["subj", "missing_pred"]).to_frame(
+            index=False)
+        m = full.merge(have.rename(columns={"pred": "missing_pred"}),
+                       on=["subj", "missing_pred"], how="left",
+                       indicator=True)
+        out = m[m["_merge"] == "left_only"][["subj", "missing_pred"]]
+        return out.reset_index(drop=True)
+
+    return (quads_ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(check, batch_format="pandas"))
+
+
+INVERSE_PREDS = (("kg:acquired", "kg:acquiredBy"),
+                 ("kg:basedIn", "kg:hosts"))
+
+
+def inverse_closure(facts_ds, pairs=INVERSE_PREDS,
+                    n_parts: int | None = None):
+    """owl:inverseOf ENTAILMENT materialization: for each declared
+    inverse pair (p, p⁻), every asserted ``s p o`` entails ``o p⁻ s``
+    — the OWL companion of `rdfs_type_closure`'s rdfs9 chaining, and
+    the step that makes a store answer ``?x kg:acquiredBy ?y`` without
+    query-time rewriting. Returns the DISTINCT entailed triples only
+    (consumers union them with the asserted stream).
+
+    Shape: one stateless flip map (constant pred dictionary in the
+    closure) + one (subj, pred, obj)-hash distinct exchange."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+    fwd = {p: i for p, i in pairs}
+
+    def flip(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["pred"],
+                        value_set=pa.array(list(fwd), pa.string()))
+        t = t.filter(mask)
+        import numpy as np
+        import pandas as pd
+        inv = pd.Series(t["pred"].to_pandas()).map(fwd).to_numpy(
+            dtype=object)
+        out = pa.table({
+            "subj": t["obj"], "pred": pa.array(inv, pa.string()),
+            "obj": t["subj"]})
+        key = pc.binary_join_element_wise(
+            out["subj"], out["pred"], out["obj"], "\x1f")
+        return out.append_column(
+            "part", pa.array(fast_part_hash(key, n_parts)))
+
+    def distinct(df):
+        return df.drop_duplicates(["subj", "pred", "obj"])[
+            ["subj", "pred", "obj"]]
+
+    return (facts_ds.map_batches(flip, batch_format="pyarrow")
+            .groupby("part").map_groups(distinct,
+                                        batch_format="pandas"))

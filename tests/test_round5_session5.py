@@ -520,3 +520,48 @@ def test_merge_upsert_semantics(ray_session):
     assert out["cents"].tolist() == [100, 777, 400, 950]
     assert out["action"].tolist() == ["kept", "updated", "kept",
                                       "inserted"]
+
+
+def test_shacl_report_min_count(ray_session):
+    """A typed subject missing required preds yields one row per gap;
+    untyped subjects are never checked."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import shacl_report
+
+    quads = _facts([
+        ("p1", "rdf:type", "kg:WebPage", "u"),
+        ("p1", "kg:fetchedAt", "t", "u"),
+        ("p1", "kg:lang", "en", "u"),
+        ("p1", "kg:domain", "d", "u"),
+        ("p1", "kg:title", "T", "u"),
+        ("p1", "kg:state", "kg:Active", "u"),   # complete
+        ("p2", "rdf:type", "kg:WebPage", "u"),
+        ("p2", "kg:fetchedAt", "t", "u"),
+        ("p2", "kg:lang", "en", "u"),
+        ("p2", "kg:domain", "d", "u"),          # missing title+state
+        ("x9", "kg:title", "loose", "u"),       # untyped
+    ])
+    out = (shacl_report(rd.from_arrow(quads).repartition(3))
+           .to_pandas().sort_values(["subj", "missing_pred"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [["p2", "kg:state"],
+                                   ["p2", "kg:title"]]
+
+
+def test_inverse_closure_flips_distinct(ray_session):
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import inverse_closure
+
+    facts = _facts([
+        ("a", "kg:acquired", "b", "u1"),
+        ("a", "kg:acquired", "b", "u2"),   # duplicate assertion
+        ("c", "kg:basedIn", "d", "u3"),
+        ("e", "kg:worksWith", "f", "u4"),  # no declared inverse
+    ])
+    out = (inverse_closure(rd.from_arrow(facts).repartition(2))
+           .to_pandas().sort_values(["subj", "pred", "obj"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [["b", "kg:acquiredBy", "a"],
+                                   ["d", "kg:hosts", "c"]]

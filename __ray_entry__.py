@@ -1198,6 +1198,31 @@ def _q_kg_resource_alloc(sf_dir: str):
     return resource_alloc_scores(_q_kg_cooccurrence(sf_dir))
 
 
+def _q_mm_audio_gain(sf_dir: str):
+    """Integer peak-normalization profile per audio item (peak, x1000
+    gain to full range, normalized magnitude sum, clip count); oracle
+    recomputes from the PCM generator formula — all divisions on
+    non-negative operands."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        AudioGainStage, synthetic_wav)
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [synthetic_wav(d, 1024 + (d % 5) * 256) for d in ids],
+                pa.binary()),
+        })
+
+    items = _docs(sf_dir, ["doc_id"]).map_batches(to_wav,
+                                                  batch_format="pyarrow")
+    return items.map_batches(lambda t: AudioGainStage()(t),
+                             batch_format="pyarrow", batch_size=64)
+
+
 def _q_mm_audio_zcr(sf_dir: str):
     """REAL audio decode → per-window zero-crossing counts; the oracle
     recomputes from the synthetic PCM generator formula alone."""
@@ -2923,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_merge": _q_rel_merge,
         "kg_shacl": _q_kg_shacl,
         "kg_inverse": _q_kg_inverse,
+        "mm_audio_gain": _q_mm_audio_gain,
         "mm_image_features": _q_mm_image_features,
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_ivf": _q_sim_knn_ivf,
@@ -5331,6 +5357,28 @@ FROM nn LEFT JOIN agg USING (community)
 """, 1))
     # per-window zero-crossing counts recomputed from the synthetic PCM
     # generator formula (pairs never span windows: i % 256 <> 0)
+    # peak-normalization profile on the same PCM replay
+    d["mm_audio_gain"] = """
+WITH dims AS (
+  SELECT doc_id,
+         1024 + (doc_id % 5) * 256 AS n,
+         (doc_id * 2654435761) % 65536 AS base
+  FROM documents),
+s AS (SELECT doc_id, n,
+             abs((base + i) % 65536 - 32768)::BIGINT AS a
+      FROM dims, LATERAL (SELECT unnest(range(n)) AS i) g),
+p AS (SELECT doc_id, n, max(a) AS peak, count(*)::BIGINT AS n_samples
+      FROM s GROUP BY doc_id, n),
+g AS (SELECT doc_id, n_samples, peak,
+             (32767000 // greatest(peak, 1))::BIGINT AS gain_milli
+      FROM p)
+SELECT g.doc_id AS item_id, g.n_samples, g.peak, g.gain_milli,
+       sum(s.a * g.gain_milli // 1000)::BIGINT AS sum_abs_norm,
+       sum(CASE WHEN s.a * g.gain_milli // 1000 > 32767
+                THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+FROM g JOIN s ON s.doc_id = g.doc_id
+GROUP BY g.doc_id, g.n_samples, g.peak, g.gain_milli
+"""
     d["mm_audio_zcr"] = """
 WITH dims AS (
   SELECT doc_id,

@@ -824,3 +824,50 @@ class PpmHistStage:
             "top_bin": pa.array(tb, pa.int64()),
             "top_count": pa.array(tc, pa.int64()),
             "concentration": pa.array(conc, pa.int64())})
+
+
+class AudioGainStage:
+    """REAL audio decode → integer PEAK-NORMALIZATION profile: the
+    loudness-normalize step an audio-training pipeline runs before
+    featurization, kept integer-exact — per item, the peak |sample|,
+    the ×1000 gain that would scale it to full range
+    (``32767·1000 // max(peak, 1)``), the normalized magnitude sum,
+    and how many samples would clip under that gain (all divisions on
+    non-negative operands, so both sides floor identically). Same
+    per-item containment contract as `PpmStatsStage`."""
+
+    def __init__(self, id_col="item_id", payload_col="payload",
+                 on_error: str = "raise"):
+        assert on_error in ("raise", "skip")
+        self.id_col, self.payload_col = id_col, payload_col
+        self.on_error = on_error
+        self.error_count = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ns, pk, gn, sm, cl = [], [], [], [], [], []
+        for i, payload in zip(t[self.id_col].to_pylist(),
+                              t[self.payload_col].to_pylist()):
+            try:
+                rate, samples = decode_wav(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                self.error_count += 1
+                continue
+            a = np.abs(samples.astype(np.int64))
+            peak = int(a.max()) if len(a) else 0
+            gain = 32767_000 // max(peak, 1)
+            norm = a * gain // 1000
+            ids.append(i)
+            ns.append(len(a))
+            pk.append(peak)
+            gn.append(gain)
+            sm.append(int(norm.sum()))
+            cl.append(int((norm > 32767).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "peak": pa.array(pk, pa.int64()),
+            "gain_milli": pa.array(gn, pa.int64()),
+            "sum_abs_norm": pa.array(sm, pa.int64()),
+            "n_clipped": pa.array(cl, pa.int64())})

@@ -565,3 +565,33 @@ def test_inverse_closure_flips_distinct(ray_session):
            .reset_index(drop=True))
     assert out.values.tolist() == [["b", "kg:acquiredBy", "a"],
                                    ["d", "kg:hosts", "c"]]
+
+
+def test_audio_gain_hand_computed(ray_session):
+    """Half-range audio gets ~2x gain; clipping counted under the
+    integer gain; malformed payloads contained."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.multimodal import (
+        AudioGainStage, encode_wav)
+
+    half = np.array([0, 16384, -16384, 8192], np.int16)
+    full = np.array([32767, -32768], np.int16)
+    t = pa.table({
+        "item_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_wav(half), encode_wav(full),
+                             b"junk"], pa.binary())})
+    stage = AudioGainStage(on_error="skip")
+    out = stage(t).to_pandas().sort_values("item_id")
+    assert stage.error_count == 1
+    r1 = out.iloc[0]
+    gain = 32767000 // 16384
+    assert (r1["peak"], r1["gain_milli"]) == (16384, gain)
+    assert r1["sum_abs_norm"] == sum(
+        abs(int(s)) * gain // 1000 for s in half)
+    assert r1["n_clipped"] == 0
+    r2 = out.iloc[1]
+    # peak is 32768 (the negative rail), so gain < 1000 and the
+    # positive rail normalizes to 32766 -> nothing clips
+    assert (r2["peak"], r2["gain_milli"]) == (32768, 999)
+    assert r2["n_clipped"] == 0

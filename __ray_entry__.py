@@ -1456,6 +1456,40 @@ def _paired_dup_urls_batch(t):
     return t.append_column("url", pa.array(u.tolist(), pa.string()))
 
 
+def _param_urls_batch(t):
+    """Deterministic parameterized-url corpus for the param-profile
+    op: every url carries ``page`` (7 values), evens add a tracking
+    ``utm_source`` (3 values), thirds add ``ref`` (5 values), fifths
+    a high-cardinality ``sessionid`` — the strip-list shapes a crawl
+    audit must separate. Replayed verbatim in the web_params oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.char.add(np.char.add(np.char.add(np.char.add(
+        "https://ex", (d % 20).astype("U")), ".org/p/"),
+        d.astype("U")), np.char.add("?page=", (d % 7).astype("U")))
+    u = np.where(d % 2 == 0, np.char.add(np.char.add(
+        u, "&utm_source=s"), (d % 3).astype("U")), u)
+    u = np.where(d % 3 == 0, np.char.add(np.char.add(
+        u, "&ref=r"), (d % 5).astype("U")), u)
+    u = np.where(d % 5 == 0, np.char.add(np.char.add(
+        u, "&sessionid=x"), d.astype("U")), u)
+    return t.append_column("url", pa.array(u.tolist(), pa.string()))
+
+
+def _q_web_params(sf_dir: str):
+    """Query-parameter strip-list audit: per param key — occurrences,
+    distinct hosts, distinct values, tracking flag. One key-hash
+    exchange after a vectorized findall explode; the oracle rebuilds
+    the parameterized urls from the residue formula."""
+    from fcrepo3_rdf_extractor_ray.stages.web import url_param_stats
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_param_urls_batch,
+                                               batch_format="pyarrow")
+    return url_param_stats(ds)
+
+
 def _q_web_dedup_canon(sf_dir: str):
     """Crawl dedup by canonical url over the messy-url corpus; keep
     the min doc_id per canonical url."""
@@ -2949,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shacl": _q_kg_shacl,
         "kg_inverse": _q_kg_inverse,
         "mm_audio_gain": _q_mm_audio_gain,
+        "web_params": _q_web_params,
         "mm_image_features": _q_mm_image_features,
         "dedup_embedding": _q_dedup_embedding,
         "sim_knn_ivf": _q_sim_knn_ivf,
@@ -6027,6 +6062,34 @@ pairs(p, inv) AS (VALUES ('kg:acquired', 'kg:acquiredBy'),
 SELECT DISTINCT f.obj AS subj, pairs.inv AS pred, f.subj AS obj
 FROM f JOIN pairs ON f.pred = pairs.p
 """)
+    # param profile: rebuild the parameterized urls, unnest params
+    d["web_params"] = """
+WITH u AS (
+  SELECT doc_id,
+         'ex' || (doc_id % 20)::VARCHAR || '.org' AS host,
+         'https://ex' || (doc_id % 20)::VARCHAR || '.org/p/'
+             || doc_id::VARCHAR AS url,
+         concat(
+           'page=' || (doc_id % 7)::VARCHAR,
+           CASE WHEN doc_id % 2 = 0
+                THEN '&utm_source=s' || (doc_id % 3)::VARCHAR
+                ELSE '' END,
+           CASE WHEN doc_id % 3 = 0
+                THEN '&ref=r' || (doc_id % 5)::VARCHAR ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN '&sessionid=x' || doc_id::VARCHAR ELSE '' END)
+             AS qs
+  FROM documents),
+px AS (SELECT url, host, unnest(string_split(qs, '&')) AS kv FROM u),
+kvp AS (SELECT url, host, split_part(kv, '=', 1) AS param,
+               split_part(kv, '=', 2) AS value
+        FROM px)
+SELECT param, count(*)::BIGINT AS n_urls,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT value)::BIGINT AS n_values,
+       starts_with(param, 'utm_') AS is_tracking
+FROM kvp GROUP BY param
+"""
     # star BGP: DISTINCT self-join on the shared subject
     d["kg_star"] = (_U_CTE + ", f AS (" + _FACT_QUADS_SQL + ")" + """
 SELECT DISTINCT f1.subj AS s, f1.obj AS a, f2.obj AS b

@@ -1326,3 +1326,64 @@ def revisit_classify(cdx_ds, key_col: str = "urlkey",
 
     return (cdx_ds.map_batches(tag, batch_format="pyarrow")
             .groupby("part").map_groups(classify, batch_format="pandas"))
+
+
+def url_param_stats(ds, url_col: str = "url",
+                    n_parts: int | None = None):
+    """QUERY-PARAMETER PROFILE: per parameter key across the crawl —
+    occurrence count, distinct hosts, distinct values, and the
+    tracking flag (``utm_*``, the family `canonicalize_urls` strips).
+    The audit a crawl operator runs to decide WHICH params belong on
+    the strip list: a key on many hosts with near-unique values
+    (session ids) is a dedup killer; a key with few values is
+    content-bearing pagination.
+
+    Shape: stateless vectorized findall (polars ``extract_all``, the
+    `extract_links` idiom) explodes urls to (key, value, host) rows,
+    deduped per (url, key) in-batch → ONE key-hash exchange where
+    counts and distincts are exact (all rows of a key co-locate).
+    Returns (param, n_urls, n_hosts, n_values, is_tracking)."""
+    import polars as pl
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    pat = r"[?&][^=&#]+=[^&#]*"
+
+    def explode(t: pa.Table) -> pa.Table:
+        host = pc.utf8_lower(pc.coalesce(pc.struct_field(
+            pc.extract_regex(pc.cast(t[url_col], pa.string()),
+                             r"^(?i)https?://(?P<h>[^/?#]+)"), "h"), ""))
+        df = pl.from_arrow(pa.table({
+            "url": pc.cast(t[url_col], pa.string()), "host": host}))
+        out = (df.with_columns(
+                   pl.col("url").str.extract_all(pat).alias("m"))
+               .explode("m").drop_nulls("m")
+               .with_columns(
+                   pl.col("m").str.extract(r"[?&]([^=&#]+)=", 1)
+                   .alias("param"),
+                   pl.col("m").str.extract(r"=([^&#]*)$", 1)
+                   .alias("value"))
+               .drop("m")
+               .unique(subset=["url", "param"], keep="first",
+                       maintain_order=True))
+        at = out.to_arrow().cast(pa.schema([
+            ("url", pa.string()), ("host", pa.string()),
+            ("param", pa.string()), ("value", pa.string())]))
+        return at.append_column(
+            "part", pa.array(fast_part_hash(at["param"], n_parts)))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("param")
+             .agg(n_urls=("url", "size"),
+                  n_hosts=("host", "nunique"),
+                  n_values=("value", "nunique"))
+             .reset_index())
+        for c in ("n_urls", "n_hosts", "n_values"):
+            g[c] = g[c].astype("int64")
+        g["is_tracking"] = g["param"].str.startswith("utm_")
+        return g
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas"))

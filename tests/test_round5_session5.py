@@ -595,3 +595,27 @@ def test_audio_gain_hand_computed(ray_session):
     # positive rail normalizes to 32766 -> nothing clips
     assert (r2["peak"], r2["gain_milli"]) == (32768, 999)
     assert r2["n_clipped"] == 0
+
+
+def test_url_param_stats_planted(ray_session):
+    """Repeated keys per url count once; session-style keys show high
+    value cardinality; utmX (no underscore) is NOT tracking."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.web import url_param_stats
+
+    urls = ["https://a.org/x?page=1&page=2",       # dup key: 1 url
+            "https://b.org/y?page=1&utm_ref=z",
+            "https://c.org/z?sid=abc#frag",        # frag excluded
+            "https://c.org/w?sid=def",
+            "https://d.org/v?utmx=1"]               # not tracking
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()), "url": urls}))
+    out = url_param_stats(ds).to_pandas().set_index("param")
+    assert out.loc["page", "n_urls"] == 2
+    assert out.loc["page", "n_values"] == 1      # first kept: '1'
+    assert out.loc["sid", "n_urls"] == 2
+    assert out.loc["sid", "n_hosts"] == 1
+    assert out.loc["sid", "n_values"] == 2
+    assert bool(out.loc["utm_ref", "is_tracking"]) is True
+    assert bool(out.loc["utmx", "is_tracking"]) is False

@@ -2551,6 +2551,16 @@ def _q_dedup_winnow_pairs(sf_dir: str):
                            min_shared=2, max_df=32)
 
 
+def _q_dedup_winnow_clusters(sf_dir: str):
+    """MOSS end-to-end: winnowed fingerprint pairs -> min-ID connected
+    components, auto-routed driver-UF / Dataset min-label. Oracle
+    chains the pair replay with the reach-closure CTE."""
+    from fcrepo3_rdf_extractor_ray.stages.dedup import winnowing_clusters
+
+    return winnowing_clusters(_docs(sf_dir, ["doc_id", "text"]), k=3,
+                              w=4, min_shared=2, max_df=32)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the mention co-occurrence graph; label =
     min entity id per component (distributed union-find, no driver
@@ -2933,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "dedup_winnowing": _q_dedup_winnowing,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
+        "dedup_winnow_clusters": _q_dedup_winnow_clusters,
         "web_cdx": _q_web_cdx,
         "web_revisits": _q_web_revisits,
         "web_wet": _q_web_wet,
@@ -3310,6 +3321,24 @@ kept AS (SELECT d, fp FROM df
 SELECT k1.d AS d1, k2.d AS d2, count(*)::BIGINT AS n_shared
 FROM kept k1 JOIN kept k2 ON k1.fp = k2.fp AND k1.d < k2.d
 GROUP BY k1.d, k2.d HAVING count(*) >= 2
+"""),
+        # MOSS clusters: the pairs replay + the reach-closure CTE
+        # (near-dup components are tiny, as in dedup_minhash)
+        "dedup_winnow_clusters": (
+            "WITH RECURSIVE wf AS (" + _WINNOW_SQL + """),
+wdf AS (SELECT DISTINCT doc_id AS d, fp FROM wf),
+kept AS (SELECT d, fp FROM wdf
+         QUALIFY count(*) OVER (PARTITION BY fp) <= 32),
+wp AS (SELECT k1.d AS d1, k2.d AS d2
+       FROM kept k1 JOIN kept k2 ON k1.fp = k2.fp AND k1.d < k2.d
+       GROUP BY k1.d, k2.d HAVING count(*) >= 2),
+und AS (SELECT d1 AS a, d2 AS b FROM wp UNION SELECT d2, d1 FROM wp
+        UNION SELECT d1, d1 FROM wp UNION SELECT d2, d2 FROM wp),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """),
         "dedup_exact": (
             "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "

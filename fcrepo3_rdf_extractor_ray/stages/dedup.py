@@ -1559,3 +1559,47 @@ def winnowing_pairs(docs_ds, k: int = 3, w: int = 4,
                        min_count=min_shared, max_df=max_df,
                        out_cols=("d1", "d2", "n_shared"),
                        n_parts=n_parts)
+
+
+def winnowing_clusters(docs_ds, k: int = 3, w: int = 4,
+                       min_shared: int = 2, max_df: int = 32,
+                       max_driver_pairs: int = 500_000,
+                       text_col="text", id_col="doc_id",
+                       n_parts: int | None = None):
+    """MOSS end-to-end: winnowing selection → shared-fingerprint pairs
+    → connected components with the min-ID representative — the same
+    pair-to-clusters contract as `minhash_clusters`, INCLUDING the
+    automatic routing (driver union-find below ``max_driver_pairs``
+    candidate pairs, the Dataset min-label fixpoint above — no caller
+    can accidentally ``take_all()`` a huge pair list). Returns a
+    (doc_id, cluster_id) DataFrame, cluster_id = min member id."""
+    raw = winnowing_pairs(docs_ds, k=k, w=w, min_shared=min_shared,
+                          max_df=max_df, text_col=text_col,
+                          id_col=id_col, n_parts=n_parts)
+    pairs = raw.map_batches(
+        lambda t: pa.table({
+            "doc_a": t["d1"], "doc_b": t["d2"],
+            "est_jaccard": pa.array(
+                np.ones(t.num_rows, np.float64))}),
+        batch_format="pyarrow").materialize()
+    if pairs.count() > max_driver_pairs:
+        clusters = _pairs_to_clusters_ds(pairs, 0.5)
+        return clusters.sort(["doc_id"]).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    members = set()
+    for r in pairs.take_all():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        members.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return pd.DataFrame(
+        sorted((m, find(m)) for m in members),
+        columns=["doc_id", "cluster_id"])

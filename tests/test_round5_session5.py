@@ -619,3 +619,27 @@ def test_url_param_stats_planted(ray_session):
     assert out.loc["sid", "n_values"] == 2
     assert bool(out.loc["utm_ref", "is_tracking"]) is True
     assert bool(out.loc["utmx", "is_tracking"]) is False
+
+
+def test_winnowing_clusters_min_id_and_routing(ray_session):
+    """Planted 3-doc near-dup family collapses to the min id; the
+    Dataset path (forced with max_driver_pairs=0) agrees with the
+    driver union-find."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.dedup import winnowing_clusters
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table({
+        "doc_id": pa.array([3, 7, 9, 20], pa.int64()),
+        "text": [body + " one", body + " two", body + " three",
+                 "completely different unrelated tokens here now ok"]})
+    ds = rd.from_arrow(docs)
+    a = winnowing_clusters(ds, k=3, w=4, min_shared=2)
+    b = winnowing_clusters(ds, k=3, w=4, min_shared=2,
+                           max_driver_pairs=0)
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == [3, 7, 9]
+    assert a["cluster_id"].tolist() == [3, 3, 3]
+    assert a.values.tolist() == b.values.tolist()

@@ -578,6 +578,21 @@ def _q_kg_inverse(sf_dir: str):
     return inverse_closure(_q_kg_fact_quads(sf_dir))
 
 
+def _q_kg_asof(sf_dir: str):
+    """Point-in-time KG query: each slot's value as of the corpus
+    midpoint instant (base + n_docs//2 days — computed, not
+    hardcoded, on both sides). Episode stream filtered + one slot-hash
+    max-episode exchange; row_number oracle over the intervals
+    replay."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (facts_as_of,
+                                                        pages_for_sf)
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    as_of_us = 1_700_000_000_000_000 + (n_docs // 2) * 86_400_000_000
+    return facts_as_of(_q_kg_fact_quads(sf_dir), pages_for_sf(sf_dir),
+                       as_of_us)
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -2959,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp": _q_kg_bgp,
         "kg_optional": _q_kg_optional,
         "kg_fact_intervals": _q_kg_fact_intervals,
+        "kg_asof": _q_kg_asof,
         "kg_sameas": _q_kg_sameas,
         "kg_prop_path": _q_kg_prop_path,
         # round-5 NEW oracle entry (RDFS subclass-closure typing):
@@ -6170,6 +6186,17 @@ allp AS (SELECT a, b AS d, 1 AS length FROM e
          UNION ALL SELECT a, d, 2 FROM l2
          UNION ALL SELECT a, d, 3 FROM l3)
 SELECT a, d, min(length)::BIGINT AS length FROM allp GROUP BY a, d
+""")
+    # point-in-time: intervals replay + cutoff + max-episode filter
+    d["kg_asof"] = ('WITH fi AS (' + d["kg_fact_intervals"] + """),
+cut AS (SELECT make_timestamp(1700000000000000
+                              + (count(*) // 2) * 86400000000) AS t
+        FROM documents),
+r AS (SELECT fi.subj, fi.pred, fi.obj, fi.from_ts,
+             row_number() OVER (PARTITION BY fi.subj, fi.pred
+                                ORDER BY fi.episode_no DESC) AS rn
+      FROM fi CROSS JOIN cut WHERE fi.from_ts <= cut.t)
+SELECT subj, pred, obj, from_ts AS as_of_from FROM r WHERE rn = 1
 """)
     # RDFS rdfs9 closure: entity ent:e{n} is asserted cls:c{n % 7};
     # class tree = binary heap parent(c_k) = c_{(k-1)//2}; the

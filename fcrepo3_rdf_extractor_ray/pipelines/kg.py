@@ -1490,3 +1490,47 @@ def inverse_closure(facts_ds, pairs=INVERSE_PREDS,
     return (facts_ds.map_batches(flip, batch_format="pyarrow")
             .groupby("part").map_groups(distinct,
                                         batch_format="pandas"))
+
+
+def facts_as_of(facts_ds, pages_ds, as_of_us: int,
+                n_parts: int | None = None):
+    """POINT-IN-TIME (time-travel) KG query: the value each (subject,
+    predicate) slot held AS OF a given instant — the episode of
+    `fact_intervals` most recently OPENED at or before the cutoff (a
+    value persists until superseded, so an episode whose last
+    assertion predates the cutoff still holds). Slots first asserted
+    after the cutoff are absent. `current_facts` is the special case
+    ``as_of = +inf``.
+
+    Shape: the episode stream (slot-cardinality, far below the fact
+    stream) filtered to ``from_ts <= as_of`` → ONE (subj, pred)-hash
+    exchange keeping the max-episode row per slot. Returns (subj,
+    pred, obj, as_of_from)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    eps = fact_intervals(facts_ds, pages_ds, n_parts=n_parts)
+
+    def pick(t: pa.Table) -> pa.Table:
+        from_us = pc.cast(t["from_ts"], pa.int64())
+        t = t.filter(pc.less_equal(from_us, as_of_us))
+        out = pa.table({"subj": t["subj"], "pred": t["pred"],
+                        "obj": t["obj"], "from_ts": t["from_ts"],
+                        "episode_no": t["episode_no"]})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(out["subj"], n_parts)))
+
+    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["subj", "pred", "episode_no"])
+        df = df.drop_duplicates(["subj", "pred"], keep="last")
+        return pd.DataFrame({
+            "subj": df["subj"], "pred": df["pred"], "obj": df["obj"],
+            "as_of_from": df["from_ts"]})
+
+    return (eps.map_batches(pick, batch_format="pyarrow")
+            .groupby("part").map_groups(keep_last,
+                                        batch_format="pandas"))

@@ -643,3 +643,37 @@ def test_winnowing_clusters_min_id_and_routing(ray_session):
     assert a["doc_id"].tolist() == [3, 7, 9]
     assert a["cluster_id"].tolist() == [3, 3, 3]
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_facts_as_of_holds_last_opened_value(ray_session):
+    """As-of mid-history: a slot holds its last value opened at or
+    before the cutoff even if asserted earlier; slots first asserted
+    after the cutoff are absent; as_of=+inf matches current_facts."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import (current_facts,
+                                                        facts_as_of)
+
+    def us(s):
+        return int(pd.Timestamp(s).value // 1000)
+
+    facts = _facts([
+        ("s", "kg:basedIn", "X", "u1"),
+        ("s", "kg:basedIn", "Y", "u3"),
+        ("late", "kg:basedIn", "Z", "u4"),
+    ])
+    pages = _pages([("u1", pd.Timestamp("2024-01-01")),
+                    ("u3", pd.Timestamp("2024-03-01")),
+                    ("u4", pd.Timestamp("2024-04-01"))])
+    cut = us("2024-02-01")
+    out = facts_as_of(rd.from_arrow(facts), rd.from_arrow(pages),
+                      cut).to_pandas()
+    assert out["subj"].tolist() == ["s"]
+    assert out["obj"].tolist() == ["X"]       # Y opens after the cut
+    far = facts_as_of(rd.from_arrow(facts), rd.from_arrow(pages),
+                      us("2030-01-01")).to_pandas()
+    cur = current_facts(rd.from_arrow(facts),
+                        rd.from_arrow(pages)).to_pandas()
+    m = far.merge(cur, on=["subj", "pred"])
+    assert len(m) == len(cur) == 2
+    assert (m["obj_x"] == m["obj_y"]).all()

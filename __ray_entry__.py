@@ -593,6 +593,35 @@ def _q_kg_asof(sf_dir: str):
                        as_of_us)
 
 
+def _q_ta_zipf(sf_dir: str):
+    """Vocabulary coverage curve: exact frequency rank + cumulative
+    corpus coverage permille per token (count-range TeraSort rank —
+    Zipf skew forbids a hash exchange for rank). row_number + running
+    sum oracle."""
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        zipf_profile)
+
+    return zipf_profile(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_kg_schema_graph(sf_dir: str):
+    """Ontology induction: predicate pairs co-asserted on the same
+    subject, counted by distinct shared subjects — `wedge_pairs` with
+    block = subject, item = predicate, over the full quad stream
+    (page + meta + fact). DISTINCT self-join oracle."""
+    import pyarrow as pa
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import wedge_pairs
+
+    quads = (_q_kg_page_quads(sf_dir)
+             .union(_q_kg_meta_quads(sf_dir), _q_kg_fact_quads(sf_dir)))
+    flat = quads.map_batches(
+        lambda t: pa.table({"s": t["subj"], "p": t["pred"]}),
+        batch_format="pyarrow")
+    return wedge_pairs(flat, block_cols=["s"], item_col="p",
+                       out_cols=("p1", "p2", "n_subjects"))
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -2975,6 +3004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_optional": _q_kg_optional,
         "kg_fact_intervals": _q_kg_fact_intervals,
         "kg_asof": _q_kg_asof,
+        "kg_schema_graph": _q_kg_schema_graph,
+        "ta_zipf": _q_ta_zipf,
         "kg_sameas": _q_kg_sameas,
         "kg_prop_path": _q_kg_prop_path,
         # round-5 NEW oracle entry (RDFS subclass-closure typing):
@@ -6187,6 +6218,32 @@ allp AS (SELECT a, b AS d, 1 AS length FROM e
          UNION ALL SELECT a, d, 3 FROM l3)
 SELECT a, d, min(length)::BIGINT AS length FROM allp GROUP BY a, d
 """)
+    # schema graph: distinct (subj, pred) self-join over all quads
+    d["kg_schema_graph"] = (_U_CTE + """,
+q AS (""" + _PAGE_QUADS_SQL + " UNION ALL " + _META_QUADS_SQL
+        + " UNION ALL " + _FACT_QUADS_SQL + """),
+sp AS (SELECT DISTINCT subj AS s, pred AS p FROM q)
+SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS n_subjects
+FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p
+GROUP BY a.p, b.p
+""")
+    # zipf profile: row_number + running sum over the vocab counts
+    d["ta_zipf"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts FROM documents),
+v AS (SELECT tok AS token, count(*)::BIGINT AS n FROM (
+        SELECT unnest(ts) AS tok FROM tk) GROUP BY tok),
+tot AS (SELECT sum(n)::BIGINT AS s FROM v),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token)::BIGINT
+                 AS rank,
+             sum(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM v)
+SELECT token, n, rank, (1000 * cum // tot.s)::BIGINT AS cum_permille
+FROM r CROSS JOIN tot
+"""
     # point-in-time: intervals replay + cutoff + max-episode filter
     d["kg_asof"] = ('WITH fi AS (' + d["kg_fact_intervals"] + """),
 cut AS (SELECT make_timestamp(1700000000000000

@@ -3034,6 +3034,11 @@ def wedge_pairs(ds, block_cols, item_col, min_count: int = 1,
     block_cols = list(block_cols)
     c1, c2, cn = out_cols
 
+    # internal exchange columns: prefixed so no out_cols / block_cols
+    # / item_col choice can collide with them (a caller naming an
+    # output column "p2" must not clobber the pair-hash routing)
+    P1, P2 = "__wp_part", "__wp_part2"
+
     def combine(t: pa.Table) -> pa.Table:
         g = (t.select([item_col] + block_cols)
              .group_by([item_col] + block_cols).aggregate([]))
@@ -3042,7 +3047,7 @@ def wedge_pairs(ds, block_cols, item_col, min_count: int = 1,
             key = pc.binary_join_element_wise(
                 key, g[c].cast(pa.string()), "\x1f")
         return g.append_column(
-            "part", pa.array(fast_part_hash(key, n_parts)))
+            P1, pa.array(fast_part_hash(key, n_parts)))
 
     def cross(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates([item_col] + block_cols)
@@ -3057,7 +3062,7 @@ def wedge_pairs(ds, block_cols, item_col, min_count: int = 1,
              .rename(columns={a: c1, b: c2, "size": "n"}))
         g["n"] = g["n"].astype("int64")
         key = g[c1].astype(str) + "\x1f" + g[c2].astype(str)
-        g["p2"] = fast_part_hash(list(key), n_parts)
+        g[P2] = fast_part_hash(list(key), n_parts)
         return g
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -3068,8 +3073,8 @@ def wedge_pairs(ds, block_cols, item_col, min_count: int = 1,
         return g.rename(columns={"n": cn})
 
     return (ds.map_batches(combine, batch_format="pyarrow")
-            .groupby("part").map_groups(cross, batch_format="pandas")
-            .groupby("p2").map_groups(fold, batch_format="pandas"))
+            .groupby(P1).map_groups(cross, batch_format="pandas")
+            .groupby(P2).map_groups(fold, batch_format="pandas"))
 
 
 def sameas_candidates(facts_ds, min_shared: int = 2,

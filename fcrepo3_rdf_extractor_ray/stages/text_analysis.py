@@ -1983,3 +1983,90 @@ def phrase_hits(docs_ds, phrases, text_col="text", id_col="doc_id",
 
     return (docs_ds.map_batches(emit, batch_format="pandas")
             .groupby("part").map_groups(complete, batch_format="pandas"))
+
+
+def zipf_profile(docs_ds, text_col="text", id_col="doc_id",
+                 n_buckets: int | None = None,
+                 n_parts: int | None = None):
+    """VOCABULARY COVERAGE CURVE (Zipf profile): every corpus token
+    with its exact frequency rank (count DESC, token ASC) and the
+    cumulative corpus coverage of the top-rank prefix in permille —
+    the table a tokenizer-sizing decision reads ("the top 32k tokens
+    cover 97.4% of the stream"). Frequencies are Zipf-skewed, so the
+    rank CANNOT be a hash exchange: this is the TeraSort
+    range-partition global-rank shape (`global_rank_orders`,
+    `term_dictionary`) keyed on the COUNT value — one Min/Max pass,
+    count-range buckets, per-bucket sort + local rank/cumsum, driver
+    state = two n_buckets-sized offset vectors (rank and coverage),
+    bounded by configuration. Returns (token, n, rank,
+    cum_permille)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import cluster_cpus, default_parts
+    n_parts = n_parts or default_parts(2.0)
+    if n_buckets is None:
+        n_buckets = max(8, 2 * cluster_cpus())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        counts = toks.value_counts()
+        tokens = counts.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "token": tokens,
+            "n": counts.to_numpy().astype("int64"),
+            "part": fast_part_hash(list(tokens), n_parts)})
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    vocab = (docs_ds.map_batches(combine, batch_format="pandas")
+             .repartition(n_parts)
+             .groupby("part").map_groups(part_sum,
+                                         batch_format="pyarrow")
+             ).materialize()
+    mm = vocab.aggregate(Min("n"), Max("n"), Sum("n"))
+    lo, hi = int(mm["min(n)"]), int(mm["max(n)"])
+    total = int(mm["sum(n)"])
+    span = max(hi - lo + 1, 1)
+    width = -(-span // n_buckets)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        # bucket 0 = highest counts (rank order is count DESC)
+        return t.append_column(
+            "part", pa.array((hi - n) // width))
+
+    # per-bucket (count, token-mass) partials -> driver offset prefix
+    parts = (vocab.map_batches(bucketize, batch_format="pyarrow")
+             .materialize())
+    agg = (parts.map_batches(
+        lambda t: pa.table({
+            "b": t["part"],
+            "c": pa.array(np.ones(t.num_rows, np.int64)),
+            "m": t["n"]}), batch_format="pyarrow")
+        .to_pandas().groupby("b")[["c", "m"]].sum())
+    rank_off = np.zeros(n_buckets, np.int64)
+    mass_off = np.zeros(n_buckets, np.int64)
+    rc = mc = 0
+    for b in range(n_buckets):
+        rank_off[b], mass_off[b] = rc, mc
+        if b in agg.index:
+            rc += int(agg.loc[b, "c"])
+            mc += int(agg.loc[b, "m"])
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["part"].iloc[0])
+        df = df.sort_values(["n", "token"],
+                            ascending=[False, True]).reset_index(drop=True)
+        rank = np.arange(1, len(df) + 1, dtype=np.int64) + rank_off[b]
+        cum = df["n"].to_numpy().cumsum() + mass_off[b]
+        return pd.DataFrame({
+            "token": df["token"], "n": df["n"].astype("int64"),
+            "rank": rank,
+            "cum_permille": (1000 * cum // total).astype("int64")})
+
+    return parts.groupby("part").map_groups(rank_bucket,
+                                            batch_format="pandas")

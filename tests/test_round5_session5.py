@@ -677,3 +677,39 @@ def test_facts_as_of_holds_last_opened_value(ray_session):
     m = far.merge(cur, on=["subj", "pred"])
     assert len(m) == len(cur) == 2
     assert (m["obj_x"] == m["obj_y"]).all()
+
+
+def test_zipf_profile_rank_and_coverage(ray_session):
+    """Exact ranks under (count DESC, token ASC), cumulative coverage
+    hits 1000 at the last rank, monotone in rank."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.text_analysis import (
+        zipf_profile)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a a a b b c", "a b z"]})
+    out = (zipf_profile(rd.from_arrow(docs), n_buckets=3)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert out["token"].tolist() == ["a", "b", "c", "z"]
+    assert out["n"].tolist() == [4, 3, 1, 1]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert out["cum_permille"].tolist() == [
+        4000 // 9, 7000 // 9, 8000 // 9, 1000]
+
+
+def test_schema_graph_output_names_never_collide(ray_session):
+    """wedge_pairs callers may name outputs anything — including the
+    helper's own internal routing names (regression: 'p2' used to be
+    clobbered by the pair-hash column)."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.stages.graph import wedge_pairs
+
+    t = pa.table({"s": ["x", "x", "y"], "p": ["p1", "p2", "p1"]})
+    out = wedge_pairs(rd.from_arrow(t), block_cols=["s"],
+                      item_col="p", out_cols=("p1", "p2", "n")) \
+        .to_pandas()
+    assert out.values.tolist() == [["p1", "p2", 1]]
+    assert out["p2"].dtype == object

@@ -5481,7 +5481,8 @@ s AS (SELECT doc_id, n,
 p AS (SELECT doc_id, n, max(a) AS peak, count(*)::BIGINT AS n_samples
       FROM s GROUP BY doc_id, n),
 g AS (SELECT doc_id, n_samples, peak,
-             (32767000 // greatest(peak, 1))::BIGINT AS gain_milli
+             ((32767000 + greatest(peak, 1) - 1)
+              // greatest(peak, 1))::BIGINT AS gain_milli
       FROM p)
 SELECT g.doc_id AS item_id, g.n_samples, g.peak, g.gain_milli,
        sum(s.a * g.gain_milli // 1000)::BIGINT AS sum_abs_norm,

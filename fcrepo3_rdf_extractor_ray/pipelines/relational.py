@@ -2521,9 +2521,13 @@ def merge_upsert(base_ds, updates_ds, key_col: str = "k",
         upd = u[u["op"] == "U"].set_index("k")["v"]
         ins = u[u["op"] == "I"]
         b = b[~b["k"].isin(dels)].copy()
-        newv = b["k"].map(upd)
-        b["action"] = np.where(newv.notna(), "updated", "kept")
-        b["v"] = newv.fillna(b["v"]).astype("int64")
+        # masked int64 assignment — a map/fillna round-trip would pass
+        # kept values through float64 and corrupt them above 2^53
+        has_upd = b["k"].isin(upd.index).to_numpy()
+        b["action"] = np.where(has_upd, "updated", "kept")
+        if has_upd.any():
+            b.loc[has_upd, "v"] = (b.loc[has_upd, "k"].map(upd)
+                                   .astype("int64"))
         out = pd.concat([
             b[["k", "v", "action"]],
             pd.DataFrame({"k": ins["k"], "v": ins["v"],

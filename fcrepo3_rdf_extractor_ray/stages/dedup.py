@@ -507,27 +507,14 @@ def _pairs_to_clusters_ds(pairs, threshold):
     return labels.map_batches(decode, batch_format="pyarrow")
 
 
-def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
-    """Dataset-native near-dup clustering — the 100-TB path: thresholded
-    candidate pairs feed the distributed min-label fixpoint with NO
-    driver-side pair collection. Returns a (doc_id, cluster_id) Dataset
-    — equivalence with the driver path is pytest-asserted."""
-    return _pairs_to_clusters_ds(minhash_candidate_pairs(docs_ds, **kw),
-                                 threshold)
-
-
-def minhash_clusters(docs_ds, threshold=0.7,
-                     max_driver_pairs: int = 500_000, **kw):
-    """Near-dup clusters: candidate pairs ≥ threshold (estimated Jaccard)
-    → connected components (min-ID representative). Pair set is usually
-    near-dup scale (small) and resolved driver-side, as with entity
-    canonicalization (SURVEY.md §7.4) — but the routing is AUTOMATIC:
-    above ``max_driver_pairs`` candidate pairs the clustering switches
-    to the driver-free Dataset path (``_pairs_to_clusters_ds``), so no
-    caller can accidentally ``take_all()`` a huge pair list. The pairs
-    Dataset is materialized ONCE (count + consume — no double
-    execution); equivalence of the two paths is pytest-asserted."""
-    pairs = minhash_candidate_pairs(docs_ds, **kw).materialize()
+def _pairs_to_clusters(pairs, threshold, max_driver_pairs):
+    """Shared pair→cluster resolution with AUTOMATIC routing (the
+    `minhash_clusters` contract, also consumed by
+    `winnowing_clusters`): a MATERIALIZED candidate-pair Dataset
+    (doc_a, doc_b, est_jaccard) resolves to (doc_id, cluster_id =
+    min member id) — driver union-find below ``max_driver_pairs``
+    pairs, the Dataset min-label fixpoint above, so no caller can
+    accidentally ``take_all()`` a huge pair list."""
     if pairs.count() > max_driver_pairs:
         clusters = _pairs_to_clusters_ds(pairs, threshold)
         return clusters.sort(["doc_id"]).to_pandas()
@@ -554,8 +541,32 @@ def minhash_clusters(docs_ds, threshold=0.7,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return pd.DataFrame(
-        sorted((m, find(m)) for m in members), columns=["doc_id", "cluster_id"]
-    )
+        sorted((m, find(m)) for m in members),
+        columns=["doc_id", "cluster_id"])
+
+
+def minhash_clusters_ds(docs_ds, threshold=0.7, **kw):
+    """Dataset-native near-dup clustering — the 100-TB path: thresholded
+    candidate pairs feed the distributed min-label fixpoint with NO
+    driver-side pair collection. Returns a (doc_id, cluster_id) Dataset
+    — equivalence with the driver path is pytest-asserted."""
+    return _pairs_to_clusters_ds(minhash_candidate_pairs(docs_ds, **kw),
+                                 threshold)
+
+
+def minhash_clusters(docs_ds, threshold=0.7,
+                     max_driver_pairs: int = 500_000, **kw):
+    """Near-dup clusters: candidate pairs ≥ threshold (estimated Jaccard)
+    → connected components (min-ID representative). Pair set is usually
+    near-dup scale (small) and resolved driver-side, as with entity
+    canonicalization (SURVEY.md §7.4) — but the routing is AUTOMATIC:
+    above ``max_driver_pairs`` candidate pairs the clustering switches
+    to the driver-free Dataset path (``_pairs_to_clusters_ds``), so no
+    caller can accidentally ``take_all()`` a huge pair list. The pairs
+    Dataset is materialized ONCE (count + consume — no double
+    execution); equivalence of the two paths is pytest-asserted."""
+    pairs = minhash_candidate_pairs(docs_ds, **kw).materialize()
+    return _pairs_to_clusters(pairs, threshold, max_driver_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -1582,24 +1593,4 @@ def winnowing_clusters(docs_ds, k: int = 3, w: int = 4,
             "est_jaccard": pa.array(
                 np.ones(t.num_rows, np.float64))}),
         batch_format="pyarrow").materialize()
-    if pairs.count() > max_driver_pairs:
-        clusters = _pairs_to_clusters_ds(pairs, 0.5)
-        return clusters.sort(["doc_id"]).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    members = set()
-    for r in pairs.take_all():
-        a, b = int(r["doc_a"]), int(r["doc_b"])
-        members.update((a, b))
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return pd.DataFrame(
-        sorted((m, find(m)) for m in members),
-        columns=["doc_id", "cluster_id"])
+    return _pairs_to_clusters(pairs, 0.5, max_driver_pairs)

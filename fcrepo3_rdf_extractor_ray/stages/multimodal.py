@@ -830,8 +830,8 @@ class AudioGainStage:
     """REAL audio decode → integer PEAK-NORMALIZATION profile: the
     loudness-normalize step an audio-training pipeline runs before
     featurization, kept integer-exact — per item, the peak |sample|,
-    the ×1000 gain that would scale it to full range
-    (``32767·1000 // max(peak, 1)``), the normalized magnitude sum,
+    the ×1000 gain that scales it to at least full range (CEIL:
+    ``ceil(32767·1000 / max(peak, 1))``), the normalized magnitude sum,
     and how many samples would clip under that gain (all divisions on
     non-negative operands, so both sides floor identically). Same
     per-item containment contract as `PpmStatsStage`."""
@@ -856,7 +856,12 @@ class AudioGainStage:
                 continue
             a = np.abs(samples.astype(np.int64))
             peak = int(a.max()) if len(a) else 0
-            gain = 32767_000 // max(peak, 1)
+            # CEIL gain (round up to full range): floor gain can never
+            # clip by construction (peak*floor <= 32767000 for every
+            # input), which made the clip column vacuous; under ceil,
+            # near-peak samples may round past the rail — the real
+            # normalize-then-clip tradeoff the column measures
+            gain = -(-32767_000 // max(peak, 1))
             norm = a * gain // 1000
             ids.append(i)
             ns.append(len(a))

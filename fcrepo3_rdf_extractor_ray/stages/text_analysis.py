@@ -1996,10 +1996,13 @@ def zipf_profile(docs_ds, text_col="text", id_col="doc_id",
     rank CANNOT be a hash exchange: this is the TeraSort
     range-partition global-rank shape (`global_rank_orders`,
     `term_dictionary`) keyed on the COUNT value — one Min/Max pass,
-    count-range buckets, per-bucket sort + local rank/cumsum, driver
-    state = two n_buckets-sized offset vectors (rank and coverage),
-    bounded by configuration. Returns (token, n, rank,
-    cum_permille)."""
+    LOG-SCALE (bit-length) count classes — order-compatible, unlike
+    uniform count widths which dump the Zipf tail into one bucket —
+    with the hapax tie group additionally range-split by token,
+    per-bucket sort + local rank/cumsum, driver state = two
+    O(classes × n_buckets) offset vectors built from per-block
+    combiner rows (never the vocabulary), bounded by configuration.
+    Returns (token, n, rank, cum_permille)."""
     from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.hashing import fast_part_hash
@@ -2028,30 +2031,57 @@ def zipf_profile(docs_ds, text_col="text", id_col="doc_id",
                                          batch_format="pyarrow")
              ).materialize()
     mm = vocab.aggregate(Min("n"), Max("n"), Sum("n"))
-    lo, hi = int(mm["min(n)"]), int(mm["max(n)"])
+    if not mm or mm.get("max(n)") is None:  # empty vocabulary
+        return vocab.map_batches(
+            lambda t: pa.table({
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "cum_permille": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    hi = int(mm["max(n)"])
     total = int(mm["sum(n)"])
-    span = max(hi - lo + 1, 1)
-    width = -(-span // n_buckets)
+    # LOG-SCALE buckets: uniform count-width puts nearly the whole
+    # Zipf-tailed vocabulary into one bucket. Bit-length classes are
+    # order-compatible (every count in class c exceeds every count in
+    # class c+1); the hapax class (count == 1, inherently the largest
+    # AND a single tie group whose internal order is token-only) is
+    # additionally range-split by the token's first codepoint — valid
+    # exactly because it holds one count value. frexp is int-exact for
+    # counts < 2^53. Driver state: O(classes × H) ints, config-bounded.
+    hi_bl = int(hi).bit_length()
+    H = max(8, n_buckets)
+    n_groups = hi_bl * H + H
 
     def bucketize(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False)
-        # bucket 0 = highest counts (rank order is count DESC)
+        bl = np.frexp(n.astype(np.float64))[1]  # == bit_length, n<2^53
+        cls = (hi_bl - bl).astype(np.int64)
+        first = np.array(t["token"].to_numpy(zero_copy_only=False)
+                         .astype("U1"), dtype="U1")
+        cp = first.view(np.int32).astype(np.int64)
+        sub = np.where(n == 1, cp * H // 0x110000, 0)
         return t.append_column(
-            "part", pa.array((hi - n) // width))
+            "part", pa.array(cls * H + sub))
 
-    # per-bucket (count, token-mass) partials -> driver offset prefix
     parts = (vocab.map_batches(bucketize, batch_format="pyarrow")
              .materialize())
-    agg = (parts.map_batches(
-        lambda t: pa.table({
-            "b": t["part"],
-            "c": pa.array(np.ones(t.num_rows, np.int64)),
-            "m": t["n"]}), batch_format="pyarrow")
-        .to_pandas().groupby("b")[["c", "m"]].sum())
-    rank_off = np.zeros(n_buckets, np.int64)
-    mass_off = np.zeros(n_buckets, np.int64)
+
+    # per-block (bucket, count, mass) combiner: the driver receives at
+    # most n_groups rows per block, never the vocabulary
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = (pa.table({"b": t["part"],
+                       "c": pa.array(np.ones(t.num_rows, np.int64)),
+                       "m": t["n"]})
+             .group_by("b").aggregate([("c", "sum"), ("m", "sum")]))
+        return g.rename_columns(["b", "c", "m"])
+
+    agg = (parts.map_batches(part_counts, batch_format="pyarrow")
+           .to_pandas().groupby("b")[["c", "m"]].sum())
+    rank_off = np.zeros(n_groups, np.int64)
+    mass_off = np.zeros(n_groups, np.int64)
     rc = mc = 0
-    for b in range(n_buckets):
+    for b in range(n_groups):
         rank_off[b], mass_off[b] = rc, mc
         if b in agg.index:
             rc += int(agg.loc[b, "c"])

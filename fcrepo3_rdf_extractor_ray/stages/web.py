@@ -1340,8 +1340,10 @@ def url_param_stats(ds, url_col: str = "url",
 
     Shape: stateless vectorized findall (polars ``extract_all``, the
     `extract_links` idiom) explodes urls to (key, value, host) rows,
-    deduped per (url, key) in-batch → ONE key-hash exchange where
-    counts and distincts are exact (all rows of a key co-locate).
+    deduped per (url, key) in-batch (a combiner — cross-batch repeats
+    of a recrawled url are handled by the distinct-url count) → ONE
+    key-hash exchange where counts and distincts are exact (all rows
+    of a key co-locate).
     Returns (param, n_urls, n_hosts, n_values, is_tracking)."""
     import polars as pl
 
@@ -1375,8 +1377,12 @@ def url_param_stats(ds, url_col: str = "url",
             "part", pa.array(fast_part_hash(at["param"], n_parts)))
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # n_urls = DISTINCT urls: the per-batch (url, param) dedup is
+        # only a combiner — a recrawled url appearing in several input
+        # rows may land in different batches, and a size count would
+        # make the result batch-boundary-dependent
         g = (df.groupby("param")
-             .agg(n_urls=("url", "size"),
+             .agg(n_urls=("url", "nunique"),
                   n_hosts=("host", "nunique"),
                   n_values=("value", "nunique"))
              .reset_index())

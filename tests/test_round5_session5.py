@@ -585,16 +585,17 @@ def test_audio_gain_hand_computed(ray_session):
     out = stage(t).to_pandas().sort_values("item_id")
     assert stage.error_count == 1
     r1 = out.iloc[0]
-    gain = 32767000 // 16384
-    assert (r1["peak"], r1["gain_milli"]) == (16384, gain)
+    gain = -(-32767000 // 16384)  # ceil -> 2000
+    assert (r1["peak"], r1["gain_milli"]) == (16384, 2000)
     assert r1["sum_abs_norm"] == sum(
         abs(int(s)) * gain // 1000 for s in half)
-    assert r1["n_clipped"] == 0
+    # both +/-peak samples round past the rail under the ceil gain
+    assert r1["n_clipped"] == 2
     r2 = out.iloc[1]
-    # peak is 32768 (the negative rail), so gain < 1000 and the
-    # positive rail normalizes to 32766 -> nothing clips
-    assert (r2["peak"], r2["gain_milli"]) == (32768, 999)
-    assert r2["n_clipped"] == 0
+    # peak 32768 (the negative rail): ceil gain is exactly 1000, the
+    # rail itself clips, the positive rail (32767) does not
+    assert (r2["peak"], r2["gain_milli"]) == (32768, 1000)
+    assert r2["n_clipped"] == 1
 
 
 def test_url_param_stats_planted(ray_session):

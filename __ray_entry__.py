@@ -622,6 +622,18 @@ def _q_kg_schema_graph(sf_dir: str):
                        out_cols=("p1", "p2", "n_subjects"))
 
 
+def _q_kg_literal_stats(sf_dir: str):
+    """Literal QA profile per predicate over the full quad stream:
+    assertion/form counts, typed share, exact length bounds, embedded
+    newlines (the M4 newline-preservation contract made measurable).
+    One pred-hash exchange of per-(pred, obj) partials."""
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import literal_stats
+
+    quads = (_q_kg_page_quads(sf_dir)
+             .union(_q_kg_meta_quads(sf_dir), _q_kg_fact_quads(sf_dir)))
+    return literal_stats(quads)
+
+
 def _q_kg_quads_all(sf_dir: str):
     from fcrepo3_rdf_extractor_ray.pipelines.kg import run_kg
 
@@ -3005,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_intervals": _q_kg_fact_intervals,
         "kg_asof": _q_kg_asof,
         "kg_schema_graph": _q_kg_schema_graph,
+        "kg_literal_stats": _q_kg_literal_stats,
         "ta_zipf": _q_ta_zipf,
         "kg_sameas": _q_kg_sameas,
         "kg_prop_path": _q_kg_prop_path,
@@ -6218,6 +6231,20 @@ allp AS (SELECT a, b AS d, 1 AS length FROM e
          UNION ALL SELECT a, d, 2 FROM l2
          UNION ALL SELECT a, d, 3 FROM l3)
 SELECT a, d, min(length)::BIGINT AS length FROM allp GROUP BY a, d
+""")
+    # literal QA: per-pred aggregates over literal objects only
+    d["kg_literal_stats"] = (_U_CTE + """,
+q AS (""" + _PAGE_QUADS_SQL + " UNION ALL " + _META_QUADS_SQL
+        + " UNION ALL " + _FACT_QUADS_SQL + """)
+SELECT pred, count(*)::BIGINT AS n_literals,
+       count(DISTINCT obj)::BIGINT AS n_forms,
+       sum(CASE WHEN obj_datatype <> '' THEN 1 ELSE 0 END)::BIGINT
+           AS n_typed,
+       min(length(obj))::BIGINT AS min_len,
+       max(length(obj))::BIGINT AS max_len,
+       sum(CASE WHEN contains(obj, chr(10)) THEN 1 ELSE 0 END)::BIGINT
+           AS n_newline
+FROM q WHERE obj_is_literal GROUP BY pred
 """)
     # schema graph: distinct (subj, pred) self-join over all quads
     d["kg_schema_graph"] = (_U_CTE + """,

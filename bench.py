@@ -211,7 +211,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "web_revisits", "kg_star", "rel_merge",
                  "kg_shacl", "kg_inverse", "mm_audio_gain", "web_params",
                  "dedup_winnow_clusters", "kg_asof", "ta_zipf",
-                 "kg_schema_graph"):
+                 "kg_schema_graph", "kg_literal_stats"):
         t0 = time.perf_counter()
         # one broken query must not null the whole round artifact:
         # record -1 and keep timing the rest

@@ -1534,3 +1534,69 @@ def facts_as_of(facts_ds, pages_ds, as_of_us: int,
     return (eps.map_batches(pick, batch_format="pyarrow")
             .groupby("part").map_groups(keep_last,
                                         batch_format="pandas"))
+
+
+def literal_stats(quads_ds, n_parts: int | None = None):
+    """LITERAL QA PROFILE per predicate — the data-quality scan a
+    publisher runs before loading a store: over literal objects only,
+    assertion volume, distinct lexical forms, datatyped share, exact
+    min/max lexical length, and how many literals embed a newline
+    (the serialization hazard the reference's DC extractor explicitly
+    preserves, DublinCoreContentHandler.java:93-94 — M4's
+    newline-in-literal contract made measurable).
+
+    Shape: per-batch vectorized partials (Arrow string kernels; one
+    row per predicate per batch) → ONE pred-hash exchange folding
+    sums/mins/maxes — distinct lexical forms ride the same exchange
+    as per-batch DISTINCT (pred, obj) tag rows, exact because a
+    predicate's rows co-locate. Returns (pred, n_literals, n_forms,
+    n_typed, min_len, max_len, n_newline)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fast_part_hash
+    from ..runtime import default_parts
+    n_parts = n_parts or default_parts(1.0)
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.cast(t["obj_is_literal"], pa.bool_()))
+        lens = pc.utf8_length(t["obj"])
+        typed = pc.cast(pc.not_equal(
+            pc.coalesce(t["obj_datatype"], ""), ""), pa.int64())
+        nl = pc.cast(pc.greater(
+            pc.count_substring(t["obj"], "\n"), 0), pa.int64())
+        base = pa.table({
+            "pred": t["pred"], "obj": t["obj"],
+            "len": pc.cast(lens, pa.int64()),
+            "typed": typed, "nl": nl})
+        # per-(pred, obj) partials: assertion count + typed/newline
+        # ASSERTION sums (exact — a form asserted with and without a
+        # datatype contributes each assertion individually); len is
+        # constant within the group (min is just the fold op)
+        g = (base.group_by(["pred", "obj"])
+             .aggregate([("len", "min"), ("len", "count"),
+                         ("typed", "sum"), ("nl", "sum")]))
+        out = pa.table({
+            "pred": g["pred"], "obj": g["obj"],
+            "len": g["len_min"], "n": g["len_count"],
+            "tn": g["typed_sum"], "nn": g["nl_sum"]})
+        return out.append_column(
+            "part", pa.array(fast_part_hash(out["pred"], n_parts)))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.groupby(["pred", "obj"], as_index=False)
+              .agg(len=("len", "min"), n=("n", "sum"),
+                   tn=("tn", "sum"), nn=("nn", "sum")))
+        g = (df.groupby("pred")
+             .agg(n_literals=("n", "sum"), n_forms=("obj", "nunique"),
+                  n_typed=("tn", "sum"), min_len=("len", "min"),
+                  max_len=("len", "max"), n_newline=("nn", "sum"))
+             .reset_index())
+        for c in ("n_literals", "n_forms", "n_typed", "min_len",
+                  "max_len", "n_newline"):
+            g[c] = g[c].astype("int64")
+        return g[["pred", "n_literals", "n_forms", "n_typed",
+                  "min_len", "max_len", "n_newline"]]
+
+    return (quads_ds.map_batches(combine, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pandas"))

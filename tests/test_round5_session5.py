@@ -714,3 +714,35 @@ def test_schema_graph_output_names_never_collide(ray_session):
         .to_pandas()
     assert out.values.tolist() == [["p1", "p2", 1]]
     assert out["p2"].dtype == object
+
+
+def test_literal_stats_mixed_typing_and_newlines(ray_session):
+    """Typed/newline counts are per ASSERTION (a form asserted with
+    and without a datatype counts each assertion); IRIs never
+    counted; length bounds exact."""
+    import ray.data as rd
+
+    from fcrepo3_rdf_extractor_ray.pipelines.kg import literal_stats
+
+    rows = [
+        ("s1", "kg:t", "ab", True, "xsd:string", "u1"),
+        ("s2", "kg:t", "ab", True, "", "u2"),       # same form untyped
+        ("s3", "kg:t", "line1\nline2", True, "", "u3"),
+        ("s4", "kg:t", "iri:x", False, "", "u4"),   # IRI ignored
+        ("s5", "kg:u", "zzzz", True, "", "u5"),
+    ]
+    t = pa.table({
+        "graph": ["kg:web"] * 5,
+        "subj": [r[0] for r in rows], "pred": [r[1] for r in rows],
+        "obj": [r[2] for r in rows],
+        "obj_is_literal": [r[3] for r in rows],
+        "obj_datatype": [r[4] for r in rows],
+        "src_url": [r[5] for r in rows]})
+    out = (literal_stats(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("pred"))
+    kt = out.loc["kg:t"]
+    assert (kt["n_literals"], kt["n_forms"], kt["n_typed"],
+            kt["n_newline"]) == (3, 2, 1, 1)
+    assert (kt["min_len"], kt["max_len"]) == (2, 11)
+    ku = out.loc["kg:u"]
+    assert (ku["n_literals"], ku["n_forms"]) == (1, 1)
